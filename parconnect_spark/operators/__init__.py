@@ -1,0 +1,30 @@
+from parconnect_spark.operators.graph import (
+    symmetrize,
+    canonicalize,
+    degrees,
+    degree_histogram,
+    vertices,
+    filter_visited_edges,
+    check_bidirectional,
+)
+from parconnect_spark.operators.relabel import dense_rank_relabel, relabel_edges
+from parconnect_spark.operators.derive import (
+    transcripts_to_entity_turns,
+    derive_edges,
+    verify_text_invariant,
+)
+
+__all__ = [
+    "symmetrize",
+    "canonicalize",
+    "degrees",
+    "degree_histogram",
+    "vertices",
+    "filter_visited_edges",
+    "check_bidirectional",
+    "dense_rank_relabel",
+    "relabel_edges",
+    "transcripts_to_entity_turns",
+    "derive_edges",
+    "verify_text_invariant",
+]

@@ -1,0 +1,107 @@
+"""Transcripts → edge-table derivation (BASELINE.json north_rule / input_hint).
+
+Input: the Iceberg-shaped transcripts table
+    (conv_id: string, turn_idx: int, role: string, text: string,
+     tool: string, ts: timestamp)
+
+This plays the role the de Bruijn builder plays in the reference — domain
+payload → edge table (/root/reference/src/graphGen/deBruijn/deBruijnGraphGen.hpp:52-142)
+— but over conversation structure instead of k-mers.
+
+Edge semantics (documented contract, deterministic):
+  Entity of a turn   = ``t:<tool>`` when tool is non-null else ``r:<role>``.
+  Conversation node  = ``c:<conv_id>``.
+  E1 sequential edge = entity(turn i) — entity(turn i+1) for consecutive
+                       turn_idx within a conv_id (stable turn ordering via
+                       a window over (conv_id, turn_idx)).
+  E2 membership edge = c:<conv_id> — entity(turn) for every turn.
+Self-loops dropped, edges symmetrized (both directions — the reference's
+bidirectionality invariant, /root/reference/src/graphGen/common/utils.hpp:61-101),
+string entities dense-rank-relabeled to contiguous longs
+(operators/relabel.py ≙ reduceIds.hpp:125-231).
+
+Per-row invariant vs the reference (BASELINE.json:15): the derivation never
+touches ``text``; ``verify_text_invariant`` proves byte-equality by joining
+derived turn rows back on (conv_id, turn_idx).
+
+Scale notes: the window is partitioned by conv_id — at 10^12 turns this is
+the natural parallel unit; hub conversations with millions of turns stay in
+one partition only for the lead() pass (linear scan), while the resulting
+edges hash-shuffle freely. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parconnect_spark.operators.graph import symmetrize
+from parconnect_spark.operators.relabel import relabel_edges
+
+
+def turn_entity() -> F.Column:
+    """Entity expression for one turn row."""
+    return F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("r:"), F.col("role")))
+
+
+def transcripts_to_entity_turns(transcripts: DataFrame) -> DataFrame:
+    """Stably-ordered turns annotated with their entity and the next turn's.
+
+    Returns DataFrame[conv_id, turn_idx, entity, next_entity, text].
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        turn_entity().alias("entity"),
+    ).withColumn("next_entity", F.lead("entity").over(w))
+
+
+def derive_string_edges(transcripts: DataFrame) -> DataFrame:
+    """Distinct undirected string-keyed edges DataFrame[a, b] (a < b)."""
+    turns = transcripts_to_entity_turns(transcripts)
+    seq = turns.where(F.col("next_entity").isNotNull()).select(
+        F.col("entity").alias("a"), F.col("next_entity").alias("b")
+    )
+    member = turns.select(
+        F.concat(F.lit("c:"), F.col("conv_id")).alias("a"),
+        F.col("entity").alias("b"),
+    )
+    both = seq.unionByName(member)
+    return (
+        both.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full derivation: transcripts → (symmetric long edges, id_map).
+
+    edges: DataFrame[src: long, dst: long], both directions present.
+    id_map: DataFrame[name: string, id: long] for mapping labels back.
+    """
+    string_edges = derive_string_edges(transcripts)
+    long_edges, id_map = relabel_edges(string_edges, "a", "b")
+    return symmetrize(long_edges), id_map
+
+
+def verify_text_invariant(transcripts: DataFrame) -> bool:
+    """Per-turn text byte-equality under stable ordering (BASELINE.json:15).
+
+    Runs the derivation's turn pass and joins back to the source on
+    (conv_id, turn_idx); any row whose text differs (or fails to join)
+    violates the invariant.
+    """
+    derived = transcripts_to_entity_turns(transcripts).select(
+        "conv_id", "turn_idx", F.col("text").alias("derived_text")
+    )
+    joined = transcripts.join(derived, ["conv_id", "turn_idx"], "full_outer")
+    bad = joined.where(
+        F.col("text").isNull()
+        | F.col("derived_text").isNull()
+        | (F.col("text") != F.col("derived_text"))
+    )
+    return bad.limit(1).count() == 0

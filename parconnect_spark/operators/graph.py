@@ -1,0 +1,98 @@
+"""Edge-table primitives.
+
+The reference stores every undirected edge twice — (u,v) and (v,u) — as a
+hard invariant (/root/reference/src/graphGen/common/utils.hpp:61-101,
+doubling at generation /root/reference/src/graphGen/graph500/graph500Gen.hpp:93-99).
+Here the same invariant is one ``union`` of a swapped projection; all the
+MPI bucketing/boundary-stitching code it protects disappears into Spark's
+shuffle.
+
+All functions are lazy DataFrame transforms: filters and projections push
+down to the parquet scan, aggregations get map-side partial combine from
+Catalyst automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def symmetrize(edges: DataFrame, deduplicate: bool = True) -> DataFrame:
+    """Ensure every undirected edge is present in both directions.
+
+    Mirrors the reference's add-reverse-edge path
+    (/root/reference/src/graphGen/fileIO/graphReader.hpp:248-251). Self-loops
+    are dropped — parconnect's generators filter them too
+    (/root/reference/src/graphGen/graph500/graph500Gen.hpp:100-104).
+    """
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    out = fwd.unionByName(rev).where(F.col("src") != F.col("dst"))
+    return out.distinct() if deduplicate else out
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """One row per undirected edge with src < dst (the reference's binary
+    export filter, /root/reference/src/graphGen/common/binaryEdgeListExport.hpp:48-70).
+    """
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids as DataFrame[v: long].
+
+    On a symmetric edge table the SRC set equals the DEST set, so a single
+    column scan suffices — the same symmetry assumption reduceVertexIds
+    relies on (/root/reference/src/graphGen/common/reduceIds.hpp:125-231).
+    """
+    return edges.select(F.col("src").alias("v")).distinct()
+
+
+def degrees(edges: DataFrame, distinct_neighbors: bool = False) -> DataFrame:
+    """Per-vertex out-degree DataFrame[v, degree] — the adjacency row-sums of
+    /root/reference/src/bfs/bfsRunner.hpp:128 as one hash aggregate."""
+    agg = (
+        F.countDistinct("dst") if distinct_neighbors else F.count(F.lit(1))
+    ).alias("degree")
+    return edges.groupBy(F.col("src").alias("v")).agg(agg)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """degree → frequency histogram over distinct neighbors.
+
+    Replaces the reference's sort + per-run unique + rank-boundary patching +
+    vector reduce (/root/reference/src/dynamic/degreeDistInfo.hpp:92-166) with
+    two hash aggregates; the +1 Laplace smoothing the reference applies for
+    plfit stays in plans/decision.py where it is consumed.
+    """
+    return (
+        edges.groupBy("src")
+        .agg(F.countDistinct("dst").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+
+def filter_visited_edges(edges: DataFrame, visited: DataFrame) -> DataFrame:
+    """Drop every edge whose SRC was visited (post-BFS residual edges).
+
+    The reference does this with sort + allgather splitters + all2all +
+    boundary left_shift + merge (/root/reference/src/bfs/bfsRunner.hpp:272-357,
+    86 LoC); the splitter machinery *is* Spark's shuffle, so it reduces to a
+    single anti join. ``visited`` must have column ``v``.
+    """
+    vis = visited.select("v")
+    return edges.join(vis, on=edges["src"] == vis["v"], how="left_anti")
+
+
+def check_bidirectional(edges: DataFrame) -> bool:
+    """Invariant checker: every (u,v) has its (v,u) twin
+    (/root/reference/src/graphGen/common/utils.hpp:68-101)."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.exceptAll(rev).limit(1).count() == 0

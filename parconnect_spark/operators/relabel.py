@@ -1,0 +1,99 @@
+"""Vertex-id relabeling.
+
+Two reference behaviors re-created:
+
+* ``dense_rank_relabel`` — parconnect's ``reduceVertexIds``
+  (/root/reference/src/graphGen/common/reduceIds.hpp:125-231): rename
+  arbitrary (or string) vertex keys to contiguous 0..|V|-1 longs. The
+  reference needs two global sorts, exscans and neighbor-rank shifts; in
+  Spark the whole 107-LoC routine is a distinct + window dense_rank + two
+  joins, and Catalyst handles every boundary case.
+
+* ``permute_ids`` (functions/hashing.py) — the Thomas-Wang invertible-hash
+  permutation (/root/reference/src/graphGen/common/reduceIds.hpp:104-114)
+  used as anti-skew salting. In Spark, hash partitioning already randomizes
+  placement, so the bijection is only needed when label values must be
+  mapped back to original ids; see functions/hashing.py.
+
+Scale notes: the id map is |V|-sized (≪ |E|); the relabel joins broadcast
+when the map is small and AQE picks shuffle-hash otherwise. The window
+dense_rank over a single global ordering would serialize at 10^12 scale, so
+``dense_rank_relabel`` uses the two-phase per-partition rank + offset-exscan
+formulation — the exact distributed-rank trick of the reference, expressed
+with Spark primitives that keep every step parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dense_rank_relabel(keys: DataFrame, key_col: str = "name") -> DataFrame:
+    """Map distinct keys → contiguous ids 0..n-1, ordered by key.
+
+    Returns DataFrame[<key_col>, id: long]. Deterministic: ids follow the
+    natural ordering of ``key_col`` (the reference's relabel follows sorted
+    vertex order, reduceIds.hpp:137-186).
+
+    Implementation is the scalable two-phase rank: range-partition the
+    distinct keys, rank within each partition, then add the exclusive prefix
+    sum of partition sizes (the reference's ``exscan`` of unique counts,
+    reduceIds.hpp:177). No single-partition window.
+    """
+    distinct = keys.select(key_col).distinct()
+    # spark_partition_id after a range repartition gives sorted, disjoint
+    # key ranges; ranking within each is embarrassingly parallel.
+    parted = distinct.repartitionByRange(F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    in_part = parted.withColumn(
+        "_local_rank",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(key_col)) - 1,
+    )
+    sizes = in_part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    # offsets has one row per partition — always broadcastable.
+    return (
+        in_part.join(F.broadcast(offsets), "_pid")
+        .select(
+            F.col(key_col),
+            (F.col("_local_rank") + F.col("_offset")).cast("long").alias("id"),
+        )
+    )
+
+
+def relabel_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """Rewrite an edge table over arbitrary keys to dense long ids.
+
+    Returns (edges[src,dst] :: long, id_map[name,id]). Equivalent of running
+    reduceVertexIds over DEST then SRC (reduceIds.hpp:241-259), as two joins.
+    """
+    keys = (
+        edges.select(F.col(src_col).alias("name"))
+        .unionByName(edges.select(F.col(dst_col).alias("name")))
+        .distinct()
+    )
+    id_map = dense_rank_relabel(keys, "name")
+    s = id_map.withColumnRenamed("name", "_sname").withColumnRenamed("id", "_sid")
+    d = id_map.withColumnRenamed("name", "_dname").withColumnRenamed("id", "_did")
+    out = (
+        edges.join(s, edges[src_col] == s["_sname"])
+        .join(d, edges[dst_col] == d["_dname"])
+        .select(F.col("_sid").alias("src"), F.col("_did").alias("dst"))
+    )
+    return out, id_map
+
+
+def unique_vertex_count(id_map: DataFrame) -> int:
+    """The reference's ``uniqueVertexCount`` output (reduceIds.hpp:254-258)."""
+    return id_map.count()

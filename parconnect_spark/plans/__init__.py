@@ -1,0 +1,26 @@
+from parconnect_spark.plans.connectivity import (
+    connected_components,
+    component_count,
+    largest_component_size,
+    CCResult,
+)
+from parconnect_spark.plans.pagerank import pagerank
+from parconnect_spark.plans.labelprop import label_propagation
+from parconnect_spark.plans.triangles import triangle_count, triangles_per_vertex
+from parconnect_spark.plans.bfs import bfs, bfs_peel
+from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
+
+__all__ = [
+    "connected_components",
+    "component_count",
+    "largest_component_size",
+    "CCResult",
+    "pagerank",
+    "label_propagation",
+    "triangle_count",
+    "triangles_per_vertex",
+    "bfs",
+    "bfs_peel",
+    "should_run_bfs",
+    "powerlaw_ks_distance",
+]

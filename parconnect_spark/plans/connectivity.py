@@ -1,0 +1,268 @@
+"""Connected components — the reference's core computation, Spark-first.
+
+parconnect's coloring phase (/root/reference/src/coloring/labelProp.hpp:266-351)
+is a min-label fixpoint over a (Pc, Pn, nId) tuple table: each superstep
+sorts by vertex bucket, takes the bucket min (updatePn, labelProp.hpp:358-432),
+re-sorts by partition and broadcasts the min down (updatePc,
+labelProp.hpp:436-521), with optional pointer doubling via inserted
+parent-request tuples (doPointerDoubling, labelProp.hpp:523-629). All of that
+is sort-shuffle + grouped-min + join — so here it *is* joins and grouped
+mins, and the ~200 LoC of rank-boundary exscan patching
+(labelProp.hpp:364-416) vanishes into Spark's shuffle.
+
+Two algorithms, same fixpoint (label(v) = min vertex id in v's component):
+
+* ``two_phase`` (default) — alternating large-star / small-star edge
+  rewiring (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14 — a published, public algorithm). O(log^2 n) rounds worst case,
+  ~log n in practice; each round is two grouped-min + join passes. This is
+  the scale path: edge rewiring keeps per-round state at O(|E|) with no
+  label table to re-join, and hub vertices are exactly the skew AQE's
+  skew-join splitting handles.
+
+* ``min_label`` — direct port of the reference semantics: label table +
+  per-superstep neighborhood min, with optional pointer doubling
+  (label(v) ← label(label(v)), the DOUBLING lever at labelProp.hpp:55).
+
+Convergence detection: per-vertex min-neighbor labels are monotonically
+non-increasing, so a (count, sum) checksum pair over the working set is a
+cheap convergence witness (one aggregate per superstep — the Spark
+equivalent of the reference's allreduce(min(converged)),
+labelProp.hpp:516-520); an extra confirmation round guards the theoretical
+checksum-collision case.
+
+Every superstep optionally checkpoints its working set + metrics through a
+SuperstepCheckpoint (streaming/checkpoint.py) so a killed run resumes
+mid-iteration; lineage is truncated via localCheckpoint otherwise.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.operators.graph import vertices as vertex_table
+
+
+@dataclass
+class CCResult:
+    labels: DataFrame  # [v: long, label: long] — label = min id in component
+    iterations: int
+    metrics: list = field(default_factory=list)  # per-superstep dicts
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("src") + F.col("dst")).alias("s"),
+    ).collect()[0]
+    return int(row["cnt"]), int(row["s"] or 0)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u}).
+
+    ``edges`` must contain both orientations so Γ(u) is complete per src key.
+    """
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least("src", "_mn").alias("_m"))
+    return (
+        edges.where(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge toward the smaller endpoint, then connect each
+    node's ≤-neighborhood to its min. Output is canonical (big, small)-free:
+    pairs (v, m) with m < v."""
+    ec = edges.select(
+        F.greatest("src", "dst").alias("big"), F.least("src", "dst").alias("small")
+    ).distinct()
+    mins = ec.groupBy("big").agg(F.min("small").alias("_m"))
+    rewired = (
+        ec.join(mins, "big")
+        .where(F.col("small") != F.col("_m"))
+        .select(F.col("small").alias("src"), F.col("_m").alias("dst"))
+    )
+    selfarc = mins.select(F.col("big").alias("src"), F.col("_m").alias("dst"))
+    return (
+        rewired.unionByName(selfarc)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _both_orientations(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    algorithm: str = "two_phase",
+    pointer_doubling: bool = True,
+    max_iterations: int = 100,
+    checkpoint=None,
+    checkpoint_every: int = 1,
+) -> CCResult:
+    """Compute per-vertex component labels (= min vertex id in component).
+
+    edges: DataFrame[src: long, dst: long]; self-loops ignored; orientation
+    irrelevant (symmetrized internally). Matches the reference's outputs:
+    exact component count and per-vertex membership
+    (/root/reference/src/coloring/labelProp.hpp:122-139 component count;
+    BASELINE.json exact-membership rule).
+    """
+    if algorithm == "two_phase":
+        return _cc_two_phase(edges, max_iterations, checkpoint, checkpoint_every)
+    if algorithm == "min_label":
+        return _cc_min_label(
+            edges, pointer_doubling, max_iterations, checkpoint, checkpoint_every
+        )
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _resume(checkpoint, default_df: DataFrame) -> tuple[int, DataFrame]:
+    if checkpoint is None:
+        return 0, default_df
+    step, df = checkpoint.latest()
+    if step is None:
+        return 0, default_df
+    return step, df
+
+
+def _cc_two_phase(
+    edges: DataFrame, max_iterations: int, checkpoint, checkpoint_every: int
+) -> CCResult:
+    verts = vertex_table(_both_orientations(edges)).persist()
+    verts.count()
+
+    work = _both_orientations(edges)
+    start_step, work = _resume(checkpoint, work)
+    work = work.localCheckpoint()
+    metrics: list = []
+    prev = None
+    confirmed = False
+    it = start_step
+    while it < max_iterations:
+        t0 = time.monotonic()
+        ls = _large_star(work)
+        after = _small_star(_both_orientations(ls))
+        # keep both orientations for the next large-star pass
+        nxt = _both_orientations(after).localCheckpoint()
+        cnt, s = _checksum(nxt)
+        dt = time.monotonic() - t0
+        it += 1
+        m = {
+            "superstep": it,
+            "algorithm": "two_phase",
+            "edges": cnt,
+            "checksum": s,
+            "seconds": dt,
+        }
+        metrics.append(m)
+        if checkpoint is not None and it % checkpoint_every == 0:
+            nxt = checkpoint.save(it, nxt, m)
+        if prev == (cnt, s):
+            if confirmed:
+                work = nxt
+                break
+            confirmed = True
+        else:
+            confirmed = False
+        prev = (cnt, s)
+        work = nxt
+
+    # work is now a star forest pointing at component minima (both
+    # orientations present); per-vertex label = min neighbor, roots = self.
+    star = work.groupBy("src").agg(F.min("dst").alias("_m"))
+    star = star.select(
+        F.col("src").alias("v"), F.least("src", "_m").alias("label")
+    )
+    labels = (
+        verts.join(star, "v", "left")
+        .select("v", F.coalesce("label", "v").alias("label"))
+    )
+    verts.unpersist()
+    return CCResult(labels=labels, iterations=it, metrics=metrics)
+
+
+def _cc_min_label(
+    edges: DataFrame,
+    pointer_doubling: bool,
+    max_iterations: int,
+    checkpoint,
+    checkpoint_every: int,
+) -> CCResult:
+    sym = _both_orientations(edges).persist()
+    labels = vertex_table(sym).select("v", F.col("v").alias("label"))
+    start_step, labels = _resume(checkpoint, labels)
+    labels = labels.localCheckpoint()
+    metrics: list = []
+    prev_sum = None
+    it = start_step
+    while it < max_iterations:
+        t0 = time.monotonic()
+        # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min.
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .groupBy(F.col("src").alias("v2"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new = labels.join(nbr, labels["v"] == nbr["v2"], "left").select(
+            "v", F.least(F.col("label"), F.coalesce("_nmin", "label")).alias("label")
+        )
+        if pointer_doubling:
+            # doPointerDoubling (labelProp.hpp:523-629): label ← label(label).
+            parent = new.select(
+                F.col("v").alias("_pv"), F.col("label").alias("_plabel")
+            )
+            new = new.join(parent, new["label"] == parent["_pv"], "left").select(
+                "v", F.coalesce("_plabel", "label").alias("label")
+            )
+        new = new.localCheckpoint()
+        row = new.agg(F.sum("label").alias("s")).collect()[0]
+        s = int(row["s"] or 0)
+        dt = time.monotonic() - t0
+        it += 1
+        m = {
+            "superstep": it,
+            "algorithm": "min_label",
+            "doubling": pointer_doubling,
+            "checksum": s,
+            "seconds": dt,
+        }
+        metrics.append(m)
+        if checkpoint is not None and it % checkpoint_every == 0:
+            new = checkpoint.save(it, new, m)
+        labels = new
+        # labels are monotone non-increasing; equal sum ⇒ fixpoint
+        # (allreduce(min(converged)) equivalent, labelProp.hpp:516-520).
+        if prev_sum == s:
+            break
+        prev_sum = s
+    sym.unpersist()
+    return CCResult(labels=labels, iterations=it, metrics=metrics)
+
+
+def component_count(labels: DataFrame) -> int:
+    """Exact distinct-label count (labelProp.hpp:122-139; exactness required
+    by BASELINE.json — no approx_count_distinct here)."""
+    return labels.agg(F.countDistinct("label").alias("n")).collect()[0]["n"]
+
+
+def largest_component_size(labels: DataFrame) -> int:
+    """labelProp.hpp:146-224 in one line (vertex count, not doubled-edge)."""
+    row = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz").alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"])

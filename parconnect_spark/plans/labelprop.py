@@ -1,0 +1,67 @@
+"""Synchronous label propagation (BASELINE.json north_rule addition).
+
+Community-detection flavor: every superstep, each vertex adopts the most
+frequent label among its neighbors (ties broken toward the smaller label —
+deterministic, so results are reproducible across parallelism levels, the
+same order-invariance the reference's tests demand via shuffled inputs,
+/root/reference/test/test_ccl_coloring.cpp:63). ``rule="min"`` degenerates
+to the reference's min-label coloring semantics
+(/root/reference/src/coloring/labelProp.hpp:358-432).
+
+Each superstep: one join (edges ⨝ labels on src) + one grouped count + one
+argmax window-free reduce via max_by on a packed (count, -label) struct —
+two shuffles, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.operators.graph import vertices as vertex_table
+
+
+def label_propagation(
+    edges: DataFrame,
+    num_iters: int = 10,
+    rule: str = "majority",
+    checkpoint=None,
+) -> DataFrame:
+    """Returns DataFrame[v: long, label: long]. ``edges`` must be symmetric
+    for undirected semantics (both directions present)."""
+    verts = vertex_table(edges).persist()
+    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
+
+    for _ in range(num_iters):
+        nbr = edges.join(labels, edges["dst"] == labels["v"]).select(
+            F.col("src").alias("u"), "label"
+        )
+        if rule == "min":
+            chosen = nbr.groupBy("u").agg(F.min("label").alias("new_label"))
+        elif rule == "majority":
+            counted = nbr.groupBy("u", "label").agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            # argmax by (count desc, label asc): max_by over struct orders
+            # lexicographically, so negate the label.
+            chosen = counted.groupBy("u").agg(
+                (
+                    -F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl")))[
+                        "_nl"
+                    ]
+                ).alias("new_label")
+            )
+        else:
+            raise ValueError(f"unknown rule {rule!r}")
+        if rule == "min":
+            # min-label coloring keeps the vertex's own label in the min
+            # (the self-tuple semantics of labelProp.hpp:244-261).
+            pick = F.least("label", F.coalesce("new_label", "label"))
+        else:
+            pick = F.coalesce("new_label", "label")
+        labels = (
+            labels.join(chosen, labels["v"] == chosen["u"], "left")
+            .select("v", pick.alias("label"))
+            .localCheckpoint()
+        )
+    verts.unpersist()
+    return labels

@@ -1,0 +1,91 @@
+"""Node-iterator triangle counting (BASELINE.json north_rule addition;
+SURVEY.md §2.10).
+
+Classic degree-ordered node-iterator: orient each undirected edge from the
+lower-(degree, id) endpoint to the higher — every triangle then has exactly
+one "apex" vertex with two out-edges closed by a third edge that is itself
+oriented by the same total order. Wedge endpoints are emitted in that order
+too, so the closure check is a pure equi semi-join on (both endpoints) —
+hash-joinable, never a nested loop.
+
+The degree ordering is the skew guard: a hub of degree d contributes
+O(sum of smaller-degree pairs) wedges instead of O(d²), which is what makes
+the node-iterator survive power-law graphs at 100 TB (the hub-conversation
+skew BASELINE.json calls out). Three hash joins, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.operators.graph import canonicalize, degrees
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """DataFrame[lo, hi, dlo, dhi]: canonical edges oriented by
+    (degree, id) ascending, degrees retained for downstream ordering."""
+    und = canonicalize(edges)  # src < dst, one row per undirected edge
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = degrees(sym)  # true undirected degree per vertex
+    d1 = deg.select(F.col("v").alias("_v1"), F.col("degree").alias("_d1"))
+    d2 = deg.select(F.col("v").alias("_v2"), F.col("degree").alias("_d2"))
+    lower_first = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("src") < F.col("dst"))
+    )
+    return (
+        und.join(d1, F.col("src") == F.col("_v1"))
+        .join(d2, F.col("dst") == F.col("_v2"))
+        .select(
+            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+            F.when(lower_first, F.col("_d1")).otherwise(F.col("_d2")).alias("dlo"),
+            F.when(lower_first, F.col("_d2")).otherwise(F.col("_d1")).alias("dhi"),
+        )
+    )
+
+
+def _enumerate_triangles(edges: DataFrame) -> DataFrame:
+    """DataFrame[a, b, c]: one row per triangle; a = apex in degree order,
+    (b, c) ordered by the same (degree, id) total order."""
+    o = _oriented(edges).persist()
+    w1 = o.select(
+        F.col("lo").alias("a"),
+        F.col("hi").alias("n1"),
+        F.col("dhi").alias("dn1"),
+    )
+    w2 = o.select(
+        F.col("lo").alias("a2"),
+        F.col("hi").alias("n2"),
+        F.col("dhi").alias("dn2"),
+    )
+    first_lower = (F.col("dn1") < F.col("dn2")) | (
+        (F.col("dn1") == F.col("dn2")) & (F.col("n1") < F.col("n2"))
+    )
+    wedges = (
+        w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("n1") < F.col("n2")))
+        .select(
+            "a",
+            F.when(first_lower, F.col("n1")).otherwise(F.col("n2")).alias("b"),
+            F.when(first_lower, F.col("n2")).otherwise(F.col("n1")).alias("c"),
+        )
+    )
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    return wedges.join(closing, ["b", "c"], "left_semi")
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """DataFrame[v, triangles] — triangle participation counts."""
+    tri = _enumerate_triangles(edges)
+    longf = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+    )
+    return longf.groupBy("v").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Exact global triangle count."""
+    return int(_enumerate_triangles(edges).count())

@@ -1,0 +1,21 @@
+from parconnect_spark.sources.transcripts import synth_transcripts
+from parconnect_spark.sources.generators import chain_edges, kronecker_edges
+from parconnect_spark.sources.edgelist import (
+    read_edgelist_text,
+    write_edgelist_text,
+    write_edgelist_binary,
+    write_dot,
+)
+from parconnect_spark.sources.tables import read_table, write_table
+
+__all__ = [
+    "synth_transcripts",
+    "chain_edges",
+    "kronecker_edges",
+    "read_edgelist_text",
+    "write_edgelist_text",
+    "write_edgelist_binary",
+    "write_dot",
+    "read_table",
+    "write_table",
+]

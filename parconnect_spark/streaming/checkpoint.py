@@ -1,0 +1,82 @@
+"""Per-superstep checkpoint/resume (BASELINE.json: "every superstep
+checkpoints per-partition lineage and frontier/shuffle metrics ... so any
+run is resumable mid-iteration").
+
+Layout (Iceberg-snapshot-shaped; plain parquet when the Iceberg runtime is
+absent — sources/tables.py):
+
+    <base>/<job_id>/step=<k>/data/...parquet   working set at superstep k
+    <base>/<job_id>/step=<k>/meta.json          metrics + lineage record
+    <base>/<job_id>/metrics.jsonl               append-only superstep log
+
+Commit protocol: data is written to ``_tmp`` then atomically renamed, and
+``meta.json`` is written last — a step directory without meta.json is an
+uncommitted torn write and is ignored on resume. That mirrors Iceberg's
+snapshot-commit-last semantics with filesystem primitives.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SuperstepCheckpoint:
+    def __init__(self, spark: SparkSession, base_dir: str, job_id: str):
+        self.spark = spark
+        self.dir = os.path.join(base_dir, job_id)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.dir, f"step={step}")
+
+    def save(self, step: int, df: DataFrame, metrics: dict | None = None) -> DataFrame:
+        """Persist the superstep working set; returns a re-read DataFrame
+        (lineage truncated to the checkpoint — cheaper than recomputing the
+        whole iterative chain on any downstream action)."""
+        step_dir = self._step_dir(step)
+        tmp = step_dir + "_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        if os.path.exists(step_dir):
+            shutil.rmtree(step_dir)
+        os.rename(tmp, step_dir)
+        meta = {
+            "step": step,
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        with open(os.path.join(step_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        return self.spark.read.parquet(os.path.join(step_dir, "data"))
+
+    def committed_steps(self) -> list[int]:
+        steps = []
+        for name in os.listdir(self.dir):
+            if name.startswith("step=") and not name.endswith("_tmp"):
+                if os.path.exists(os.path.join(self.dir, name, "meta.json")):
+                    steps.append(int(name.split("=", 1)[1]))
+        return sorted(steps)
+
+    def latest(self) -> tuple[int | None, DataFrame | None]:
+        """Most recent committed superstep (None, None) if fresh."""
+        steps = self.committed_steps()
+        if not steps:
+            return None, None
+        step = steps[-1]
+        df = self.spark.read.parquet(os.path.join(self._step_dir(step), "data"))
+        return step, df
+
+    def metrics_log(self) -> list[dict]:
+        path = os.path.join(self.dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]

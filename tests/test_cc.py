@@ -1,0 +1,89 @@
+"""Connected-components parity with the reference's test suite
+(/root/reference/test/test_ccl_coloring.cpp) + oracle membership checks."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from parconnect_spark.plans.connectivity import (
+    connected_components,
+    component_count,
+    largest_component_size,
+)
+from parconnect_spark.sources.generators import chain_edges, kronecker_edges
+from tests.conftest import expected_membership
+
+ALGOS = ["two_phase", "min_label"]
+
+
+def labels_dict(result):
+    return {r["v"]: r["label"] for r in result.labels.collect()}
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_chain_single_component(spark, chain_1000, algo):
+    res = connected_components(chain_1000, algorithm=algo)
+    assert component_count(res.labels) == 1
+    got = labels_dict(res)
+    assert len(got) == 1000
+    assert set(got.values()) == {0}  # min-id labeling
+    assert largest_component_size(res.labels) == 1000
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_three_components_exact_membership(spark, three_components_small, algo):
+    res = connected_components(three_components_small, algorithm=algo)
+    got = labels_dict(res)
+    exp = expected_membership(
+        [(r["src"], r["dst"]) for r in three_components_small.collect()]
+    )
+    assert got == exp
+    assert component_count(res.labels) == 3
+    assert largest_component_size(res.labels) == 4
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_three_components_plus_long_chain(spark, algo):
+    """Reference case 3: two small comps + chain 50..1000
+    (/root/reference/test/test_ccl_coloring.cpp:145-202)."""
+    und = [(2, 3), (3, 4), (4, 11), (5, 6), (6, 8), (8, 10)]
+    und += [(i, i + 1) for i in range(50, 1000)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long").orderBy(F.rand(seed=3))
+    res = connected_components(edges, algorithm=algo)
+    assert component_count(res.labels) == 3
+    got = labels_dict(res)
+    assert got == expected_membership(und)
+
+
+def test_min_label_without_doubling(spark, three_components_small):
+    res = connected_components(
+        three_components_small, algorithm="min_label", pointer_doubling=False
+    )
+    assert component_count(res.labels) == 3
+
+
+def test_order_invariance(spark):
+    """Labels must not depend on input row order (reference randomizes
+    inputs, test_ccl_coloring.cpp:63)."""
+    und = [(1, 2), (2, 3), (7, 8), (8, 9), (9, 12), (20, 21)]
+    rows = und + [(b, a) for a, b in und]
+    e1 = spark.createDataFrame(rows, "src long, dst long")
+    e2 = e1.orderBy(F.rand(seed=99)).repartition(5)
+    r1 = connected_components(e1)
+    r2 = connected_components(e2)
+    assert labels_dict(r1) == labels_dict(r2)
+
+
+def test_kronecker_vs_oracle(spark):
+    edges = kronecker_edges(spark, scale=8, edgefactor=4)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    exp = expected_membership(pairs)
+    res = connected_components(edges)
+    assert labels_dict(res) == exp
+
+
+def test_metrics_recorded(spark, chain_1000):
+    res = connected_components(chain_1000)
+    assert res.iterations >= 1
+    assert len(res.metrics) == res.iterations
+    assert all("seconds" in m and "edges" in m for m in res.metrics)

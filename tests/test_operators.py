@@ -1,0 +1,99 @@
+import pyspark.sql.functions as F
+
+from parconnect_spark.functions.hashing import (
+    _wang_hash_np,
+    _wang_unhash_np,
+    permute_ids,
+    wang_hash,
+    wang_unhash,
+)
+from parconnect_spark.operators.graph import (
+    canonicalize,
+    check_bidirectional,
+    degree_histogram,
+    degrees,
+    filter_visited_edges,
+    symmetrize,
+    vertices,
+)
+from parconnect_spark.operators.relabel import dense_rank_relabel, relabel_edges
+
+import numpy as np
+
+
+def test_symmetrize_and_bidirectional(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 3)], "src long, dst long")
+    sym = symmetrize(e)
+    rows = {(r["src"], r["dst"]) for r in sym.collect()}
+    assert rows == {(1, 2), (2, 1), (2, 3), (3, 2)}  # self-loop dropped
+    assert check_bidirectional(sym)
+    assert not check_bidirectional(e.where("src != dst"))
+
+
+def test_canonicalize(spark):
+    e = spark.createDataFrame([(2, 1), (1, 2), (5, 9)], "src long, dst long")
+    rows = {(r["src"], r["dst"]) for r in canonicalize(e).collect()}
+    assert rows == {(1, 2), (5, 9)}
+
+
+def test_degrees_and_histogram(spark):
+    e = symmetrize(
+        spark.createDataFrame([(1, 2), (1, 3), (1, 4), (2, 3)], "src long, dst long")
+    )
+    d = {r["v"]: r["degree"] for r in degrees(e).collect()}
+    assert d == {1: 3, 2: 2, 3: 2, 4: 1}
+    h = {r["degree"]: r["frequency"] for r in degree_histogram(e).collect()}
+    assert h == {3: 1, 2: 2, 1: 1}
+
+
+def test_filter_visited_edges(spark):
+    e = symmetrize(spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long"))
+    visited = spark.createDataFrame([(1,), (2,)], "v long")
+    left = {(r["src"], r["dst"]) for r in filter_visited_edges(e, visited).collect()}
+    assert left == {(3, 4), (4, 3)}
+
+
+def test_dense_rank_relabel_contiguous(spark):
+    keys = spark.createDataFrame(
+        [("b",), ("z",), ("a",), ("z",), ("m",)], "name string"
+    )
+    m = {r["name"]: r["id"] for r in dense_rank_relabel(keys).collect()}
+    assert m == {"a": 0, "b": 1, "m": 2, "z": 3}
+
+
+def test_relabel_edges(spark):
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "zz"), ("x", "zz")], "a string, b string"
+    )
+    out, id_map = relabel_edges(e, "a", "b")
+    ids = {r["name"]: r["id"] for r in id_map.collect()}
+    assert sorted(ids.values()) == [0, 1, 2]
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    exp = {(ids["x"], ids["y"]), (ids["y"], ids["zz"]), (ids["x"], ids["zz"])}
+    assert got == exp
+
+
+def test_wang_hash_bijective_numpy():
+    xs = np.array([0, 1, 2, 12345, 2**40, 2**63 - 1, -1, -2**63], dtype=np.int64)
+    h = _wang_hash_np(xs.view(np.uint64))
+    back = _wang_unhash_np(h).view(np.int64)
+    assert np.array_equal(back, xs)
+    assert len(set(h.tolist())) == len(xs)
+
+
+def test_wang_hash_udf_roundtrip(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    rt = df.select("v", wang_unhash(wang_hash(F.col("v"))).alias("back"))
+    assert rt.where("v != back").count() == 0
+    # permutation keeps edge structure reversible
+    e = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    p = permute_ids(e)
+    back = p.select(
+        wang_unhash(F.col("src")).alias("src"), wang_unhash(F.col("dst")).alias("dst")
+    )
+    assert {(r["src"], r["dst"]) for r in back.collect()} == {(1, 2), (3, 4)}
+
+
+def test_vertices(spark):
+    e = symmetrize(spark.createDataFrame([(10, 20), (20, 30)], "src long, dst long"))
+    assert {r["v"] for r in vertices(e).collect()} == {10, 20, 30}

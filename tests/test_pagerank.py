@@ -1,0 +1,64 @@
+import numpy as np
+
+from parconnect_spark.operators.graph import symmetrize
+from parconnect_spark.plans.pagerank import pagerank
+
+
+def pagerank_numpy(pairs, n, damping=0.85, iters=200, tol=1e-12):
+    """Dense power-iteration oracle with uniform dangling redistribution."""
+    out = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - damping) / n)
+        dangling = 0.0
+        for v in range(n):
+            targets = out.get(v)
+            if targets:
+                share = damping * r[v] / len(targets)
+                for t in targets:
+                    nxt[t] += share
+            else:
+                dangling += r[v]
+        nxt += damping * dangling / n
+        if np.abs(nxt - r).sum() < tol:
+            r = nxt
+            break
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_oracle_undirected(spark):
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["v"]: r["rank"] for r in pagerank(edges, tol=1e-9).collect()}
+    exp = pagerank_numpy(pairs, 5)
+    assert sorted(got) == list(range(5))
+    for v in range(5):
+        assert abs(got[v] - exp[v]) < 1e-6  # BASELINE.json allclose 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_directed_with_dangling(spark):
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 2)]  # 2 is dangling
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["v"]: r["rank"] for r in pagerank(edges, tol=1e-10).collect()}
+    exp = pagerank_numpy(pairs, 4)
+    for v in range(4):
+        assert abs(got[v] - exp[v]) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_salted_equals_plain(spark):
+    und = [(i, i + 1) for i in range(30)] + [(0, j) for j in range(2, 20)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    plain = {r["v"]: r["rank"] for r in pagerank(edges, num_iters=12, tol=None).collect()}
+    salted = {
+        r["v"]: r["rank"]
+        for r in pagerank(edges, num_iters=12, tol=None, salt_buckets=8).collect()
+    }
+    for v in plain:
+        assert abs(plain[v] - salted[v]) < 1e-12

@@ -1,0 +1,55 @@
+from itertools import combinations
+
+from parconnect_spark.plans.triangles import triangle_count, triangles_per_vertex
+from parconnect_spark.sources.generators import kronecker_edges
+
+
+def brute_force_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    count = 0
+    per_v = {v: 0 for v in adj}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            count += 1
+            per_v[u] += 1
+            per_v[v] += 1
+            per_v[w] += 1
+    return count, per_v
+
+
+def test_single_triangle(spark):
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    assert triangle_count(e) == 1
+
+
+def test_k4_has_four(spark):
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    assert triangle_count(e) == 4
+    pv = {r["v"]: r["triangles"] for r in triangles_per_vertex(e).collect()}
+    assert pv == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_chain_has_none(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(20)], "src long, dst long")
+    assert triangle_count(e) == 0
+
+
+def test_orientation_and_duplicates_irrelevant(spark):
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 3)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    assert triangle_count(e) == 1
+
+
+def test_vs_bruteforce_on_rmat(spark):
+    edges = kronecker_edges(spark, scale=6, edgefactor=4)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    exp_count, exp_pv = brute_force_triangles(pairs)
+    assert triangle_count(edges) == exp_count
+    got_pv = {r["v"]: r["triangles"] for r in triangles_per_vertex(edges).collect()}
+    exp_pv_nonzero = {v: c for v, c in exp_pv.items() if c > 0}
+    assert got_pv == exp_pv_nonzero
