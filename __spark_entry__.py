@@ -1,38 +1,596 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs the engine's DataFrame/plan implementation;
+``oracle_sql()`` holds an equivalent DuckDB SQL statement over the same
+parquet views. The transcripts table (BASELINE.json input_hint shape) is
+derived deterministically from the driver's ``events`` table by a shared
+ANSI-SQL fragment (valid in both Spark and DuckDB), so both sides operate
+on byte-identical inputs — no external data.
+
+Graph queries run on the entity graph derived per operators/derive.py
+(E1 sequential-turn edges + E2 conversation-membership edges, dense-rank
+relabeled). Iterative algorithms are compared at FIXED iteration counts
+(the oracle unrolls the same recurrence); connected components are compared
+at the fixpoint via a recursive-CTE min-reach oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PR_ITERS = 8
+LP_MIN_ITERS = 4
+LP_MAJ_ITERS = 2
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (ANSI subset valid in BOTH Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+TRANSCRIPTS_CTE = """
+transcripts AS (
+  SELECT 'conv_' || CAST(user_id AS STRING) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('view', 'click') THEN 'user'
+              WHEN event_type IN ('purchase', 'signup') THEN 'assistant'
+              ELSE 'system' END AS role,
+         props AS text,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 'tool_' || CAST(CAST(FLOOR(value) AS BIGINT) % 12 AS STRING)
+              ELSE NULL END AS tool,
+         ts
+  FROM events
+)"""
+
+GRAPH_CTES = """
+turns AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool ELSE 'r:' || role END AS entity
+  FROM transcripts
+),
+seq AS (
+  SELECT conv_id, turn_idx, text, entity,
+         LEAD(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_entity
+  FROM turns
+),
+pairs AS (
+  SELECT entity AS a, next_entity AS b FROM seq WHERE next_entity IS NOT NULL
+  UNION ALL
+  SELECT 'c:' || conv_id AS a, entity AS b FROM turns
+),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM pairs WHERE a <> b
+),
+names AS (
+  -- explicit DISTINCT: DuckDB 1.0 treats UNION as UNION ALL for
+  -- non-recursive CTEs inside a WITH RECURSIVE block
+  SELECT DISTINCT name
+  FROM (SELECT a AS name FROM und UNION ALL SELECT b AS name FROM und) nn
+),
+ids AS (
+  SELECT name, CAST(DENSE_RANK() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM names
+),
+undl AS (
+  SELECT s.id AS src, d.id AS dst
+  FROM und JOIN ids s ON und.a = s.name JOIN ids d ON und.b = d.name
+),
+edges AS (
+  SELECT src, dst FROM undl UNION ALL SELECT dst AS src, src AS dst FROM undl
+)"""
+
+CHAIN_CTES = """
+users AS (SELECT DISTINCT user_id AS u FROM events),
+chain0 AS (
+  SELECT ou.u AS src, ou.u + 1 AS dst FROM users ou
+  WHERE ou.u % 10 <> 9 AND EXISTS (SELECT 1 FROM users x WHERE x.u = ou.u + 1)
+),
+chain_edges AS (
+  SELECT src, dst FROM chain0 UNION ALL SELECT dst AS src, src AS dst FROM chain0
+)"""
+
+_GRAPH_PREFIX = "WITH RECURSIVE " + TRANSCRIPTS_CTE + "," + GRAPH_CTES
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+def _views(spark: SparkSession, sf_dir: str, names=("events", "documents", "embeddings")):
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    return spark.sql("WITH " + TRANSCRIPTS_CTE + " SELECT * FROM transcripts")
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    """(transcripts, symmetric long edges, id_map) via the engine operators."""
+    from parconnect_spark.operators.derive import derive_edges
+
+    t = _transcripts(spark, sf_dir)
+    edges, id_map = derive_edges(t)
+    return t, edges.persist(), id_map.persist()
+
+
+def _with_names(labels: DataFrame, id_map: DataFrame, value_col: str) -> DataFrame:
+    return (
+        labels.join(id_map, labels["v"] == id_map["id"])
+        .select(F.col("name"), F.col(value_col))
+        .orderBy("name")
+    )
+
+
+def _chain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    return spark.sql("WITH " + CHAIN_CTES + " SELECT src, dst FROM chain_edges")
+
+
+# ---------------------------------------------------------------------------
+# queries (engine implementations)
+# ---------------------------------------------------------------------------
+
+def _q_derived_edges(spark, sf_dir):
+    from parconnect_spark.operators.derive import derive_string_edges
+
+    return derive_string_edges(_transcripts(spark, sf_dir)).orderBy("a", "b")
+
+
+def _q_relabel_map(spark, sf_dir):
+    _, _, id_map = _graph(spark, sf_dir)
+    return id_map.orderBy("name")
+
+
+def _q_text_invariant(spark, sf_dir):
+    from parconnect_spark.operators.derive import transcripts_to_entity_turns
+
+    t = _transcripts(spark, sf_dir)
+    derived = transcripts_to_entity_turns(t).select(
+        "conv_id", "turn_idx", F.col("text").alias("dtext")
+    )
+    joined = t.join(derived, ["conv_id", "turn_idx"])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(
+                ~F.col("text").eqNullSafe(F.col("dtext")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("violations"),
+    )
+
+
+def _q_degree_histogram(spark, sf_dir):
+    from parconnect_spark.operators.graph import degree_histogram
+
+    _, edges, _ = _graph(spark, sf_dir)
+    return degree_histogram(edges).orderBy("degree")
+
+
+def _q_cc_labels(spark, sf_dir):
+    from parconnect_spark.plans.connectivity import connected_components
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    res = connected_components(edges, algorithm="two_phase")
+    return _with_names(res.labels, id_map, "label")
+
+
+def _q_cc_stats(spark, sf_dir):
+    from parconnect_spark.plans.connectivity import connected_components
+
+    _, edges, _ = _graph(spark, sf_dir)
+    res = connected_components(edges, algorithm="two_phase")
+    comp = res.labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return comp.agg(
+        F.count(F.lit(1)).alias("components"), F.max("n").alias("largest")
+    )
+
+
+def _q_cc_chains(spark, sf_dir):
+    from parconnect_spark.plans.connectivity import connected_components
+
+    edges = _chain_graph(spark, sf_dir)
+    res = connected_components(edges, algorithm="min_label", pointer_doubling=True)
+    return res.labels.orderBy("v")
+
+
+def _q_bfs_chain(spark, sf_dir):
+    from parconnect_spark.plans.bfs import bfs
+
+    edges = _chain_graph(spark, sf_dir)
+    res = bfs(edges, num_runs=1)
+    return res.parents.orderBy("v")
+
+
+def _q_pagerank(spark, sf_dir):
+    from parconnect_spark.plans.pagerank import pagerank
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    ranks = pagerank(edges, damping=0.85, tol=None, num_iters=PR_ITERS, salt_buckets=4)
+    named = ranks.select("v", F.round("rank", 6).alias("rank"))
+    return _with_names(named, id_map, "rank")
+
+
+def _q_labelprop_min(spark, sf_dir):
+    from parconnect_spark.plans.labelprop import label_propagation
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    labels = label_propagation(edges, num_iters=LP_MIN_ITERS, rule="min")
+    return _with_names(labels, id_map, "label")
+
+
+def _q_labelprop_majority(spark, sf_dir):
+    from parconnect_spark.plans.labelprop import label_propagation
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    labels = label_propagation(edges, num_iters=LP_MAJ_ITERS, rule="majority")
+    return _with_names(labels, id_map, "label")
+
+
+def _q_triangle_count(spark, sf_dir):
+    from parconnect_spark.plans.triangles import _enumerate_triangles
+
+    _, edges, _ = _graph(spark, sf_dir)
+    return _enumerate_triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _q_triangles_per_vertex(spark, sf_dir):
+    from parconnect_spark.plans.triangles import triangles_per_vertex
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    tri = triangles_per_vertex(edges)
+    return _with_names(tri, id_map, "triangles")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from parconnect_spark.functions.dedup import exact_dup_groups
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return exact_dup_groups(docs).orderBy("id")
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from parconnect_spark.functions.dedup import ngram_jaccard_pairs
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from parconnect_spark.functions.dedup import minhash_near_dup_pairs
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return minhash_near_dup_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from parconnect_spark.functions.dedup import simhash_near_pairs
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _q_quality_features(spark, sf_dir):
+    from parconnect_spark.functions.text import quality_features
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return quality_features(docs).drop("text").orderBy("doc_id")
+
+
+def _q_language_id(spark, sf_dir):
+    from parconnect_spark.functions.text import language_id
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return language_id(docs).select("doc_id", "lang_guess").orderBy("doc_id")
+
+
+def _q_similarity_topk(spark, sf_dir):
+    from parconnect_spark.functions.similarity import brute_force_topk
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5")
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def _q_similarity_lsh(spark, sf_dir):
+    from parconnect_spark.functions.similarity import lsh_topk
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5")
+    out = lsh_topk(emb, queries, k=10, bits=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def _q_events_rollup(spark, sf_dir):
+    _views(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "derived_edges": _q_derived_edges,
+        "relabel_map": _q_relabel_map,
+        "text_invariant": _q_text_invariant,
+        "degree_histogram": _q_degree_histogram,
+        "cc_labels": _q_cc_labels,
+        "cc_stats": _q_cc_stats,
+        "cc_chains": _q_cc_chains,
+        "bfs_chain": _q_bfs_chain,
+        "pagerank": _q_pagerank,
+        "labelprop_min": _q_labelprop_min,
+        "labelprop_majority": _q_labelprop_majority,
+        "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram": _q_dedup_ngram,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "quality_features": _q_quality_features,
+        "language_id": _q_language_id,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_lsh": _q_similarity_lsh,
+        "events_rollup": _q_events_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    sql = _GRAPH_PREFIX + """,
+deg AS (SELECT src AS v, 1.0 / COUNT(*) AS w FROM edges GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM ids),
+r0 AS (SELECT id AS v, 1.0 / nv.n AS rank FROM ids CROSS JOIN nv)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS (
+  SELECT i.id AS v, (1.0 - 0.85) / nv.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM ids i CROSS JOIN nv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(r.rank * d.w) AS s
+    FROM edges e JOIN r{k-1} r ON e.src = r.v JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) c ON c.v = i.id
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
+        f" FROM r{iters} r JOIN ids i ON i.id = r.v ORDER BY name"
+    )
+    return sql
+
+
+def _lp_min_oracle(iters: int = LP_MIN_ITERS) -> str:
+    sql = _GRAPH_PREFIX + ",\nl0 AS (SELECT id AS v, id AS label FROM ids)"
+    for k in range(1, iters + 1):
+        sql += f""",
+l{k} AS (
+  SELECT l.v, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+  FROM l{k-1} l LEFT JOIN (
+    SELECT e.src AS v2, MIN(x.label) AS mn
+    FROM edges e JOIN l{k-1} x ON e.dst = x.v GROUP BY e.src
+  ) m ON m.v2 = l.v
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, l.label AS label FROM l{iters} l"
+        " JOIN ids i ON i.id = l.v ORDER BY name"
+    )
+    return sql
+
+
+def _lp_majority_oracle(iters: int = LP_MAJ_ITERS) -> str:
+    sql = _GRAPH_PREFIX + ",\nm0 AS (SELECT id AS v, id AS label FROM ids)"
+    for k in range(1, iters + 1):
+        sql += f""",
+m{k} AS (
+  SELECT v, label FROM (
+    SELECT e.src AS v, x.label AS label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.src ORDER BY COUNT(*) DESC, x.label ASC
+           ) AS rn
+    FROM edges e JOIN m{k-1} x ON e.dst = x.v
+    GROUP BY e.src, x.label
+  ) t WHERE rn = 1
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, m.label AS label FROM m{iters} m"
+        " JOIN ids i ON i.id = m.v ORDER BY name"
+    )
+    return sql
+
+
+_CC_REACH = """,
+reach(v, lbl) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+),
+vlabels AS (SELECT v, MIN(lbl) AS label FROM reach GROUP BY v)"""
+
+_TRI_CTE = """,
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM undl e1
+  JOIN undl e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN undl e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "derived_edges": _GRAPH_PREFIX + "\nSELECT a, b FROM und ORDER BY a, b",
+        "relabel_map": _GRAPH_PREFIX + "\nSELECT name, id FROM ids ORDER BY name",
+        "text_invariant": _GRAPH_PREFIX
+        + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN s.text IS DISTINCT FROM t.text THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM seq s JOIN transcripts t ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx""",
+        "degree_histogram": _GRAPH_PREFIX
+        + """
+SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS frequency
+FROM (SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS deg FROM edges GROUP BY src) d
+GROUP BY deg ORDER BY degree""",
+        "cc_labels": _GRAPH_PREFIX
+        + _CC_REACH
+        + """
+SELECT i.name AS name, l.label AS label
+FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
+        "cc_stats": _GRAPH_PREFIX
+        + _CC_REACH
+        + """,
+comp AS (SELECT label, COUNT(*) AS n FROM vlabels GROUP BY label)
+SELECT CAST(COUNT(*) AS BIGINT) AS components, CAST(MAX(n) AS BIGINT) AS largest FROM comp""",
+        "cc_chains": "WITH RECURSIVE "
+        + CHAIN_CTES.strip()
+        + """,
+cverts AS (SELECT DISTINCT src AS v FROM chain_edges),
+reach(v, lbl) AS (
+  SELECT v, v FROM cverts
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN chain_edges e ON e.src = r.v
+)
+SELECT v, MIN(lbl) AS label FROM reach GROUP BY v ORDER BY v""",
+        "bfs_chain": "WITH "
+        + CHAIN_CTES.strip()
+        + """,
+mn AS (SELECT MIN(u) AS m FROM users)
+SELECT u AS v, CASE WHEN u = mn.m THEN u ELSE u - 1 END AS parent
+FROM users CROSS JOIN mn
+WHERE u - mn.m < 10 ORDER BY v""",
+        "pagerank": _pagerank_oracle(),
+        "labelprop_min": _lp_min_oracle(),
+        "labelprop_majority": _lp_majority_oracle(),
+        "triangle_count": _GRAPH_PREFIX
+        + _TRI_CTE
+        + "\nSELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
+        "triangles_per_vertex": _GRAPH_PREFIX
+        + _TRI_CTE
+        + """,
+longf AS (
+  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT i.name AS name, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM longf l JOIN ids i ON i.id = l.v GROUP BY i.name ORDER BY name""",
+        "dedup_exact": """
+WITH fps AS (
+  SELECT doc_id AS id,
+         md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 40)) AS fp
+  FROM documents
+)
+SELECT id, fp, CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+FROM fps ORDER BY id""",
+        "dedup_ngram": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[g.g:g.g+3], ' ') AS s
+  FROM toks, (SELECT unnest(generate_series(1, 4096)) AS g) g
+  WHERE g.g <= len(t) - 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
+ORDER BY id_a, id_b""",
+        "quality_features": """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         length(replace(text, ' ', '')) AS ns
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_total,
+       CAST(ns AS INT) AS n_chars_nospace,
+       ROUND(ns * 1.0 / GREATEST(len(toks), 1), 6) AS avg_token_len,
+       ROUND(len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1), 6) AS distinct_ratio,
+       ROUND(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+             / GREATEST(length(text), 1), 6) AS punct_ratio
+FROM base ORDER BY doc_id""",
+        "language_id": """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         len(list_intersect(t, ['the','and','of','to','a','in','is','that'])) AS h_en,
+         len(list_intersect(t, ['el','la','de','que','y','los','en','un'])) AS h_es,
+         len(list_intersect(t, ['le','la','et','les','des','un','une','dans'])) AS h_fr,
+         len(list_intersect(t, ['der','die','und','das','ein','nicht','mit','ist'])) AS h_de
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+            WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+            WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+            WHEN h_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM hits ORDER BY doc_id""",
+        "similarity_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10 ORDER BY query_id, rank""",
+        "events_rollup": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+        # dedup_minhash / dedup_simhash / similarity_lsh: approximate
+        # candidate generation is not SQL-expressible with matching hash
+        # functions — driver records the weaker rows-only check.
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: connected components of the transcript-derived entity graph
+    at sf0.001 (exact per-vertex min-label membership)."""
+    return _q_cc_labels(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Main mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), then measures
+connected-components throughput at two parallelism levels (local[8] vs
+local[32] — the sandbox proxy for N vs 4N executor clusters, BASELINE.md
+pass rule) on an identical transcript-derived edge graph, and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "scaling": {...}}
+
+Scaling methodology mirrors the reference's benchmark hygiene
+(/root/reference/test/benchmark_parconnect_auto.cpp:181-184): graph
+construction is excluded — the worker derives the edge table, materializes
+it to parquet, THEN times CC convergence. Throughput =
+edges × supersteps / cc_seconds (edges processed per superstep per second
+× supersteps ≡ tuple-throughput of the superstep loop); efficiency =
+(throughput@4N / throughput@N) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cc_labels",
+    "pagerank",
+    "labelprop_min",
+    "triangle_count",
+    "dedup_ngram",
+    "similarity_topk",
+    "events_rollup",
+]
+
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
+
+
+def _cc_worker(cpus: int, edges_path: str) -> None:
+    """Time CC convergence on a pre-materialized edge table; print JSON.
+
+    Config notes (measured on this box, see BENCH section of BASELINE.md):
+    off-heap Tungsten memory removes a GC contention that made local[32]
+    *slower* than local[8]; tmpfs shuffle dirs and uncompressed shuffle
+    remove disk/CPU costs that don't exist on a real cluster's network
+    shuffle. Shuffle partitions fixed (64) at both levels so the plans are
+    identical — only parallelism varies.
+    """
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from parconnect_spark.session import get_spark
+    from parconnect_spark.plans.connectivity import connected_components
+
+    shm = "/dev/shm/spark-bench-tmp"
+    os.makedirs(shm, exist_ok=True)
+    spark = get_spark(
+        app_name=f"cc_scaling_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.local.dir": shm,
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "16g",
+        },
+    )
+    edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()  # warm the scan before the clock starts
+    t0 = time.monotonic()
+    res = connected_components(edges, algorithm="two_phase")
+    n_labels = res.labels.count()  # force the final plan
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "edges": n_edges,
+                "vertices": n_labels,
+                "supersteps": res.iterations,
+                "cc_seconds": round(dt, 3),
+                "throughput_edges_per_sec_per_superstep": round(
+                    n_edges * res.iterations / dt, 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _materialize_scaling_graph(path: str) -> None:
+    """Deterministic transcript-derived edge graph, written once and read by
+    both scaling workers (identical input, identical code — only parallelism
+    varies)."""
+    from parconnect_spark.session import get_spark
+    from parconnect_spark.sources.transcripts import synth_transcripts
+    from parconnect_spark.operators.derive import derive_edges
+
+    spark = get_spark(app_name="scaling_graph_gen", master="local[32]")
+    t = synth_transcripts(spark, n_convs=SCALE_CONVS, n_hubs=8, hub_factor=40)
+    edges, _ = derive_edges(t)
+    edges.write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--cc-worker":
+        _cc_worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--gen-graph":
+        _materialize_scaling_graph(sys.argv[2])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    import __spark_entry__ as entry_mod
+    from parconnect_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    # --- scaling: identical input + identical code at two parallelism levels
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+        graph_path = os.path.join(tmp, "edges.parquet")
+        subprocess.run(
+            [sys.executable, __file__, "--gen-graph", graph_path],
+            check=True, capture_output=True,
+        )
+        results = {}
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--cc-worker", str(n), graph_path],
+                check=True, capture_output=True, text=True,
+            )
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr_n = results[8]["throughput_edges_per_sec_per_superstep"]
+        thr_4n = results[32]["throughput_edges_per_sec_per_superstep"]
+        scaling = {
+            "n_cpus": 8,
+            "four_n_cpus": 32,
+            "edges": results[8]["edges"],
+            "supersteps": results[8]["supersteps"],
+            "cc_seconds_n": results[8]["cc_seconds"],
+            "cc_seconds_4n": results[32]["cc_seconds"],
+            "throughput_n": thr_n,
+            "throughput_4n": thr_4n,
+            "scaling_efficiency": round(thr_4n / thr_n / 4.0, 3),
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock + CC scaling efficiency (local[8] vs local[32])",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

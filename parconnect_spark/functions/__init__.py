@@ -1,3 +1,43 @@
 from parconnect_spark.functions.hashing import wang_hash, wang_unhash, permute_ids
+from parconnect_spark.functions.text import (
+    quality_features,
+    quality_score,
+    language_id,
+    fingerprint,
+    token_count,
+)
+from parconnect_spark.functions.dedup import (
+    exact_dup_groups,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_near_dup_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from parconnect_spark.functions.similarity import (
+    cosine_scores,
+    brute_force_topk,
+    lsh_topk,
+)
 
-__all__ = ["wang_hash", "wang_unhash", "permute_ids"]
+__all__ = [
+    "wang_hash",
+    "wang_unhash",
+    "permute_ids",
+    "quality_features",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "token_count",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_dup_pairs",
+    "simhash",
+    "simhash_near_pairs",
+    "cosine_scores",
+    "brute_force_topk",
+    "lsh_topk",
+]

@@ -1,0 +1,298 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data pipeline extensions (no reference analogue; SURVEY.md scope
+extension). Everything is built-in Catalyst expressions; the only shuffles
+are the groupBys/joins inherent to the algorithms.
+
+Scale notes:
+* exact dedup — one hash aggregate on a fingerprint column.
+* n-gram Jaccard — exact pairwise similarity *restricted to candidate pairs
+  that share a shingle*: for realistic corpora shingle-sharing is sparse, so
+  the self-join stays near-linear. Hot shingles (boilerplate) are the skew
+  risk → ``max_shingle_df`` drops shingles appearing in more than that many
+  docs (standard stop-shingle trick), bounding any key's fan-out.
+* MinHash+LSH — signatures via k independent affine permutations of the
+  shingle hash (all JVM-side: xxhash64 + modular arithmetic + groupBy mins),
+  banded into buckets; candidate pairs only within buckets.
+* SimHash — 64 per-bit weighted sums over token hashes (explode + 64
+  conditional sums — one aggregate pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.functions.text import tokens_col
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Distinct (id, shingle) pairs; shingle = n consecutive whitespace
+    tokens joined by single spaces."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+        f" i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix: int = 40
+) -> DataFrame:
+    """(id, fp, group_size): docs sharing a normalized-prefix md5 fingerprint."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).substr(1, prefix)
+    fps = docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("group_size"))
+    return fps.join(sizes, "fp").select("id", "fp", "group_size")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Candidate generation by shared shingle; ``max_shingle_df`` drops
+    ubiquitous shingles to bound join fan-out on boilerplate-heavy corpora.
+    """
+    sh = shingles(docs, id_col, text_col, n).persist()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_used = sh.join(hot, "shingle", "left_anti")
+    else:
+        sh_used = sh
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_used.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_used.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def _minhash_perm_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p."""
+    coeffs = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """(id, sig: array<long>) — k-permutation MinHash over shingle hashes.
+
+    Shingle hash = xxhash64 (JVM); permutations are affine maps mod the
+    Mersenne prime 2^61-1, computed as column arithmetic on the positive
+    remainder (pmod keeps everything in signed-64 range)."""
+    sh = shingles(docs, id_col, text_col, n)
+    # keep h < 2^31 so a·h + b stays well inside signed-64 (no overflow even
+    # under ANSI mode); permutation constants likewise reduced mod 2^31-1.
+    m31 = (1 << 31) - 1
+    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(m31)).alias("h"))
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(a % m31 or 1) + F.lit(b % m31),
+                F.lit(_MERSENNE_P),
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_minhash_perm_coeffs(k))
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from MinHash signatures."""
+    k = len(signatures.select("sig").first()["sig"])
+    rows = k // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bnd * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard — the
+    scale path for near-dedup: candidates from banding, exactness from the
+    verification join (only over candidates, not all pairs)."""
+    sigs = minhash_signatures(docs, k, id_col, text_col, n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over whitespace tokens.
+
+    Token hash = xxhash64 (JVM); per bit position the signed vote sum is a
+    conditional aggregate — 64 sums in a single groupBy pass, all codegen."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc + F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
+    generated by 4-way band equality (any identical 16-bit quarter ⇒
+    candidate — exact for max_hamming ≤ 3 by pigeonhole)."""
+    sh = simhash(docs, **kw).persist()
+    quarters = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.q").alias("q"), F.col("bb.qh").alias("qh"))
+    a = quarters.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("_ha"), "q", "qh"
+    )
+    b = quarters.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("_hb"), "q", "qh"
+    )
+    cand = (
+        a.join(b, ["q", "qh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

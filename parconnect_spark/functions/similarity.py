@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: query set ⨝ corpus cross join
+  with the dot product as a built-in ``aggregate(zip_with(...))`` expression
+  (JVM-side, codegen; no Python). The correctness baseline.
+
+* ``lsh_topk`` — the scale path: random-hyperplane (sign) LSH buckets the
+  corpus by a deterministic b-bit code; only same-bucket candidates are
+  scored. Projection vectors are fixed pseudo-random ±1 literals derived
+  from splitmix64, so codes are identical at any parallelism. Recall is
+  traded for candidate-set size (documented, measured in tests); a
+  multi-probe variant scores all buckets within Hamming distance 1.
+
+At 100 TB the corpus side stays partitioned; the (small) query set is
+broadcast — the cross "join" is a broadcast nested loop *by construction*,
+which is the right plan for brute-force scoring, and LSH replaces it with
+an equi-join on bucket code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({col}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query_id, neighbor_id, cosine) pairs, self-pairs excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id, cosine,
+    rank). Deterministic ties: higher cosine first, then smaller id."""
+    from pyspark.sql import Window
+
+    scored = cosine_scores(corpus, queries, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _projection_matrix(bits: int, dim: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic ±1 hyperplanes via splitmix64 of (seed, bit, dim idx)."""
+    base = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    with np.errstate(over="ignore"):
+        idx = np.uint64(base) + np.arange(bits * dim, dtype=np.uint64)
+    z = (idx + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    signs = np.where((z & np.uint64(1)).astype(bool), 1.0, -1.0)
+    return signs.reshape(bits, dim)
+
+
+def lsh_bucket(
+    df: DataFrame,
+    bits: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """Adds an integer ``bucket`` column: b sign-bits of fixed random
+    projections. Pure column arithmetic over array literals."""
+    proj = _projection_matrix(bits, dim, seed)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        vec_lit = F.array(*[F.lit(float(x)) for x in proj[i]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), vec_lit, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        code = code + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", code)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket (± Hamming-1 when
+    multiprobe) candidates. Equi-join on bucket — no cross join."""
+    from pyspark.sql import Window
+
+    cb = lsh_bucket(corpus, bits, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
+        "bucket",
+    )
+    qb = lsh_bucket(queries, bits, dim, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
+        "bucket",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(bits)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

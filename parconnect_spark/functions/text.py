@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines — all built-in
+column expressions (JVM-side, whole-stage codegen), no Python in the row
+path.
+
+These extend the engine beyond the reference (which has no string
+functions, SURVEY.md §2.7) to the document-pipeline operations a 100 TB
+corpus needs: token counting, quality scoring, language ID heuristic,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny built-in marker lists for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "dans"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "mit", "ist"],
+}
+
+# BPE-ish tokenization: words, numbers, or single non-space symbols
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens_col(text: F.Column) -> F.Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: F.Column, bpe_ish: bool = False) -> F.Column:
+    """Token count: whitespace words, or a BPE-ish regex segmentation."""
+    if bpe_ish:
+        return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+    return F.size(tokens_col(text))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token/char counts, avg token length,
+    distinct-token ratio, punctuation ratio — the standard cheap quality
+    scores for corpus filtering. Pure column expressions."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    chars_nospace = F.length(F.regexp_replace(t, " ", ""))
+    return docs.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.length(t).alias("n_chars_total"),
+        chars_nospace.alias("n_chars_nospace"),
+        F.round(chars_nospace / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[a-zA-Z0-9 ]", ""))
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single scalar in [0,1]: simple monotone combination of the features
+    (long enough, diverse enough, not punctuation soup)."""
+    f = quality_features(docs, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.col("distinct_ratio") * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+    )
+    return f.withColumn("quality", F.round(score, 6))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language guess (n-gram heuristic): per language,
+    count marker hits among the doc's tokens; argmax wins, 'und' when no
+    marker hits at all. Ties break to the lexicographically larger code
+    (deterministic across any partitioning)."""
+    toks = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(
+                "hits"
+            ),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    # array_max on structs: lexicographic (hits, lang) ⇒ highest hit count,
+    # largest code on ties.
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "*",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_guess"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", prefix: int = 40) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed prefix — the cheap exact-dedup key."""
+    norm = F.lower(
+        F.regexp_replace(F.col(text_col), r"\s+", " ")
+    ).substr(1, prefix)
+    return docs.select("*", F.md5(norm).alias("fp"))

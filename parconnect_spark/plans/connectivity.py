@@ -61,39 +61,62 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["cnt"]), int(row["s"] or 0)
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u}).
+def _large_star_canonical(canon: DataFrame, parts: int) -> DataFrame:
+    """One large-star pass over a canonical (src>dst, distinct) edge set.
 
-    ``edges`` must contain both orientations so Γ(u) is complete per src key.
-    """
-    mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
-    mins = mins.select("src", F.least("src", "_mn").alias("_m"))
-    return (
-        edges.where(F.col("dst") > F.col("src"))
+    Both orientations of a distinct canonical set are disjoint, so the union
+    needs no dedup. The pass is written partition-aware: after the explicit
+    ``repartition(parts, src)`` the grouped min, the min-join and the final
+    dedup all reuse the same hash distribution (hash(src) co-locates every
+    row of a (src, dst) group), so one superstep pass costs exactly one
+    shuffle on its input plus one on its (smaller) output — the two
+    sample-sorts of the reference's superstep
+    (/root/reference/src/coloring/labelProp.hpp:365,451) with the boundary
+    patching gone."""
+    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = canon.unionByName(rev).repartition(parts, "src")
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("_m"))
+    )
+    out = (
+        sym.where(F.col("dst") > F.col("src"))
         .join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    # emitted (v, m) pairs are keyed by the NEW src=v: one shuffle, then the
+    # dedup is exchange-free on the same distribution
+    return out.repartition(parts, "src").dropDuplicates(["src", "dst"])
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient every edge toward the smaller endpoint, then connect each
-    node's ≤-neighborhood to its min. Output is canonical (big, small)-free:
-    pairs (v, m) with m < v."""
-    ec = edges.select(
-        F.greatest("src", "dst").alias("big"), F.least("src", "dst").alias("small")
-    ).distinct()
-    mins = ec.groupBy("big").agg(F.min("small").alias("_m"))
+def _small_star_canonical(canon: DataFrame, parts: int) -> DataFrame:
+    """One small-star pass over a canonical (src>dst, distinct) edge set
+    already hash-partitioned by src: grouped min + join are exchange-free;
+    the rewired output needs one shuffle for its new key. Output stays
+    canonical: (x, m) pairs with x > m."""
+    mins = canon.groupBy("src").agg(F.min("dst").alias("_m"))
     rewired = (
-        ec.join(mins, "big")
-        .where(F.col("small") != F.col("_m"))
-        .select(F.col("small").alias("src"), F.col("_m").alias("dst"))
+        canon.join(mins, "src")
+        .where(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
     )
-    selfarc = mins.select(F.col("big").alias("src"), F.col("_m").alias("dst"))
+    selfarc = mins.select("src", F.col("_m").alias("dst"))
     return (
         rewired.unionByName(selfarc)
-        .where(F.col("src") != F.col("dst"))
+        .repartition(parts, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(max, min) orientation, self-loops dropped, distinct."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
         .distinct()
     )
 
@@ -143,7 +166,8 @@ def _cc_two_phase(
     verts = vertex_table(_both_orientations(edges)).persist()
     verts.count()
 
-    work = _both_orientations(edges)
+    parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    work = _canonical(edges)
     start_step, work = _resume(checkpoint, work)
     work = work.localCheckpoint()
     metrics: list = []
@@ -152,10 +176,8 @@ def _cc_two_phase(
     it = start_step
     while it < max_iterations:
         t0 = time.monotonic()
-        ls = _large_star(work)
-        after = _small_star(_both_orientations(ls))
-        # keep both orientations for the next large-star pass
-        nxt = _both_orientations(after).localCheckpoint()
+        ls = _large_star_canonical(work, parts)
+        nxt = _small_star_canonical(ls, parts).localCheckpoint()
         cnt, s = _checksum(nxt)
         dt = time.monotonic() - t0
         it += 1
@@ -179,12 +201,10 @@ def _cc_two_phase(
         prev = (cnt, s)
         work = nxt
 
-    # work is now a star forest pointing at component minima (both
-    # orientations present); per-vertex label = min neighbor, roots = self.
+    # work is now a canonical star forest (v, component-min); roots are
+    # vertices never appearing on the big side.
     star = work.groupBy("src").agg(F.min("dst").alias("_m"))
-    star = star.select(
-        F.col("src").alias("v"), F.least("src", "_m").alias("label")
-    )
+    star = star.select(F.col("src").alias("v"), F.col("_m").alias("label"))
     labels = (
         verts.join(star, "v", "left")
         .select("v", F.coalesce("label", "v").alias("label"))

@@ -28,9 +28,12 @@ _MIX_C = 2_654_435_761  # Knuth multiplicative constant
 
 def _mix(c: F.Column, t: F.Column, salt: int) -> F.Column:
     """Deterministic 31-bit mixer over (conv, turn, salt) — plain long
-    arithmetic, reproducible anywhere (incl. ANSI SQL)."""
-    raw = (c * _MIX_A + t * _MIX_B + F.lit(salt)) * _MIX_C
-    return F.pmod(raw, F.lit(2_147_483_647))
+    arithmetic, reproducible anywhere (incl. ANSI SQL). Reduced mod 2^31-1
+    before the Knuth multiply so no intermediate exceeds signed-64 even at
+    billions of conversations (ANSI overflow-safe)."""
+    m31 = F.lit(2_147_483_647)
+    base = F.pmod(c * _MIX_A + t * _MIX_B + F.lit(salt), m31)
+    return F.pmod(base * _MIX_C, m31)
 
 
 def synth_transcripts(

@@ -1,0 +1,57 @@
+"""End-to-end hybrid pipeline parity with the reference driver
+(/root/reference/test/benchmark_parconnect_auto.cpp)."""
+
+from parconnect_spark.pipeline import parconnect_pipeline
+from parconnect_spark.sources.generators import chain_edges, kronecker_edges
+from tests.conftest import expected_membership
+
+
+def test_pipeline_chain_no_bfs(spark):
+    res = parconnect_pipeline(chain_edges(spark, 300))
+    assert res.component_count == 1
+    assert res.ran_bfs is False  # chains are not power-law
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert set(got.values()) == {0}
+
+
+def test_pipeline_forced_bfs_disjoint_chains(spark):
+    und = []
+    for k in range(3):
+        und += [(k * 50 + i, k * 50 + i + 1) for i in range(49)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = parconnect_pipeline(edges, force_bfs=True, bfs_runs=1)
+    assert res.ran_bfs and res.bfs_components == 1
+    assert res.component_count == 3
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == expected_membership(und)
+
+
+def test_pipeline_kronecker_matches_oracle(spark):
+    edges = kronecker_edges(spark, scale=8, edgefactor=8)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    exp = expected_membership(pairs)
+    for force in (True, False):
+        res = parconnect_pipeline(edges, force_bfs=force)
+        got = {r["v"]: r["label"] for r in res.labels.collect()}
+        assert got == exp, f"force_bfs={force}"
+    assert res.seconds > 0
+
+
+def test_cli_main(spark, tmp_path, capsys):
+    import json
+
+    from parconnect_spark.__main__ import main
+
+    out = str(tmp_path / "labels")
+    rc = main(
+        [
+            "--input", "chain", "--n", "200",
+            "--cc-algorithm", "two_phase", "--output", out,
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["components"] == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 200
