@@ -30,7 +30,8 @@ def main(argv=None) -> int:
     p.add_argument("--force-bfs", choices=["y", "n"], default=None,
                    help="override the power-law decision (benchmark_parconnect.cpp knob)")
     p.add_argument("--no-pointer-doubling", action="store_true")
-    p.add_argument("--cc-algorithm", choices=["two_phase", "min_label"],
+    p.add_argument("--cc-algorithm",
+                   choices=["two_phase", "min_label", "local_contract"],
                    default="two_phase")
     p.add_argument("--permute-ids", action="store_true",
                    help="apply the invertible-hash id permutation first")

@@ -148,6 +148,12 @@ def connected_components(
         return _cc_min_label(
             edges, pointer_doubling, max_iterations, checkpoint, checkpoint_every
         )
+    if algorithm == "local_contract":
+        from parconnect_spark.plans.csr import local_contract_cc
+
+        return local_contract_cc(
+            edges, max_iterations, checkpoint, checkpoint_every
+        )
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
 
@@ -220,23 +226,35 @@ def _cc_min_label(
     checkpoint,
     checkpoint_every: int,
 ) -> CCResult:
+    """Min-label propagation with pointer doubling, as a DELTA iteration.
+
+    Only vertices whose label changed last superstep can lower a neighbor's
+    label next superstep (min-propagation is monotone), so the message join
+    runs over the changed frontier instead of the full label table — the
+    Spark-sound form of the reference's stable/active working-set split
+    (opt_level::stable_partition_removed, labelProp.hpp:330-344: stable
+    tuples leave the active range; here stable vertices leave the message
+    side, while staying joinable as targets)."""
     sym = _both_orientations(edges).persist()
     labels = vertex_table(sym).select("v", F.col("v").alias("label"))
     start_step, labels = _resume(checkpoint, labels)
     labels = labels.localCheckpoint()
+    changed = labels  # superset on fresh start and on resume — always sound
     metrics: list = []
-    prev_sum = None
     it = start_step
     while it < max_iterations:
         t0 = time.monotonic()
-        # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min.
+        # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min,
+        # messages only from the changed frontier.
         nbr = (
-            sym.join(labels, sym["dst"] == labels["v"])
+            sym.join(changed, sym["dst"] == changed["v"])
             .groupBy(F.col("src").alias("v2"))
             .agg(F.min("label").alias("_nmin"))
         )
         new = labels.join(nbr, labels["v"] == nbr["v2"], "left").select(
-            "v", F.least(F.col("label"), F.coalesce("_nmin", "label")).alias("label")
+            "v",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("_nmin", "label")).alias("label"),
         )
         if pointer_doubling:
             # doPointerDoubling (labelProp.hpp:523-629): label ← label(label).
@@ -244,29 +262,28 @@ def _cc_min_label(
                 F.col("v").alias("_pv"), F.col("label").alias("_plabel")
             )
             new = new.join(parent, new["label"] == parent["_pv"], "left").select(
-                "v", F.coalesce("_plabel", "label").alias("label")
+                "v", "_old", F.coalesce("_plabel", "label").alias("label")
             )
         new = new.localCheckpoint()
-        row = new.agg(F.sum("label").alias("s")).collect()[0]
-        s = int(row["s"] or 0)
+        changed = new.where(F.col("label") < F.col("_old")).select("v", "label")
+        n_changed = changed.count()
         dt = time.monotonic() - t0
         it += 1
         m = {
             "superstep": it,
             "algorithm": "min_label",
             "doubling": pointer_doubling,
-            "checksum": s,
+            "active": n_changed,
             "seconds": dt,
         }
         metrics.append(m)
+        labels = new.select("v", "label")
         if checkpoint is not None and it % checkpoint_every == 0:
-            new = checkpoint.save(it, new, m)
-        labels = new
-        # labels are monotone non-increasing; equal sum ⇒ fixpoint
-        # (allreduce(min(converged)) equivalent, labelProp.hpp:516-520).
-        if prev_sum == s:
+            labels = checkpoint.save(it, labels, m)
+        # empty frontier ⇒ fixpoint (allreduce(min(converged)) equivalent,
+        # labelProp.hpp:516-520).
+        if n_changed == 0:
             break
-        prev_sum = s
     sym.unpersist()
     return CCResult(labels=labels, iterations=it, metrics=metrics)
 

@@ -1,0 +1,166 @@
+"""CSR-style adjacency blocks + Arrow-vectorized gather-scatter kernels
+(BASELINE.json north_star: "iterative DataFrame passes over salted,
+range-partitioned CSR-style adjacency blocks with vectorized Arrow UDFs for
+the gather-scatter hot loop").
+
+Two pieces:
+
+* ``adjacency_blocks`` — the physical layout: range-partitioned
+  DataFrame[v, nbrs: array<long>] (CSR rows as Spark arrays). This is the
+  reference's CombBLAS DCSC matrix (/root/reference/src/bfs/bfsRunner.hpp:70-76)
+  re-expressed as a columnar table; built once, reused across iterations.
+
+* ``local_contract_cc`` — connected components where each superstep runs a
+  *vectorized numpy Shiloach-Vishkin union-find over each partition's edge
+  block* (the Arrow gather-scatter hot loop: `labels[labels]` pointer jumps
+  and `np.minimum.at` hooks — array ops only, no per-row Python), then does
+  ONE shuffle to co-locate the emitted star edges for the next round.
+  Because every local pass contracts its whole partition to stars, global
+  convergence takes O(log_P diameter)-ish rounds — 2-4 in practice even on
+  million-edge chains where edge-rewiring algorithms need many more. This
+  is the same work-partitioning idea as the reference's per-rank tuple
+  buckets with rank-local reduces (labelProp.hpp:358-432), with the local
+  reduce upgraded to a full local fixpoint.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.operators.graph import vertices as vertex_table
+from parconnect_spark.plans.connectivity import CCResult, _canonical, _checksum, _resume
+
+
+def adjacency_blocks(edges: DataFrame, parts: int | None = None) -> DataFrame:
+    """Range-partitioned CSR rows: DataFrame[v: long, nbrs: array<long>],
+    neighbors sorted. One shuffle to build; reusable across iterations."""
+    sym = edges.where(F.col("src") != F.col("dst"))
+    parted = (
+        sym.repartitionByRange(parts, "src") if parts else sym.repartitionByRange("src")
+    )
+    return (
+        parted.groupBy(F.col("src").alias("v"))
+        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+    )
+
+
+def _np_union_find_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Partition-local CC: vectorized Shiloach-Vishkin over the partition's
+    edges. Emits the local star edges (x, local_min_root) for every
+    non-root vertex seen in this partition. Pure numpy — Arrow in/out."""
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        return
+    srcs = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
+    dsts = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
+    ids, inv = np.unique(np.concatenate([srcs, dsts]), return_inverse=True)
+    s, d = inv[: len(srcs)], inv[len(srcs):]
+    labels = np.arange(len(ids), dtype=np.int64)
+    prev_sum = -1
+    while True:
+        ls, ld = labels[s], labels[d]
+        mn = np.minimum(ls, ld)
+        np.minimum.at(labels, ls, mn)
+        np.minimum.at(labels, ld, mn)
+        # pointer jumping to full compression
+        while True:
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        cur = int(labels.sum())
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    nonroot = labels != np.arange(len(ids), dtype=np.int64)
+    yield pd.DataFrame(
+        {"src": ids[nonroot], "dst": ids[labels[nonroot]]}
+    )
+
+
+def local_contract_cc(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint=None,
+    checkpoint_every: int = 1,
+    parts: int | None = None,
+) -> CCResult:
+    """Connected components via iterated partition-local contraction.
+
+    Every round: symmetrize the current (canonical, star-ish) edge set so a
+    vertex's full incident list can meet inside one partition, hash-shuffle
+    by src, run the numpy union-find kernel per partition, dedup. The edge
+    set shrinks toward the star forest; (count, sum) checksum stability is
+    the convergence witness (labels only decrease)."""
+    spark = edges.sparkSession
+    if parts is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    verts = vertex_table(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).persist()
+    verts.count()
+
+    work = _canonical(edges)
+    start_step, work = _resume(checkpoint, work)
+    work = work.localCheckpoint()
+    metrics: list = []
+    prev = None
+    confirmed = False
+    it = start_step
+    while it < max_iterations:
+        t0 = time.monotonic()
+        rev = work.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # hash(src) placement: co-locates every vertex's full incident set,
+        # which is what guarantees cross-partition merges keep happening
+        # until the true fixpoint. (Round-robin placement balances better
+        # but voids the convergence guarantee — the checksum can stabilize
+        # with components still split across partitions; caught by tests.)
+        # Hub skew concentrates one task per hub; the kernel is linear-ish
+        # numpy, so even million-edge hub partitions stay in seconds, and
+        # contraction makes every later round cheap.
+        sym = work.unionByName(rev).repartition(parts, "src")
+        stars = sym.mapInPandas(_np_union_find_kernel, schema="src long, dst long")
+        nxt = (
+            stars.repartition(parts, "src")
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint()
+        )
+        cnt, s = _checksum(nxt)
+        dt = time.monotonic() - t0
+        it += 1
+        m = {
+            "superstep": it,
+            "algorithm": "local_contract",
+            "edges": cnt,
+            "checksum": s,
+            "seconds": dt,
+        }
+        metrics.append(m)
+        if checkpoint is not None and it % checkpoint_every == 0:
+            nxt = checkpoint.save(it, nxt, m)
+        if prev == (cnt, s):
+            if confirmed:
+                work = nxt
+                break
+            confirmed = True
+        else:
+            confirmed = False
+        prev = (cnt, s)
+        work = nxt
+
+    star = work.groupBy("src").agg(F.min("dst").alias("_m"))
+    star = star.select(F.col("src").alias("v"), F.col("_m").alias("label"))
+    labels = verts.join(star, "v", "left").select(
+        "v", F.coalesce("label", "v").alias("label")
+    )
+    verts.unpersist()
+    return CCResult(labels=labels, iterations=it, metrics=metrics)

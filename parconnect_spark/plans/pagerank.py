@@ -64,15 +64,19 @@ def pagerank(
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     teleport = (1.0 - damping) / n
 
+    # The dangling SET is fixed; compute it once. On symmetric graphs it is
+    # empty and the per-iteration dangling-mass job disappears entirely.
+    dangling_verts = verts.join(
+        out_deg, verts["v"] == out_deg["src"], "left_anti"
+    ).persist()
+    has_dangling = dangling_verts.limit(1).count() > 0
+
     it = 0
     while it < num_iters:
         it += 1
         dangling = (
-            ranks.join(out_deg, ranks["v"] == out_deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+            dangling_verts.join(ranks, "v").agg(F.sum("rank")).collect()[0][0] or 0.0
+        ) if has_dangling else 0.0
         contribs = contrib_edges.join(
             ranks, contrib_edges["src"] == ranks["v"]
         ).select(F.col("dst"), (F.col("rank") * F.col("_w")).alias("_c"))
@@ -112,4 +116,5 @@ def pagerank(
     verts.unpersist()
     out_deg.unpersist()
     contrib_edges.unpersist()
+    dangling_verts.unpersist()
     return ranks
