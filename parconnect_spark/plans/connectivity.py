@@ -10,7 +10,7 @@ is sort-shuffle + grouped-min + join — so here it *is* joins and grouped
 mins, and the ~200 LoC of rank-boundary exscan patching
 (labelProp.hpp:364-416) vanishes into Spark's shuffle.
 
-Two algorithms, same fixpoint (label(v) = min vertex id in v's component):
+Three algorithms, same fixpoint (label(v) = min vertex id in v's component):
 
 * ``two_phase`` (default) — alternating large-star / small-star edge
   rewiring (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -20,16 +20,19 @@ Two algorithms, same fixpoint (label(v) = min vertex id in v's component):
   label table to re-join, and hub vertices are exactly the skew AQE's
   skew-join splitting handles.
 
-* ``min_label`` — direct port of the reference semantics: label table +
-  per-superstep neighborhood min, with optional pointer doubling
+* ``min_label`` — the reference's superstep semantics: label table +
+  per-superstep neighborhood min as a DELTA iteration (messages only from
+  the changed frontier), with optional pointer doubling
   (label(v) ← label(label(v)), the DOUBLING lever at labelProp.hpp:55).
 
-Convergence detection: per-vertex min-neighbor labels are monotonically
-non-increasing, so a (count, sum) checksum pair over the working set is a
-cheap convergence witness (one aggregate per superstep — the Spark
-equivalent of the reference's allreduce(min(converged)),
-labelProp.hpp:516-520); an extra confirmation round guards the theoretical
-checksum-collision case.
+* ``local_contract`` (plans/csr.py) — Arrow-kernel variant: per-partition
+  vectorized numpy union-find, one shuffle per round.
+
+Convergence detection: edge-rewiring algorithms compare an
+order-insensitive (count, hash-sum) set fingerprint between supersteps
+(one aggregate — the Spark equivalent of the reference's
+allreduce(min(converged)), labelProp.hpp:516-520); min_label stops on an
+empty delta frontier.
 
 Every superstep optionally checkpoints its working set + metrics through a
 SuperstepCheckpoint (streaming/checkpoint.py) so a killed run resumes
@@ -54,9 +57,17 @@ class CCResult:
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """(count, sum of row hashes) — an order-insensitive set fingerprint.
+
+    Equal fingerprints on consecutive supersteps ⇒ the (distinct, canonical)
+    edge sets are equal, i.e. a fixpoint, up to 64-bit hash-sum collision —
+    vanishingly unlikely and why no extra confirmation superstep is needed
+    (the reference's allreduce(min(converged)), labelProp.hpp:516-520)."""
     row = edges.agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("src") + F.col("dst")).alias("s"),
+        # decimal accumulator: full-range 64-bit hashes would overflow a
+        # long sum under ANSI mode
+        F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("s"),
     ).collect()[0]
     return int(row["cnt"]), int(row["s"] or 0)
 
@@ -178,11 +189,16 @@ def _cc_two_phase(
     work = work.localCheckpoint()
     metrics: list = []
     prev = None
-    confirmed = False
     it = start_step
     while it < max_iterations:
         t0 = time.monotonic()
-        ls = _large_star_canonical(work, parts)
+        # materialize the phase boundary EAGERLY: small-star consumes its
+        # input in three branches (grouped min, rewire join, self-arcs),
+        # and Spark neither reuses user-specified repartition exchanges
+        # across branches nor shares a lazy persist between concurrently
+        # scheduled stages of one job — without the eager cut the whole
+        # large-star phase runs up to 3×.
+        ls = _large_star_canonical(work, parts).localCheckpoint()
         nxt = _small_star_canonical(ls, parts).localCheckpoint()
         cnt, s = _checksum(nxt)
         dt = time.monotonic() - t0
@@ -198,12 +214,8 @@ def _cc_two_phase(
         if checkpoint is not None and it % checkpoint_every == 0:
             nxt = checkpoint.save(it, nxt, m)
         if prev == (cnt, s):
-            if confirmed:
-                work = nxt
-                break
-            confirmed = True
-        else:
-            confirmed = False
+            work = nxt
+            break
         prev = (cnt, s)
         work = nxt
 

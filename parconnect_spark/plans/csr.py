@@ -114,7 +114,6 @@ def local_contract_cc(
     work = work.localCheckpoint()
     metrics: list = []
     prev = None
-    confirmed = False
     it = start_step
     while it < max_iterations:
         t0 = time.monotonic()
@@ -148,12 +147,8 @@ def local_contract_cc(
         if checkpoint is not None and it % checkpoint_every == 0:
             nxt = checkpoint.save(it, nxt, m)
         if prev == (cnt, s):
-            if confirmed:
-                work = nxt
-                break
-            confirmed = True
-        else:
-            confirmed = False
+            work = nxt
+            break
         prev = (cnt, s)
         work = nxt
 

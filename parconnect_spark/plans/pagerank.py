@@ -34,10 +34,16 @@ def pagerank(
     tol: float | None = 1e-6,
     num_iters: int = 50,
     salt_buckets: int = 1,
+    hub_degree_threshold: int | None = None,
     checkpoint=None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]. ``edges`` are directed
-    (u→v); pass a symmetrized table for undirected semantics."""
+    (u→v); pass a symmetrized table for undirected semantics.
+
+    Skew: ``salt_buckets > 1`` salts the contribution sum into a two-phase
+    aggregation. With ``hub_degree_threshold`` set, only edges whose dst
+    in-degree exceeds it are salted (degree-based edge splitting,
+    operators/skew.py) — cold keys keep the single-phase path."""
     verts = (
         vertex_table(edges)
         .unionByName(edges.select(F.col("dst").alias("v")).distinct())
@@ -55,9 +61,19 @@ def pagerank(
         "src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w")
     )
     if salt_buckets > 1:
-        contrib_edges = contrib_edges.withColumn(
-            "_salt", F.pmod(F.hash("src"), F.lit(salt_buckets))
-        )
+        if hub_degree_threshold is not None:
+            from parconnect_spark.operators.skew import salt_hot_edges
+
+            contrib_edges = salt_hot_edges(
+                contrib_edges.select("dst", "src", "_w"),
+                "dst",
+                hub_degree_threshold,
+                salt_buckets,
+            )
+        else:
+            contrib_edges = contrib_edges.withColumn(
+                "_salt", F.pmod(F.hash("src"), F.lit(salt_buckets))
+            )
     contrib_edges = contrib_edges.persist()
     contrib_edges.count()
 
