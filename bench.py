@@ -52,20 +52,24 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
       really has 2 cores for everything (GC, shuffle threads, Python
       workers) — the honest whole-node proxy for an N-executor cluster.
       Unpinned local[N] free-rides on the other 30 cores and understates
-      scaling.
+      scaling. Pins to the HIGHEST-numbered cores: ambient load (harness,
+      OS) concentrates on low cores and would otherwise contend unequally.
     * off-heap Tungsten memory removes a GC contention that made 32
       threads *slower* than 8 on this box.
-    * tmpfs shuffle dirs + uncompressed shuffle remove disk/compression
-      costs a real cluster's network shuffle doesn't pay per-node.
+    * tmpfs shuffle dirs; shuffle compression per
+      SPARK_GRAFT_SHUFFLE_COMPRESS (default mirrors a real cluster: on).
     """
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     try:
-        os.sched_setaffinity(0, set(range(cpus)))
+        ncpu = os.cpu_count() or cpus
+        os.sched_setaffinity(0, set(range(max(0, ncpu - cpus), ncpu)))
     except (AttributeError, OSError):
         pass  # non-Linux or restricted: fall back to unpinned
     from parconnect_spark.session import get_spark
     from parconnect_spark.plans.connectivity import connected_components
 
+    compress = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "1") != "0"
+    mat = os.environ.get("SPARK_GRAFT_CC_MATERIALIZE", "persist")
     shm = "/dev/shm/spark-bench-tmp"
     os.makedirs(shm, exist_ok=True)
     spark = get_spark(
@@ -76,16 +80,17 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
         shuffle_partitions=8 * cpus,
         extra_conf={
             "spark.local.dir": shm,
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
+            "spark.shuffle.compress": str(compress).lower(),
+            "spark.shuffle.spill.compress": str(compress).lower(),
             "spark.memory.offHeap.enabled": "true",
             "spark.memory.offHeap.size": "16g",
         },
     )
+    load_before = os.getloadavg()[0]
     edges = spark.read.parquet(edges_path)
     n_edges = edges.count()  # warm the scan before the clock starts
     t0 = time.monotonic()
-    res = connected_components(edges, algorithm="two_phase")
+    res = connected_components(edges, algorithm="two_phase", materialize=mat)
     n_labels = res.labels.count()  # force the final plan
     dt = time.monotonic() - t0
     superstep_sec = sum(m["seconds"] for m in res.metrics) or dt
@@ -98,6 +103,12 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
                 "supersteps": res.iterations,
                 "cc_seconds": round(dt, 3),
                 "superstep_seconds": round(superstep_sec, 3),
+                "materialize": mat,
+                "shuffle_compress": compress,
+                # ambient-load transparency: >~0.5 before a run means the
+                # box was not idle and the numbers are suspect
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(os.getloadavg()[0], 2),
                 # edges processed per superstep, per second of superstep
                 # loop time (label extraction excluded — it is outside the
                 # iterative loop the metric describes)

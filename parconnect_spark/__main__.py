@@ -36,6 +36,12 @@ def main(argv=None) -> int:
     p.add_argument("--permute-ids", action="store_true",
                    help="apply the invertible-hash id permutation first")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=5,
+                   help="commit a durable superstep checkpoint every K "
+                        "supersteps when --checkpoint-dir is set (default 5; "
+                        "localCheckpoint alone is NOT fault-tolerant — "
+                        "executor loss kills the lineage-truncated blocks, "
+                        "so long runs on real clusters want this cadence)")
     p.add_argument("--job-id", default="parconnect")
     p.add_argument("--output", default=None, help="write labels parquet here")
     args = p.parse_args(argv)
@@ -86,6 +92,7 @@ def main(argv=None) -> int:
         cc_algorithm=args.cc_algorithm,
         pointer_doubling=not args.no_pointer_doubling,
         checkpoint=checkpoint,
+        checkpoint_every=args.checkpoint_every,
     )
     if args.output:
         res.labels.write.mode("overwrite").parquet(args.output)

@@ -24,7 +24,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.functions.text import tokens_col
 
-_MERSENNE_P = (1 << 61) - 1
+_M31 = (1 << 31) - 1
+# MinHash permutation modulus: h, a, b all < 2^31 makes a·h wrap ~2^31 times
+# mod p — a well-mixed universal hash family (a·h mod a LARGER prime like
+# 2^61-1 would wrap at most twice and stay near-monotone in h, collapsing
+# all "permutations" onto the same argmin shingle).
+_PERM_P = _M31
+
+
+def md5int(col: F.Column, offset: int = 1, chars: int = 8) -> F.Column:
+    """Deterministic integer hash from md5 hex digits [offset, offset+chars).
+
+    All JVM-side (md5 + conv base-16), and — the point — bit-for-bit
+    replicable in any ANSI engine (the DuckDB oracle recomputes it as a
+    positional hex fold), unlike xxhash64/murmur whose seeds and mixing are
+    Spark-internal. chars ≤ 15 keeps the value inside signed-64."""
+    return F.conv(F.substring(F.md5(col), offset, chars), 16, 10).cast("long")
 
 
 def shingles(
@@ -48,10 +63,19 @@ def shingles(
 
 
 def exact_dup_groups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix: int = 40
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int | None = None,
 ) -> DataFrame:
-    """(id, fp, group_size): docs sharing a normalized-prefix md5 fingerprint."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).substr(1, prefix)
+    """(id, fp, group_size): docs sharing an md5 fingerprint of the FULL
+    normalized (lower-cased, whitespace-collapsed) text — genuinely exact
+    duplicates; md5 is one pass regardless of length. Pass ``prefix`` to
+    fingerprint only the first N normalized chars instead (an opt-in
+    *blocking* key for cheap candidate grouping, NOT exact dedup)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    if prefix is not None:
+        norm = norm.substr(1, prefix)
     fps = docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("group_size"))
     return fps.join(sizes, "fp").select("id", "fp", "group_size")
@@ -63,13 +87,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 4,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Candidate generation by shared shingle; ``max_shingle_df`` drops
-    ubiquitous shingles to bound join fan-out on boilerplate-heavy corpora.
-    """
+    Candidate generation by shared shingle; ``max_shingle_df`` (default 1000
+    — a hot shingle shared by >1000 docs means >10^6 candidate pairs from
+    that key alone) drops ubiquitous shingles to bound join fan-out on
+    boilerplate-heavy corpora. Jaccard is computed over the SAME filtered
+    shingle universe in numerator and denominator, so the reported value is
+    the exact Jaccard of the post-filter shingle sets (pass None for the
+    unfiltered exact Jaccard — quadratic risk at scale)."""
     sh = shingles(docs, id_col, text_col, n).persist()
     if max_shingle_df is not None:
         hot = (
@@ -81,7 +109,7 @@ def ngram_jaccard_pairs(
         sh_used = sh.join(hot, "shingle", "left_anti")
     else:
         sh_used = sh
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sh_used.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_used.select(F.col("id").alias("id_a"), "shingle")
     b = sh_used.select(F.col("id").alias("id_b"), "shingle")
     shared = (
@@ -110,14 +138,15 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_perm_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p."""
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod _PERM_P,
+    a ∈ [1, p), b ∈ [0, p)."""
     coeffs = []
     state = seed
     for _ in range(k):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = state % (_MERSENNE_P - 1) + 1
+        a = state % (_PERM_P - 1) + 1
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % _MERSENNE_P
+        b = state % _PERM_P
         coeffs.append((a, b))
     return coeffs
 
@@ -131,19 +160,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — k-permutation MinHash over shingle hashes.
 
-    Shingle hash = xxhash64 (JVM); permutations are affine maps mod the
-    Mersenne prime 2^61-1, computed as column arithmetic on the positive
-    remainder (pmod keeps everything in signed-64 range)."""
+    Shingle hash = md5-derived integer (JVM-side md5 + base-16 conv; chosen
+    over xxhash64 so the DuckDB oracle replicates signatures bit-for-bit);
+    permutations are affine maps mod the Mersenne prime 2^61-1, computed as
+    column arithmetic on the positive remainder."""
     sh = shingles(docs, id_col, text_col, n)
-    # keep h < 2^31 so a·h + b stays well inside signed-64 (no overflow even
-    # under ANSI mode); permutation constants likewise reduced mod 2^31-1.
-    m31 = (1 << 31) - 1
-    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(m31)).alias("h"))
+    # h < 2^31 keeps a·h + b well inside signed-64 (no overflow even under
+    # ANSI mode)
+    hashed = sh.select("id", F.pmod(md5int(F.col("shingle")), F.lit(_M31)).alias("h"))
     mins = [
         F.min(
             F.pmod(
-                F.col("h") * F.lit(a % m31 or 1) + F.lit(b % m31),
-                F.lit(_MERSENNE_P),
+                F.col("h") * F.lit(a) + F.lit(b),
+                F.lit(_PERM_P),
             )
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(_minhash_perm_coeffs(k))
@@ -155,7 +184,10 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 8
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b) from MinHash signatures."""
+    """Banded-LSH candidate pairs (id_a < id_b) from MinHash signatures.
+
+    Band key = the band's signature values joined as a string (portable —
+    any engine reproduces it; equality semantics identical to hashing it)."""
     k = len(signatures.select("sig").first()["sig"])
     rows = k // bands
     banded = signatures.select(
@@ -165,14 +197,12 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(bnd).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bnd * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bnd * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
                         ).alias("bh"),
                     )
                     for bnd in range(bands)
@@ -230,28 +260,33 @@ def minhash_near_dup_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 15 md5 hex digits — non-negative in signed-64, portable
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over whitespace tokens.
+    """(id, simhash: long) — 60-bit SimHash over whitespace tokens.
 
-    Token hash = xxhash64 (JVM); per bit position the signed vote sum is a
-    conditional aggregate — 64 sums in a single groupBy pass, all codegen."""
+    Token hash = md5-derived 60-bit integer (always ≥ 0, so shifts/band
+    tests agree across engines and the DuckDB oracle replicates exactly);
+    per bit position the signed vote sum is a conditional aggregate — 60
+    sums in a single groupBy pass, all codegen."""
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", md5int(F.col("tok"), 1, 15).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
                 -1
             )
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("id").agg(*votes)
     acc = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         acc = acc + F.when(
             F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -260,7 +295,7 @@ def simhash(
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
-    generated by 4-way band equality (any identical 16-bit quarter ⇒
+    generated by 4-way band equality (any identical 15-bit quarter ⇒
     candidate — exact for max_hamming ≤ 3 by pigeonhole)."""
     sh = simhash(docs, **kw).persist()
     quarters = sh.select(
@@ -271,8 +306,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftrightunsigned(F.col("simhash"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), q * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("qh"),
                     )
                     for q in range(4)

@@ -101,10 +101,14 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", prefix: int = 40) -> DataFrame:
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", prefix: int | None = None
+) -> DataFrame:
     """Deterministic document fingerprint: md5 of the lower-cased,
-    whitespace-collapsed prefix — the cheap exact-dedup key."""
-    norm = F.lower(
-        F.regexp_replace(F.col(text_col), r"\s+", " ")
-    ).substr(1, prefix)
+    whitespace-collapsed FULL text — the exact-dedup key (md5 is one pass
+    either way). Pass ``prefix`` to fingerprint only the first N normalized
+    chars (an opt-in blocking key, not exact)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    if prefix is not None:
+        norm = norm.substr(1, prefix)
     return docs.select("*", F.md5(norm).alias("fp"))

@@ -45,6 +45,7 @@ def parconnect_pipeline(
     cc_algorithm: str = "two_phase",
     pointer_doubling: bool = True,
     checkpoint=None,
+    checkpoint_every: int = 5,
 ) -> PipelineResult:
     """Run the hybrid BFS + coloring pipeline on a symmetric edge table.
 
@@ -66,12 +67,11 @@ def parconnect_pipeline(
         metrics.extend(res.metrics)
         if res.runs > 0:
             # label each BFS run's vertices by the run root (= min id of the
-            # component, since sources are global min unvisited)
-            tree = res.parents.select(
-                F.col("v").alias("src"), F.col("parent").alias("dst")
-            )
-            cc_tree = connected_components(tree, algorithm="two_phase")
-            bfs_labels = cc_tree.labels
+            # component, since sources are global min unvisited): pointer
+            # jumping on the parent forest — O(log depth) joins, no full CC
+            from parconnect_spark.plans.bfs import label_parent_forest
+
+            bfs_labels = label_parent_forest(res.parents)
             residual = res.residual_edges
 
     cc: CCResult = connected_components(
@@ -79,6 +79,7 @@ def parconnect_pipeline(
         algorithm=cc_algorithm,
         pointer_doubling=pointer_doubling,
         checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
     )
     metrics.extend(cc.metrics)
 

@@ -13,6 +13,11 @@ adaptive strategy CombBLAS hand-codes with its row/column communicators.
   subsumes entirely).
 * MTEPS             = traversed edges (Σ degree over visited) / seconds / 1e6
   (bfsRunner.hpp:238-255).
+* resumability      = one-iteration-per-call state carry, like the
+  reference's per-iteration runner (test/test_bfsRunner.cpp:150-200): pass
+  a SuperstepCheckpoint and every level commits (visited ∪ frontier flag)
+  plus loop counters; a new bfs() call on the same checkpoint dir continues
+  mid-run and converges to the uninterrupted result.
 """
 
 from __future__ import annotations
@@ -23,6 +28,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.operators.graph import degrees, vertices as vertex_table
+
+_STATE_SCHEMA = "v long, parent long, is_frontier boolean"
 
 
 @dataclass
@@ -36,71 +43,139 @@ class BFSResult:
     metrics: list = field(default_factory=list)
 
 
+def _bind_bfs_identity(edges: DataFrame, checkpoint) -> None:
+    if checkpoint is None or getattr(checkpoint, "identity", None) is not None:
+        return
+    from parconnect_spark.plans.connectivity import _canonical, _checksum
+
+    cnt, s = _checksum(_canonical(edges))
+    checkpoint.bind_identity(
+        {
+            "algorithm": "bfs",
+            "working_set_schema": "v:long,parent:long,is_frontier:boolean",
+            "input_edges": cnt,
+            "input_checksum": str(s),
+        }
+    )
+
+
 def bfs(
     edges: DataFrame,
     num_runs: int = 1,
     max_levels: int = 10_000,
+    checkpoint=None,
+    checkpoint_every: int = 1,
 ) -> BFSResult:
     """Run ``num_runs`` BFS sweeps, each from the min unvisited vertex id.
 
     ``edges`` must be symmetric (both directions) — the reference asserts the
     same invariant before building its matrix
     (/root/reference/src/graphGen/common/utils.hpp:61-101).
-    Returns parents (root's parent = itself), residual edge table, and MTEPS.
+    Returns parents (root's parent = itself), residual edge table, and MTEPS
+    (measured over THIS invocation's wall-clock — a resumed run reports the
+    post-resume portion).
+
+    With ``checkpoint`` set, every ``checkpoint_every``-th level commits the
+    working set (visited parents + current-frontier flags) and the loop
+    counters; a later call with the same checkpoint dir resumes mid-run.
+    ``max_levels`` caps levels per CALL, so max_levels=1 + resume replays the
+    reference's one-iteration-per-call protocol exactly.
     """
+    spark = edges.sparkSession
+    _bind_bfs_identity(edges, checkpoint)
     verts = vertex_table(edges).persist()
     verts.count()
     deg = degrees(edges).persist()
 
-    parents = None  # DataFrame[v, parent]
-    total_levels = 0
+    parents = None  # DataFrame[v, parent] — all visited, frontier included
+    frontier = None  # DataFrame[v] — current run's active frontier
     runs_done = 0
+    total_levels = 0
+    step = 0
     metrics: list = []
+
+    if checkpoint is not None:
+        ck_step, state = (
+            checkpoint.latest() if hasattr(checkpoint, "latest") else (None, None)
+        )
+        if ck_step is not None:
+            meta = checkpoint.latest_meta()["metrics"]
+            runs_done = int(meta["runs_done"])
+            total_levels = int(meta["levels_done"])
+            step = ck_step
+            parents = state.select("v", "parent").localCheckpoint()
+            frontier = state.where("is_frontier").select("v").localCheckpoint()
+            if frontier.limit(1).count() == 0:
+                frontier = None
+
     t0 = time.monotonic()
-
-    for _ in range(num_runs):
-        unvisited = (
-            verts if parents is None else verts.join(parents, "v", "left_anti")
-        )
-        src_row = unvisited.agg(F.min("v").alias("m")).collect()[0]
-        if src_row["m"] is None:
-            break  # everything visited
-        root = int(src_row["m"])
-        runs_done += 1
-
-        frontier = edges.sparkSession.createDataFrame(
-            [(root, root)], "v long, parent long"
-        )
-        run_parents = frontier.localCheckpoint()
-        level = 0
-        while level < max_levels:
-            level += 1
-            visited_all = (
-                run_parents if parents is None else run_parents.unionByName(parents)
-            )
-            nxt = (
-                edges.join(frontier.select("v"), edges["src"] == F.col("v"))
-                .select(F.col("dst").alias("nv"), F.col("src").alias("parent"))
-                .groupBy("nv")
-                .agg(F.min("parent").alias("parent"))
-                .select(F.col("nv").alias("v"), "parent")
-                .join(visited_all.select("v"), "v", "left_anti")
-                .localCheckpoint()
-            )
-            n = nxt.count()
-            metrics.append({"run": runs_done, "level": level, "frontier": n})
-            if n == 0:
+    levels_this_call = 0
+    while levels_this_call < max_levels:
+        if frontier is None:
+            # between runs: pick the next source (min unvisited id)
+            if runs_done >= num_runs:
                 break
-            run_parents = run_parents.unionByName(nxt).localCheckpoint()
-            frontier = nxt
-        total_levels += level
-        parents = (
-            run_parents if parents is None else parents.unionByName(run_parents)
-        ).localCheckpoint()
+            unvisited = (
+                verts if parents is None else verts.join(parents, "v", "left_anti")
+            )
+            src_row = unvisited.agg(F.min("v").alias("m")).collect()[0]
+            if src_row["m"] is None:
+                break  # everything visited
+            root = int(src_row["m"])
+            runs_done += 1
+            seed = spark.createDataFrame([(root, root)], "v long, parent long")
+            parents = (
+                seed if parents is None else parents.unionByName(seed)
+            ).localCheckpoint()
+            frontier = seed.select("v").localCheckpoint()
+
+        # one level: expand frontier, min-parent per new vertex, exclude
+        # visited (EWiseMult exclude ≡ left anti)
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["v"])
+            .select(F.col("dst").alias("nv"), F.col("src").alias("parent"))
+            .groupBy("nv")
+            .agg(F.min("parent").alias("parent"))
+            .select(F.col("nv").alias("v"), "parent")
+            .join(parents.select("v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        total_levels += 1
+        levels_this_call += 1
+        step += 1
+        metrics.append({"run": runs_done, "level": total_levels, "frontier": n})
+        if n == 0:
+            frontier = None  # run converged; next loop picks a new source
+        else:
+            parents = parents.unionByName(nxt).localCheckpoint()
+            frontier = nxt.select("v")
+        if checkpoint is not None and step % checkpoint_every == 0:
+            state = parents.withColumn("is_frontier", F.lit(False))
+            if frontier is not None:
+                state = (
+                    parents.join(frontier.withColumn("_f", F.lit(True)), "v", "left")
+                    .select("v", "parent", F.coalesce("_f", F.lit(False)).alias("is_frontier"))
+                )
+            saved = checkpoint.save(
+                step,
+                state,
+                {
+                    "runs_done": runs_done,
+                    "levels_done": total_levels,
+                    "frontier": n,
+                },
+            )
+            parents = saved.select("v", "parent")
+            frontier = (
+                saved.where("is_frontier").select("v") if n > 0 else None
+            )
+        if frontier is None and runs_done >= num_runs:
+            break
 
     elapsed = max(time.monotonic() - t0, 1e-9)
     if parents is None:
-        parents = edges.sparkSession.createDataFrame([], "v long, parent long")
+        parents = spark.createDataFrame([], "v long, parent long")
         visited_count = 0
         traversed = 0
     else:
@@ -124,23 +199,41 @@ def bfs(
     )
 
 
+def label_parent_forest(parents: DataFrame, max_iters: int = 64) -> DataFrame:
+    """[v, label] from a rooted forest [v, parent] by pointer jumping:
+    label ← label(label) until fixpoint — O(log depth) self-joins, the
+    Shiloach-Vishkin shortcut. Far cheaper than running full CC over the
+    tree edges (no large-star/small-star machinery, no per-superstep
+    checksum): a BFS parent table already encodes its components, rooted at
+    each run's source (= the component's min id by source selection)."""
+    cur = parents.select("v", F.col("parent").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        hop = cur.select(F.col("v").alias("_pv"), F.col("label").alias("_pl"))
+        nxt = (
+            cur.join(hop, cur["label"] == hop["_pv"], "left")
+            .select(
+                "v",
+                F.col("label").alias("_old"),
+                F.coalesce("_pl", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.where(F.col("label") != F.col("_old")).count()
+        cur = nxt.select("v", "label")
+        if changed == 0:
+            break
+    return cur
+
+
 def bfs_peel(edges: DataFrame, num_runs: int = 1) -> tuple[DataFrame, DataFrame, int]:
     """Peel giant component(s): returns (visited_labels[v,label], residual_edges,
     components_peeled) — the hybrid pipeline's stage 1
     (/root/reference/test/benchmark_parconnect_auto.cpp:227-246). Each BFS
     run's component is labeled by its root (= min id in that component,
-    since sources are chosen as global min unvisited)."""
+    since sources are chosen as global min unvisited); labels come from
+    pointer-jumping the parent forest, not a full CC run."""
     res = bfs(edges, num_runs=num_runs)
     if res.runs == 0:
         labels = edges.sparkSession.createDataFrame([], "v long, label long")
         return labels, edges, 0
-    # parent chains all trace to the run root; root = min parent... the root
-    # is the only vertex with parent == itself and equals min(v) of the run.
-    # Label every visited vertex by the min vertex id of its run component:
-    # recover via CC over the parent-tree edges (tiny: |visited| rows, tree
-    # depth collapses in O(log d) pointer-jumping steps).
-    tree = res.parents.select(F.col("v").alias("src"), F.col("parent").alias("dst"))
-    from parconnect_spark.plans.connectivity import connected_components
-
-    cc = connected_components(tree, algorithm="two_phase")
-    return cc.labels, res.residual_edges, res.runs
+    return label_parent_forest(res.parents), res.residual_edges, res.runs

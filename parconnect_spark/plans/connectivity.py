@@ -144,6 +144,8 @@ def connected_components(
     max_iterations: int = 100,
     checkpoint=None,
     checkpoint_every: int = 1,
+    materialize: str = "persist",
+    opt_level: str = "stable_removed",
 ) -> CCResult:
     """Compute per-vertex component labels (= min vertex id in component).
 
@@ -153,19 +155,39 @@ def connected_components(
     (/root/reference/src/coloring/labelProp.hpp:122-139 component count;
     BASELINE.json exact-membership rule).
     """
+    if algorithm not in ("two_phase", "min_label", "local_contract"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
+        # Identity-stamp the checkpoint so a rerun with the same dir but a
+        # different algorithm (different working-set schema) or a different
+        # input graph fails loudly instead of silently resuming foreign
+        # state. One extra aggregate job, only on checkpointed runs.
+        cnt, s = _checksum(_canonical(edges))
+        schema = {
+            "two_phase": "src:long,dst:long",
+            "min_label": "v:long,label:long",
+            "local_contract": "src:long,dst:long",
+        }[algorithm]
+        checkpoint.bind_identity(
+            {
+                "algorithm": algorithm,
+                "working_set_schema": schema,
+                "input_edges": cnt,
+                "input_checksum": str(s),
+            }
+        )
     if algorithm == "two_phase":
-        return _cc_two_phase(edges, max_iterations, checkpoint, checkpoint_every)
+        return _cc_two_phase(
+            edges, max_iterations, checkpoint, checkpoint_every, materialize
+        )
     if algorithm == "min_label":
         return _cc_min_label(
-            edges, pointer_doubling, max_iterations, checkpoint, checkpoint_every
+            edges, pointer_doubling, max_iterations, checkpoint, checkpoint_every,
+            opt_level,
         )
-    if algorithm == "local_contract":
-        from parconnect_spark.plans.csr import local_contract_cc
+    from parconnect_spark.plans.csr import local_contract_cc
 
-        return local_contract_cc(
-            edges, max_iterations, checkpoint, checkpoint_every
-        )
-    raise ValueError(f"unknown algorithm {algorithm!r}")
+    return local_contract_cc(edges, max_iterations, checkpoint, checkpoint_every)
 
 
 def _resume(checkpoint, default_df: DataFrame) -> tuple[int, DataFrame]:
@@ -178,7 +200,11 @@ def _resume(checkpoint, default_df: DataFrame) -> tuple[int, DataFrame]:
 
 
 def _cc_two_phase(
-    edges: DataFrame, max_iterations: int, checkpoint, checkpoint_every: int
+    edges: DataFrame,
+    max_iterations: int,
+    checkpoint,
+    checkpoint_every: int,
+    materialize: str = "persist",
 ) -> CCResult:
     verts = vertex_table(_both_orientations(edges)).persist()
     verts.count()
@@ -192,15 +218,28 @@ def _cc_two_phase(
     it = start_step
     while it < max_iterations:
         t0 = time.monotonic()
-        # materialize the phase boundary EAGERLY: small-star consumes its
-        # input in three branches (grouped min, rewire join, self-arcs),
-        # and Spark neither reuses user-specified repartition exchanges
-        # across branches nor shares a lazy persist between concurrently
-        # scheduled stages of one job — without the eager cut the whole
-        # large-star phase runs up to 3×.
-        ls = _large_star_canonical(work, parts).localCheckpoint()
-        nxt = _small_star_canonical(ls, parts).localCheckpoint()
-        cnt, s = _checksum(nxt)
+        # The phase boundary must materialize BEFORE small-star consumes its
+        # input in three branches (grouped min, rewire join, self-arcs):
+        # Spark neither reuses user-specified repartition exchanges across
+        # branches nor shares an unmaterialized cache between concurrently
+        # scheduled stages of one job — without the cut the whole large-star
+        # phase runs up to 3×.
+        if materialize == "persist":
+            # Fused path, 2 jobs/superstep: LAZY localCheckpoint truncates
+            # the logical plan immediately (no nested-cache plan blowup),
+            # while the actual block materialization rides existing jobs —
+            # (1) count() materializes large-star before its three
+            # consumers; (2) the convergence checksum doubles as the
+            # small-star materializer. vs the eager path's 3 jobs (two
+            # checkpoint copies + the checksum pass).
+            ls = _large_star_canonical(work, parts).localCheckpoint(eager=False)
+            ls.count()
+            nxt = _small_star_canonical(ls, parts).localCheckpoint(eager=False)
+            cnt, s = _checksum(nxt)
+        else:  # "local_checkpoint": the conservative 3-jobs/superstep path
+            ls = _large_star_canonical(work, parts).localCheckpoint()
+            nxt = _small_star_canonical(ls, parts).localCheckpoint()
+            cnt, s = _checksum(nxt)
         dt = time.monotonic() - t0
         it += 1
         m = {
@@ -237,16 +276,23 @@ def _cc_min_label(
     max_iterations: int,
     checkpoint,
     checkpoint_every: int,
+    opt_level: str = "stable_removed",
 ) -> CCResult:
     """Min-label propagation with pointer doubling, as a DELTA iteration.
 
-    Only vertices whose label changed last superstep can lower a neighbor's
-    label next superstep (min-propagation is monotone), so the message join
-    runs over the changed frontier instead of the full label table — the
-    Spark-sound form of the reference's stable/active working-set split
-    (opt_level::stable_partition_removed, labelProp.hpp:330-344: stable
-    tuples leave the active range; here stable vertices leave the message
-    side, while staying joinable as targets)."""
+    ``opt_level`` mirrors the reference's lever (labelProp.hpp:56-72):
+
+    * ``"stable_removed"`` (default, = opt_level::stable_partition_removed):
+      only vertices whose label changed last superstep can lower a
+      neighbor's label next superstep (min-propagation is monotone), so the
+      message join runs over the changed frontier instead of the full label
+      table — stable tuples leave the active range; here stable vertices
+      leave the message side, while staying joinable as targets.
+    * ``"naive"`` (= opt_level::naive): every vertex messages every
+      superstep — the reference's baseline mode, kept for A/B measurement
+      of the working-set optimization (identical fixpoint, more work)."""
+    if opt_level not in ("naive", "stable_removed"):
+        raise ValueError(f"unknown opt_level {opt_level!r}")
     sym = _both_orientations(edges).persist()
     labels = vertex_table(sym).select("v", F.col("v").alias("label"))
     start_step, labels = _resume(checkpoint, labels)
@@ -256,10 +302,12 @@ def _cc_min_label(
     it = start_step
     while it < max_iterations:
         t0 = time.monotonic()
-        # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min,
-        # messages only from the changed frontier.
+        # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min —
+        # messages from the changed frontier (stable_removed) or from every
+        # vertex (naive, the reference's baseline for A/B).
+        msg_side = labels if opt_level == "naive" else changed
         nbr = (
-            sym.join(changed, sym["dst"] == changed["v"])
+            sym.join(msg_side, sym["dst"] == msg_side["v"])
             .groupBy(F.col("src").alias("v2"))
             .agg(F.min("label").alias("_nmin"))
         )

@@ -93,9 +93,6 @@ def pagerank(
         dangling = (
             dangling_verts.join(ranks, "v").agg(F.sum("rank")).collect()[0][0] or 0.0
         ) if has_dangling else 0.0
-        contribs = contrib_edges.join(
-            ranks, contrib_edges["src"] == ranks["v"]
-        ).select(F.col("dst"), (F.col("rank") * F.col("_w")).alias("_c"))
         if salt_buckets > 1:
             contribs = contrib_edges.join(
                 ranks, contrib_edges["src"] == ranks["v"]
@@ -107,6 +104,9 @@ def pagerank(
             )
             summed = partial.groupBy("dst").agg(F.sum("_ps").alias("_s"))
         else:
+            contribs = contrib_edges.join(
+                ranks, contrib_edges["src"] == ranks["v"]
+            ).select(F.col("dst"), (F.col("rank") * F.col("_w")).alias("_c"))
             summed = contribs.groupBy("dst").agg(F.sum("_c").alias("_s"))
         new = verts.join(summed, verts["v"] == summed["dst"], "left").select(
             "v",

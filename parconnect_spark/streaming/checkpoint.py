@@ -25,11 +25,26 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CheckpointIdentityError(RuntimeError):
+    """Raised when a checkpoint directory holds state from a different
+    algorithm / working-set schema / input graph than the resuming run."""
+
+
 class SuperstepCheckpoint:
     def __init__(self, spark: SparkSession, base_dir: str, job_id: str):
         self.spark = spark
         self.dir = os.path.join(base_dir, job_id)
+        self.identity: dict | None = None
         os.makedirs(self.dir, exist_ok=True)
+
+    def bind_identity(self, identity: dict) -> None:
+        """Declare what this run computes: algorithm name, working-set
+        schema, and an input fingerprint (e.g. edge count + checksum).
+        ``save`` records it; ``latest`` refuses to resume foreign state —
+        without this, rerunning with the same checkpoint dir but a different
+        algorithm (two_phase stores [src,dst]; min_label stores [v,label])
+        or a different input graph would silently resume wrong state."""
+        self.identity = identity
 
     def _step_dir(self, step: int) -> str:
         return os.path.join(self.dir, f"step={step}")
@@ -50,6 +65,7 @@ class SuperstepCheckpoint:
             "step": step,
             "committed_at": time.time(),
             "metrics": metrics or {},
+            "identity": self.identity,
         }
         with open(os.path.join(step_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -66,13 +82,34 @@ class SuperstepCheckpoint:
         return sorted(steps)
 
     def latest(self) -> tuple[int | None, DataFrame | None]:
-        """Most recent committed superstep (None, None) if fresh."""
+        """Most recent committed superstep; (None, None) if fresh. Fails
+        loudly (CheckpointIdentityError) if the stored state's identity does
+        not match the one bound for this run."""
         steps = self.committed_steps()
         if not steps:
             return None, None
         step = steps[-1]
+        if self.identity is not None:
+            with open(os.path.join(self._step_dir(step), "meta.json")) as f:
+                stored = json.load(f).get("identity")
+            if stored is not None and stored != self.identity:
+                raise CheckpointIdentityError(
+                    f"checkpoint {self.dir} step={step} was written by a "
+                    f"different run: stored identity {stored!r} != this "
+                    f"run's {self.identity!r}; use a fresh job_id or delete "
+                    "the stale checkpoint"
+                )
         df = self.spark.read.parquet(os.path.join(self._step_dir(step), "data"))
         return step, df
+
+    def latest_meta(self) -> dict | None:
+        """meta.json of the most recent committed step (loop counters etc.),
+        None if fresh."""
+        steps = self.committed_steps()
+        if not steps:
+            return None
+        with open(os.path.join(self._step_dir(steps[-1]), "meta.json")) as f:
+            return json.load(f)
 
     def metrics_log(self) -> list[dict]:
         path = os.path.join(self.dir, "metrics.jsonl")

@@ -83,12 +83,21 @@ def _seq_edge_fn(
     """Stateful kernel: remembers the last (turn_idx, entity) per conv and
     emits an edge between consecutive entities. Vectorized inside each
     batch; state carries only the boundary row."""
+    import numpy as np
+
     rows = pd.concat(list(pdfs), ignore_index=True)
     if rows.empty:
         return
     rows = rows.sort_values("turn_idx")
-    ent = rows["tool"].map(lambda t: f"t:{t}" if isinstance(t, str) else None)
-    ent = ent.where(ent.notna(), "r:" + rows["role"].astype(str))
+    tool = rows["tool"]
+    ent = pd.Series(
+        np.where(
+            tool.notna().to_numpy(),
+            "t:" + tool.astype(str).to_numpy(dtype=object),
+            "r:" + rows["role"].astype(str).to_numpy(dtype=object),
+        ),
+        index=rows.index,
+    )
     prev_idx, prev_ent = (
         state.get if state.exists else (None, None)
     )
@@ -98,9 +107,9 @@ def _seq_edge_fn(
     out = out[out["x"] != out["y"]]
     state.update((int(rows["turn_idx"].iloc[-1]), str(ent.iloc[-1])))
     if len(out):
-        a = out.apply(lambda r: min(r["x"], r["y"]), axis=1)
-        b = out.apply(lambda r: max(r["x"], r["y"]), axis=1)
-        yield pd.DataFrame({"a": a, "b": b})
+        x = out["x"].to_numpy(dtype=object)
+        y = out["y"].to_numpy(dtype=object)
+        yield pd.DataFrame({"a": np.minimum(x, y), "b": np.maximum(x, y)})
 
 
 def sequential_edge_stream(transcripts: DataFrame) -> DataFrame:

@@ -51,3 +51,54 @@ def test_bfs_peel_labels(spark):
     got = {r["v"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(50)}
     assert residual.count() == 98
+
+
+def test_label_parent_forest_pointer_jumping(spark):
+    """Deep chain parent table collapses to the root in O(log depth) joins."""
+    from parconnect_spark.plans.bfs import label_parent_forest
+
+    rows = [(0, 0)] + [(i, i - 1) for i in range(1, 200)]
+    parents = spark.createDataFrame(rows, "v long, parent long")
+    labels = {r["v"]: r["label"] for r in label_parent_forest(parents).collect()}
+    assert labels == {i: 0 for i in range(200)}
+
+
+def test_bfs_resume_equivalence(spark, tmp_path):
+    """Kill after k levels, resume with the same checkpoint dir: identical
+    parents/residual to an uninterrupted run (test_bfsRunner.cpp:150-200
+    one-iteration-per-call state carry)."""
+    from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
+
+    edges, _ = disjoint_chains(spark, p=2)
+    full = bfs(edges, num_runs=2)
+    want = {r["v"]: r["parent"] for r in full.parents.collect()}
+
+    ck1 = SuperstepCheckpoint(spark, str(tmp_path), "bfs")
+    partial = bfs(edges, num_runs=2, max_levels=7, checkpoint=ck1)
+    assert partial.levels == 7  # stopped mid-run
+
+    ck2 = SuperstepCheckpoint(spark, str(tmp_path), "bfs")
+    resumed = bfs(edges, num_runs=2, checkpoint=ck2)
+    got = {r["v"]: r["parent"] for r in resumed.parents.collect()}
+    assert got == want
+    assert resumed.levels == full.levels
+    assert resumed.residual_edges.count() == 0
+
+
+def test_bfs_one_iteration_per_call(spark, tmp_path):
+    """The reference's per-iteration protocol: max_levels=1 per call, state
+    carries across calls until convergence."""
+    from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
+
+    edges, _ = disjoint_chains(spark, p=1, n=12)
+    full = bfs(edges, num_runs=1)
+    want = {r["v"]: r["parent"] for r in full.parents.collect()}
+
+    got = None
+    for _ in range(40):
+        ck = SuperstepCheckpoint(spark, str(tmp_path), "bfs1")
+        res = bfs(edges, num_runs=1, max_levels=1, checkpoint=ck)
+        if res.metrics and res.metrics[-1]["frontier"] == 0:
+            got = {r["v"]: r["parent"] for r in res.parents.collect()}
+            break
+    assert got == want

@@ -87,3 +87,23 @@ def test_metrics_recorded(spark, chain_1000):
     assert res.iterations >= 1
     assert len(res.metrics) == res.iterations
     assert all("seconds" in m and "edges" in m for m in res.metrics)
+
+
+def test_min_label_opt_levels_same_fixpoint(spark, three_components_small):
+    """The reference's opt_level lever (labelProp.hpp:56-72): naive and
+    stable_removed converge to identical labels; stable_removed does it
+    with shrinking frontiers (the A/B the lever exists for)."""
+    from parconnect_spark.plans.connectivity import connected_components
+
+    naive = connected_components(
+        three_components_small, algorithm="min_label", opt_level="naive"
+    )
+    delta = connected_components(
+        three_components_small, algorithm="min_label", opt_level="stable_removed"
+    )
+    ln = {r["v"]: r["label"] for r in naive.labels.collect()}
+    ld = {r["v"]: r["label"] for r in delta.labels.collect()}
+    assert ln == ld
+    # delta's frontier shrinks monotonically to 0; naive still terminates
+    actives = [m["active"] for m in delta.metrics]
+    assert actives[-1] == 0

@@ -1,9 +1,14 @@
 """Resume-from-checkpoint equivalence: kill after superstep k, resume, same
 labels (FIXTURES.md §4 / BASELINE.json resumability rule)."""
 
+import pytest
+
 from parconnect_spark.plans.connectivity import connected_components
 from parconnect_spark.sources.generators import chain_edges
-from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
+from parconnect_spark.streaming.checkpoint import (
+    CheckpointIdentityError,
+    SuperstepCheckpoint,
+)
 
 
 def test_superstep_roundtrip(spark, tmp_path):
@@ -50,6 +55,29 @@ def test_cc_resume_equivalence(spark, tmp_path):
     assert resumed.iterations > 2  # continued, not restarted
     got = {r["v"]: r["label"] for r in resumed.labels.collect()}
     assert got == want
+
+
+def test_resume_rejects_foreign_algorithm(spark, tmp_path):
+    """Same checkpoint dir, different algorithm → loud failure, not silent
+    resume of a foreign working set (two_phase stores [src,dst], min_label
+    stores [v,label])."""
+    edges = chain_edges(spark, 120)
+    ck1 = SuperstepCheckpoint(spark, str(tmp_path), "cc")
+    connected_components(edges, algorithm="two_phase", max_iterations=2, checkpoint=ck1)
+    ck2 = SuperstepCheckpoint(spark, str(tmp_path), "cc")
+    with pytest.raises(CheckpointIdentityError):
+        connected_components(edges, algorithm="min_label", checkpoint=ck2)
+
+
+def test_resume_rejects_foreign_input(spark, tmp_path):
+    """Same checkpoint dir + algorithm, different input graph → loud failure."""
+    ck1 = SuperstepCheckpoint(spark, str(tmp_path), "cc")
+    connected_components(
+        chain_edges(spark, 120), algorithm="two_phase", max_iterations=2, checkpoint=ck1
+    )
+    ck2 = SuperstepCheckpoint(spark, str(tmp_path), "cc")
+    with pytest.raises(CheckpointIdentityError):
+        connected_components(chain_edges(spark, 60), algorithm="two_phase", checkpoint=ck2)
 
 
 def test_cc_min_label_resume(spark, tmp_path):

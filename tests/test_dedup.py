@@ -37,15 +37,19 @@ def test_shingles(spark):
 
 
 def test_exact_dup_groups(spark):
+    # default = FULL-text fingerprint: 0 and 1 share a 40-char prefix but
+    # diverge in the last token → NOT grouped; only the true duplicates
+    # 0 and 3 are.
     out = {r["id"]: r["group_size"] for r in exact_dup_groups(docs(spark)).collect()}
-    # 0, 1, 3 share the 40-char prefix (1 differs only in its last token)
-    assert out[0] == out[1] == out[3] == 3
-    assert out[2] == 1
-    full = {
+    assert out[0] == out[3] == 2
+    assert out[1] == 1 and out[2] == 1
+    # prefix= is an opt-in BLOCKING key: 0, 1, 3 share the 40-char prefix
+    blocked = {
         r["id"]: r["group_size"]
-        for r in exact_dup_groups(docs(spark), prefix=200).collect()
+        for r in exact_dup_groups(docs(spark), prefix=40).collect()
     }
-    assert full[0] == full[3] == 2 and full[1] == 1
+    assert blocked[0] == blocked[1] == blocked[3] == 3
+    assert blocked[2] == 1
 
 
 def test_ngram_jaccard_exact_values(spark):
@@ -56,6 +60,50 @@ def test_ngram_jaccard_exact_values(spark):
     assert pairs[(0, 3)] == 1.0
     assert abs(pairs[(0, 1)] - round(brute_jaccard(BASE, NEAR), 6)) < 1e-9
     assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """One ubiquitous shingle must not explode the candidate join: with the
+    stop-shingle cap, candidate pairs stay bounded and Jaccard is computed
+    over the filtered universe in BOTH numerator and denominator."""
+    boiler = "standard legal disclaimer footer text"
+    rows = [(i, f"unique{i} tokens here now " + boiler) for i in range(20)]
+    rows.append((100, "unique0 tokens here now something else entirely okay"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares the boilerplate shingles; df cap of 5 drops them
+    out = ngram_jaccard_pairs(df, threshold=0.9, n=4, max_shingle_df=5).collect()
+    # post-filter, no two docs share any shingle → no pairs at all
+    assert out == []
+    # sanity: without the cap the boilerplate makes all 20 docs candidates
+    nocap = ngram_jaccard_pairs(df, threshold=0.1, n=4, max_shingle_df=None)
+    assert nocap.count() >= 190
+
+
+def test_ngram_jaccard_filtered_universe_consistent(spark):
+    """With a cap, the reported jaccard equals the exact Jaccard of the
+    post-filter shingle sets (numerator and denominator same universe)."""
+    boiler = "common boiler plate junk line"
+    a = "alpha beta gamma delta " + boiler
+    b = "alpha beta gamma delta epsilon " + boiler
+    rows = [(0, a), (1, b)] + [(i, f"pad{i} word{i} thing{i} stuff{i} " + boiler) for i in range(2, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.01, n=4, max_shingle_df=3).collect()
+    }
+
+    def shset(t, n=4):
+        tk = t.split()
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    all_sets = {i: shset(t) for i, t in rows}
+    from collections import Counter
+
+    dfc = Counter(s for ss in all_sets.values() for s in ss)
+    fa = {s for s in all_sets[0] if dfc[s] <= 3}
+    fb = {s for s in all_sets[1] if dfc[s] <= 3}
+    exp = len(fa & fb) / len(fa | fb)
+    assert abs(out[(0, 1)] - round(exp, 6)) < 1e-9
 
 
 def test_minhash_lsh_finds_near_dups(spark):

@@ -55,3 +55,46 @@ def test_cli_main(spark, tmp_path, capsys):
     assert payload["components"] == 1
     back = spark.read.parquet(out)
     assert back.count() == 200
+
+
+def test_cli_resume_through_checkpoint(spark, tmp_path, capsys):
+    """CLI path with --checkpoint-dir: a killed run's committed supersteps
+    are resumed by a rerun with the same dir/job-id, converging to the same
+    labels (durable-cadence default wired in __main__)."""
+    import json
+
+    from parconnect_spark.__main__ import main
+    from parconnect_spark.pipeline import parconnect_pipeline
+    from parconnect_spark.sources.generators import chain_edges
+    from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
+
+    edges = chain_edges(spark, 300)
+    want = {
+        r["v"]: r["label"]
+        for r in parconnect_pipeline(edges, force_bfs=False).labels.collect()
+    }
+
+    # simulate a killed run: cap iterations, committing every superstep
+    ck = SuperstepCheckpoint(spark, str(tmp_path), "cli")
+    from parconnect_spark.plans.connectivity import connected_components
+
+    connected_components(
+        edges, algorithm="two_phase", max_iterations=2,
+        checkpoint=ck, checkpoint_every=1,
+    )
+    assert ck.committed_steps()
+
+    # rerun through the CLI with the same checkpoint dir — resumes, finishes
+    out = str(tmp_path / "labels")
+    rc = main(
+        [
+            "--input", "chain", "--n", "300", "--force-bfs", "n",
+            "--checkpoint-dir", str(tmp_path), "--job-id", "cli",
+            "--checkpoint-every", "1", "--output", out,
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r["v"]: r["label"] for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert payload["components"] == len(set(want.values()))
