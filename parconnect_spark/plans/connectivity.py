@@ -121,6 +121,113 @@ def _small_star_canonical(canon: DataFrame, parts: int) -> DataFrame:
     )
 
 
+def _two_phase_round_window(canon: DataFrame, parts: int) -> DataFrame:
+    """One full large-star + small-star round as a SINGLE linear plan.
+
+    The join-based phases consume their inputs in 2-3 branches each, forcing
+    a materialization barrier per phase (multi-branch + unmaterialized input
+    = recompute across concurrent stages). Rewriting the grouped min as a
+    window aggregate (min over partitionBy(src), no ordering) makes every
+    intermediate single-consumer, so the whole round — both phases plus the
+    final dedup — is ONE job with 3 exchanges and no cache/checkpoint copy
+    in the middle. The sort the window needs rides the same hash(src)
+    exchange the grouped min would have taken.
+
+    Same rewiring semantics as _large_star_canonical/_small_star_canonical
+    (Kiveris SoCC'14): large-star input need not be distinct for min() and
+    the trailing dedup restores set semantics."""
+    from pyspark.sql import Window
+
+    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = canon.unionByName(rev).repartition(parts, "src")
+    w = Window.partitionBy("src")
+    # large star: every neighbor v > u re-points to m = min(u, N(u))
+    mm = sym.select(
+        "src", "dst", F.least(F.col("src"), F.min("dst").over(w)).alias("_m")
+    )
+    ls = (
+        mm.where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .repartition(parts, "src")
+    )
+    # small star over the (canonical, possibly duplicated) large-star output:
+    # emit (dst, m) for dst != m plus the (src, m) self-arc, in one explode
+    m2 = ls.select("src", "dst", F.min("dst").over(w).alias("_m"))
+    pairs = (
+        m2.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("dst") != F.col("_m"),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("_m").alias("dst")
+                        ),
+                    ),
+                    F.struct(F.col("src").alias("src"), F.col("_m").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .where(F.col("e").isNotNull())
+        .select("e.src", "e.dst")
+    )
+    return pairs.repartition(parts, "src").dropDuplicates(["src", "dst"])
+
+
+def _large_star_noskew(canon: DataFrame) -> DataFrame:
+    """Large-star pass with NO forced hash(src) placement of the edge table.
+
+    The co-located formulation (_large_star_canonical) repartitions the big
+    table by src so the grouped min, the min-join and the dedup share one
+    exchange — optimal on uniform graphs, pessimal on hub graphs: the
+    transcript graph's 'r:user' entity holds 16% of all rows in one src
+    group (measured), so hash(src) serializes every superstep into one
+    straggler task at any core count. Here instead:
+
+    * the neighborhood min is a plain groupBy(src) — Spark's map-side
+      partial aggregation IS the two-phase rewrite (a hub contributes at
+      most one partial row per input partition, so the agg shuffle is
+      balanced regardless of degree);
+    * the min table (|V| rows) joins BACK to the unshuffled edge table —
+      broadcast when it fits (no big-side exchange at all), AQE skew-split
+      sort-merge otherwise;
+    * nothing pins the big table to hash(src)."""
+    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = canon.unionByName(rev)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+        "src", F.least(F.col("src"), F.col("_mn")).alias("_m")
+    )
+    # broadcast hint: without it the join falls back to sort-merge and the
+    # hub partition (80MB here) sits under AQE's default 256MB skew-split
+    # threshold — one straggler task again. The min table is |V'| rows of
+    # the ACTIVE working set, which contracts every round; callers choose
+    # this path when it fits executor memory (hub-heavy graphs, |V| ≪ |E|).
+    return (
+        sym.where(F.col("dst") > F.col("src"))
+        .join(F.broadcast(mins), "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def _small_star_noskew(ls: DataFrame, parts: int) -> DataFrame:
+    """Small-star pass, same skew-oblivious shape; the round's only
+    full-size shuffle is the final dedup, keyed by the WHOLE edge
+    (src, dst) — balanced even when hash(src) alone is hub-skewed."""
+    mins = ls.groupBy("src").agg(F.min("dst").alias("_m"))
+    rewired = (
+        ls.join(F.broadcast(mins), "src")
+        .where(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    selfarc = mins.select("src", F.col("_m").alias("dst"))
+    return (
+        rewired.unionByName(selfarc)
+        .repartition(parts, "src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def _canonical(edges: DataFrame) -> DataFrame:
     """(max, min) orientation, self-loops dropped, distinct."""
     return (
@@ -144,7 +251,7 @@ def connected_components(
     max_iterations: int = 100,
     checkpoint=None,
     checkpoint_every: int = 1,
-    materialize: str = "persist",
+    materialize: str = "window",
     opt_level: str = "stable_removed",
 ) -> CCResult:
     """Compute per-vertex component labels (= min vertex id in component).
@@ -204,7 +311,7 @@ def _cc_two_phase(
     max_iterations: int,
     checkpoint,
     checkpoint_every: int,
-    materialize: str = "persist",
+    materialize: str = "window",
 ) -> CCResult:
     verts = vertex_table(_both_orientations(edges)).persist()
     verts.count()
@@ -224,7 +331,26 @@ def _cc_two_phase(
         # branches nor shares an unmaterialized cache between concurrently
         # scheduled stages of one job — without the cut the whole large-star
         # phase runs up to 3×.
-        if materialize == "persist":
+        if materialize == "salted":
+            # Skew-proof path, 2 jobs/superstep: map-side-combined minima
+            # (two-phase aggregation) + runtime-chosen join-back; no
+            # full-size hash(src) shuffle anywhere (hub groups would
+            # serialize it — see _large_star_noskew). ls feeds small-star
+            # twice → lazily checkpointed, count() materializes.
+            ls = _large_star_noskew(work).localCheckpoint(eager=False)
+            ls.count()
+            nxt = _small_star_noskew(ls, parts).localCheckpoint(eager=False)
+            cnt, s = _checksum(nxt)
+        elif materialize == "window":
+            # Fastest path, 1 job/superstep: the whole round is a single
+            # linear plan (window-aggregate phases, single-consumer
+            # intermediates), lazily checkpointed so the convergence
+            # checksum materializes it and truncates lineage in one action.
+            nxt = _two_phase_round_window(work, parts).localCheckpoint(
+                eager=False
+            )
+            cnt, s = _checksum(nxt)
+        elif materialize == "persist":
             # Fused path, 2 jobs/superstep: LAZY localCheckpoint truncates
             # the logical plan immediately (no nested-cache plan blowup),
             # while the actual block materialization rides existing jobs —

@@ -107,3 +107,23 @@ def test_min_label_opt_levels_same_fixpoint(spark, three_components_small):
     # delta's frontier shrinks monotonically to 0; naive still terminates
     actives = [m["active"] for m in delta.metrics]
     assert actives[-1] == 0
+
+
+@pytest.mark.parametrize("mat", ["window", "persist", "salted", "local_checkpoint"])
+def test_two_phase_materialize_strategies_same_labels(spark, three_components_small, mat):
+    """All four superstep execution strategies (single-job window round,
+    fused lazy-checkpoint joins, skew-proof salted two-phase minima, eager
+    checkpoints) compute identical labels — they differ only in physical
+    plan shape."""
+    from parconnect_spark.plans.connectivity import connected_components
+    from tests.conftest import expected_membership
+
+    res = connected_components(
+        three_components_small, algorithm="two_phase", materialize=mat
+    )
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    und = [
+        (r["src"], r["dst"])
+        for r in three_components_small.where("src < dst").collect()
+    ]
+    assert got == expected_membership(und)
