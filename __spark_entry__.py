@@ -189,6 +189,17 @@ def _q_cc_labels(spark, sf_dir):
     return _with_names(res.labels, id_map, "label")
 
 
+def _q_cc_labels_local_contract(spark, sf_dir):
+    """Same fixpoint as cc_labels via the Arrow union-find kernel
+    (plans/csr.local_contract_cc) — verifies the third CC algorithm against
+    the identical recursive-CTE oracle."""
+    from parconnect_spark.plans.connectivity import connected_components
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    res = connected_components(edges, algorithm="local_contract")
+    return _with_names(res.labels, id_map, "label")
+
+
 def _q_cc_stats(spark, sf_dir):
     from parconnect_spark.plans.connectivity import connected_components
 
@@ -389,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_invariant": _q_text_invariant,
         "degree_histogram": _q_degree_histogram,
         "cc_labels": _q_cc_labels,
+        "cc_labels_local_contract": _q_cc_labels_local_contract,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
@@ -669,6 +681,11 @@ SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS frequency
 FROM (SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS deg FROM edges GROUP BY src) d
 GROUP BY deg ORDER BY degree""",
         "cc_labels": _GRAPH_PREFIX
+        + _CC_REACH
+        + """
+SELECT i.name AS name, l.label AS label
+FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
+        "cc_labels_local_contract": _GRAPH_PREFIX
         + _CC_REACH
         + """
 SELECT i.name AS name, l.label AS label
