@@ -380,6 +380,46 @@ def _q_similarity_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over LSH-bucketed candidates. The
+    synthetic embeddings have no true near-dups (max pairwise cosine ≈0.51
+    at sf0.01), so the threshold sits where the candidate set is non-trivial;
+    the oracle replicates the same bucket codes, so the check is exact."""
+    from parconnect_spark.functions.similarity import embedding_near_dup_pairs
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.42, bits=8, dim=64).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _embedding_dedup_oracle(threshold: float = 0.42, bits: int = 8, dim: int = 64) -> str:
+    from parconnect_spark.functions.similarity import _projection_matrix
+
+    proj = _projection_matrix(bits, dim, seed=1234)
+    bit_terms = []
+    for i in range(bits):
+        vec = "[" + ", ".join(f"{x:.1f}" for x in proj[i]) + "]::DOUBLE[]"
+        bit_terms.append(
+            f"CASE WHEN list_dot_product(ev, {vec}) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(bit_terms)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(bits)])
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+coded AS (SELECT vec_id, ev, {bucket} AS bucket FROM base),
+probed AS (SELECT vec_id, ev, unnest([{probes}]) AS bucket FROM coded),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.ev AS va, b.ev AS vb
+  FROM probed a JOIN coded b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(list_cosine_similarity(va, vb), 6) AS cosine
+FROM cand WHERE list_cosine_similarity(va, vb) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -414,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
         "similarity_topk": _q_similarity_topk,
@@ -753,6 +794,7 @@ WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
 ORDER BY id_a, id_b""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_embedding": _embedding_dedup_oracle(),
         "similarity_lsh": _similarity_lsh_oracle(),
         "quality_features": """
 WITH base AS (

@@ -128,6 +128,59 @@ def lsh_bucket(
     return df.withColumn("bucket", code)
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    The dedup variant of LSH search: self-join on hyperplane bucket code
+    (± Hamming-1 probes when ``multiprobe``) generates candidates — near-
+    duplicates have near-identical sign patterns, so recall at high
+    thresholds is high — then the exact cosine verifies survivors. No
+    all-pairs cross join: candidate volume is Σ bucket² instead of n²."""
+    cb = lsh_bucket(corpus, bits, dim, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(vec_col).alias("_n"),
+        "bucket",
+    )
+    a = cb.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(bits)
+            ],
+        )
+        a = a.withColumn("bucket", F.explode(probes))
+    b = cb.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))).alias("_c"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -79,3 +79,40 @@ def test_lsh_deterministic_across_partitioning(vecs):
         for r in lsh_topk(df.repartition(7), queries, k=3, bits=6, dim=16).collect()
     }
     assert a == b
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    """Planted near-duplicates (tiny perturbations) are recovered; unrelated
+    random vectors are not paired at a high threshold."""
+    from parconnect_spark.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(10, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup of each: id 100+i
+        rows.append((100 + i, [float(x) for x in v + rng.normal(scale=0.01, size=64).astype(np.float32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, threshold=0.98, bits=8, dim=64).collect()
+    }
+    for i in range(10):
+        assert (i, 100 + i) in got and got[(i, 100 + i)] > 0.99
+    # nothing else pairs at 0.98 among independent gaussians
+    assert set(got) == {(i, 100 + i) for i in range(10)}
+
+
+def test_embedding_near_dup_deterministic_across_partitioning(spark):
+    from parconnect_spark.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.3).collect()}
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df.repartition(13), threshold=0.3).collect()
+    }
+    assert a == b
