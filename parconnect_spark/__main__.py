@@ -33,6 +33,13 @@ def main(argv=None) -> int:
     p.add_argument("--cc-algorithm",
                    choices=["two_phase", "min_label", "local_contract"],
                    default="two_phase")
+    p.add_argument("--cc-materialize",
+                   choices=["window", "salted", "persist", "local_checkpoint"],
+                   default="window",
+                   help="two_phase superstep strategy: window = single-job "
+                        "round (default); salted = skew-proof two-phase "
+                        "minima + broadcast join-back (hub-heavy graphs); "
+                        "persist/local_checkpoint = fused/eager checkpoints")
     p.add_argument("--permute-ids", action="store_true",
                    help="apply the invertible-hash id permutation first")
     p.add_argument("--checkpoint-dir", default=None)
@@ -90,6 +97,7 @@ def main(argv=None) -> int:
         bfs_runs=args.bfs_runs,
         force_bfs=force,
         cc_algorithm=args.cc_algorithm,
+        cc_materialize=args.cc_materialize,
         pointer_doubling=not args.no_pointer_doubling,
         checkpoint=checkpoint,
         checkpoint_every=args.checkpoint_every,

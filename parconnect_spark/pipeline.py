@@ -46,6 +46,7 @@ def parconnect_pipeline(
     pointer_doubling: bool = True,
     checkpoint=None,
     checkpoint_every: int = 5,
+    cc_materialize: str = "window",
 ) -> PipelineResult:
     """Run the hybrid BFS + coloring pipeline on a symmetric edge table.
 
@@ -80,6 +81,7 @@ def parconnect_pipeline(
         pointer_doubling=pointer_doubling,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
+        materialize=cc_materialize,
     )
     metrics.extend(cc.metrics)
 
