@@ -559,7 +559,8 @@ sh AS (
 
 def _minhash_oracle(threshold: float = 0.6, k: int = 32, bands: int = 8) -> str:
     """Replicates minhash_near_dup_pairs exactly: md5int shingle hash,
-    k affine permutations mod 2^61-1, banded candidates, exact-Jaccard
+    k affine permutations mod 2^31-1 (the well-mixed wrap — see
+    functions/dedup._PERM_P), banded candidates, exact-Jaccard
     verification over the full shingle sets."""
     from parconnect_spark.functions.dedup import _M31, _PERM_P, _minhash_perm_coeffs
 

@@ -169,16 +169,32 @@ def main() -> None:
     from parconnect_spark.session import get_spark
 
     timings: dict[str, float] = {}
+    query_spreads: dict[str, list[float]] = {}
+    headline_reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
     if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") != "1":
+        from parconnect_spark.cache import release_caches
+
         spark = get_spark(
             app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
         )
         qs = entry_mod.queries()
-        for name in HEADLINE:
-            t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
-            df.count()
-            timings[name] = round(time.monotonic() - t0, 3)
+        # ≥3 INTERLEAVED reps per query, report the median + full spread:
+        # single-shot numbers on this host (documented 3x drift) cannot
+        # distinguish a regression from host mood. Note rep 1 of the first
+        # graph query additionally pays the shared graph derivation (the
+        # session memo); the median absorbs it.
+        per: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        for _ in range(headline_reps):
+            for name in HEADLINE:
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).count()
+                per[name].append(round(time.monotonic() - t0, 3))
+                # operator-internal caches must not leak across timed reps
+                release_caches(spark)
+        for name, runs in per.items():
+            ordered = sorted(runs)
+            timings[name] = ordered[len(ordered) // 2]
+            query_spreads[name] = runs
         spark.stop()
 
     # --- scaling: identical input + identical code at two parallelism
@@ -203,6 +219,8 @@ def main() -> None:
                     check=True, capture_output=True, text=True,
                 )
                 all_runs[n].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        # capture rep pairing BEFORE the per-level sort below mutates order
+        rep_pairs = list(zip(all_runs[n_cpus], all_runs[4 * n_cpus]))
         results = {}
         spreads = {}
         for n, runs in all_runs.items():
@@ -219,6 +237,21 @@ def main() -> None:
         lo, hi = results[n_cpus], results[4 * n_cpus]
         thr_n = lo["throughput_edges_per_sec_per_superstep"]
         thr_4n = hi["throughput_edges_per_sec_per_superstep"]
+        # Primary efficiency estimator: median of PER-PAIR ratios. Each rep
+        # runs N then 4N back-to-back, so slow host drift (the documented 3x
+        # mood swings) hits both levels of a pair about equally and cancels
+        # in the ratio; the ratio-of-medians pairs measurements taken up to
+        # 15 minutes apart and keeps the drift. Both reported.
+        pair_effs = []
+        for rn, r4 in rep_pairs:
+            a = rn["throughput_edges_per_sec_per_superstep"]
+            b = r4["throughput_edges_per_sec_per_superstep"]
+            if a > 0:
+                pair_effs.append(round(b / a / 4.0, 3))
+        pair_effs_sorted = sorted(pair_effs)
+        median_pair_eff = (
+            pair_effs_sorted[len(pair_effs_sorted) // 2] if pair_effs_sorted else 0.0
+        )
         scaling = {
             "n_cpus": n_cpus,
             "four_n_cpus": 4 * n_cpus,
@@ -230,7 +263,9 @@ def main() -> None:
             "cc_seconds_4n": hi["cc_seconds"],
             "throughput_n": thr_n,
             "throughput_4n": thr_4n,
-            "scaling_efficiency": round(thr_4n / thr_n / 4.0, 3),
+            "scaling_efficiency": median_pair_eff,
+            "efficiency_of_medians": round(thr_4n / thr_n / 4.0, 3),
+            "pair_efficiencies": pair_effs,
             "spread_n": spreads[n_cpus],
             "spread_4n": spreads[4 * n_cpus],
         }
@@ -246,6 +281,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "headline_reps": headline_reps,
+                "query_spreads": query_spreads,
                 "sf": sf,
                 "scaling": scaling,
             }

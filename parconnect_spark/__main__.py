@@ -34,11 +34,14 @@ def main(argv=None) -> int:
                    choices=["two_phase", "min_label", "local_contract"],
                    default="two_phase")
     p.add_argument("--cc-materialize",
-                   choices=["window", "salted", "persist", "local_checkpoint"],
-                   default="window",
-                   help="two_phase superstep strategy: window = single-job "
-                        "round (default); salted = skew-proof two-phase "
-                        "minima + broadcast join-back (hub-heavy graphs); "
+                   choices=["auto", "window", "salted", "persist",
+                            "local_checkpoint"],
+                   default="auto",
+                   help="two_phase superstep strategy: auto = pick "
+                        "window-vs-salted from a degree census of the input "
+                        "(default); window = single-job round; salted = "
+                        "skew-proof two-phase minima + size-gated broadcast "
+                        "join-back (hub-heavy graphs); "
                         "persist/local_checkpoint = fused/eager checkpoints")
     p.add_argument("--permute-ids", action="store_true",
                    help="apply the invertible-hash id permutation first")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from parconnect_spark.cache import scoped_persist
 from parconnect_spark.functions.text import tokens_col
 
 _M31 = (1 << 31) - 1
@@ -98,7 +99,7 @@ def ngram_jaccard_pairs(
     shingle universe in numerator and denominator, so the reported value is
     the exact Jaccard of the post-filter shingle sets (pass None for the
     unfiltered exact Jaccard — quadratic risk at scale)."""
-    sh = shingles(docs, id_col, text_col, n).persist()
+    sh = scoped_persist(shingles(docs, id_col, text_col, n))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -162,8 +163,12 @@ def minhash_signatures(
 
     Shingle hash = md5-derived integer (JVM-side md5 + base-16 conv; chosen
     over xxhash64 so the DuckDB oracle replicates signatures bit-for-bit);
-    permutations are affine maps mod the Mersenne prime 2^61-1, computed as
-    column arithmetic on the positive remainder."""
+    permutations are affine maps mod the Mersenne prime 2^31-1 (_PERM_P),
+    computed as column arithmetic on the positive remainder. The modulus is
+    deliberately 2^31-1, not 2^61-1: with h, a, b < 2^31 the product a·h
+    wraps ~2^31 times mod p (a well-mixed universal family), whereas mod a
+    prime ≫ h the map stays near-monotone in h and every "permutation"
+    collapses onto the same argmin shingle."""
     sh = shingles(docs, id_col, text_col, n)
     # h < 2^31 keeps a·h + b well inside signed-64 (no overflow even under
     # ANSI mode)
@@ -182,13 +187,16 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8
+    signatures: DataFrame, bands: int = 8, k: int | None = None
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b) from MinHash signatures.
 
     Band key = the band's signature values joined as a string (portable —
-    any engine reproduces it; equality semantics identical to hashing it)."""
-    k = len(signatures.select("sig").first()["sig"])
+    any engine reproduces it; equality semantics identical to hashing it).
+    ``k`` = signature length; pass it when known (internal callers do) —
+    the fallback probes one row, which costs an extra Spark job."""
+    if k is None:
+        k = len(signatures.select("sig").first()["sig"])
     rows = k // bands
     banded = signatures.select(
         "id",
@@ -233,8 +241,8 @@ def minhash_near_dup_pairs(
     scale path for near-dedup: candidates from banding, exactness from the
     verification join (only over candidates, not all pairs)."""
     sigs = minhash_signatures(docs, k, id_col, text_col, n)
-    cands = lsh_candidate_pairs(sigs, bands)
-    sh = shingles(docs, id_col, text_col, n).persist()
+    cands = lsh_candidate_pairs(sigs, bands, k=k)
+    sh = scoped_persist(shingles(docs, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -297,7 +305,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
     generated by 4-way band equality (any identical 15-bit quarter ⇒
     candidate — exact for max_hamming ≤ 3 by pigeonhole)."""
-    sh = simhash(docs, **kw).persist()
+    sh = scoped_persist(simhash(docs, **kw))
     quarters = sh.select(
         "id",
         "simhash",

@@ -46,7 +46,7 @@ def parconnect_pipeline(
     pointer_doubling: bool = True,
     checkpoint=None,
     checkpoint_every: int = 5,
-    cc_materialize: str = "window",
+    cc_materialize: str = "auto",
 ) -> PipelineResult:
     """Run the hybrid BFS + coloring pipeline on a symmetric edge table.
 

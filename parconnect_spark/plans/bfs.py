@@ -65,6 +65,7 @@ def bfs(
     max_levels: int = 10_000,
     checkpoint=None,
     checkpoint_every: int = 1,
+    use_csr: bool = False,
 ) -> BFSResult:
     """Run ``num_runs`` BFS sweeps, each from the min unvisited vertex id.
 
@@ -80,12 +81,27 @@ def bfs(
     counters; a later call with the same checkpoint dir resumes mid-run.
     ``max_levels`` caps levels per CALL, so max_levels=1 + resume replays the
     reference's one-iteration-per-call protocol exactly.
+
+    ``use_csr``: expand frontiers against a cached hash-partitioned CSR
+    block table (plans/csr.adjacency_blocks) instead of the raw edge list —
+    the once-built, every-iteration-reused adjacency structure of the
+    reference's CombBLAS matrix (bfsRunner.hpp:111-160). Per level the
+    expansion then scans |V| compact array rows instead of |E| edge rows,
+    and when the frontier outgrows broadcast only the frontier shuffles
+    (the blocks' cached hash(v) placement already satisfies the join).
+    Identical parents either way.
     """
     spark = edges.sparkSession
     _bind_bfs_identity(edges, checkpoint)
     verts = vertex_table(edges).persist()
     verts.count()
     deg = degrees(edges).persist()
+    blocks = None
+    if use_csr:
+        from parconnect_spark.plans.csr import adjacency_blocks
+
+        blocks = adjacency_blocks(edges, layout="hash").persist()
+        blocks.count()
 
     parents = None  # DataFrame[v, parent] — all visited, frontier included
     frontier = None  # DataFrame[v] — current run's active frontier
@@ -107,6 +123,9 @@ def bfs(
             frontier = state.where("is_frontier").select("v").localCheckpoint()
             if frontier.limit(1).count() == 0:
                 frontier = None
+    # vertices already visited before this call: their degree mass must NOT
+    # count toward this invocation's MTEPS (elapsed only covers this call)
+    pre_visited = parents
 
     t0 = time.monotonic()
     levels_this_call = 0
@@ -131,10 +150,16 @@ def bfs(
 
         # one level: expand frontier, min-parent per new vertex, exclude
         # visited (EWiseMult exclude ≡ left anti)
+        if blocks is not None:
+            expanded = blocks.join(frontier, "v").select(
+                F.explode("nbrs").alias("nv"), F.col("v").alias("parent")
+            )
+        else:
+            expanded = edges.join(frontier, edges["src"] == frontier["v"]).select(
+                F.col("dst").alias("nv"), F.col("src").alias("parent")
+            )
         nxt = (
-            edges.join(frontier, edges["src"] == frontier["v"])
-            .select(F.col("dst").alias("nv"), F.col("src").alias("parent"))
-            .groupBy("nv")
+            expanded.groupBy("nv")
             .agg(F.min("parent").alias("parent"))
             .select(F.col("nv").alias("v"), "parent")
             .join(parents.select("v"), "v", "left_anti")
@@ -184,10 +209,20 @@ def bfs(
             parents.join(deg, "v").agg(F.sum("degree").alias("s")).collect()[0]["s"]
             or 0
         )
+        if pre_visited is not None:
+            # resumed run: MTEPS counts only edges traversed THIS call
+            traversed -= (
+                pre_visited.join(deg, "v")
+                .agg(F.sum("degree").alias("s"))
+                .collect()[0]["s"]
+                or 0
+            )
     residual = edges.join(parents.select("v"), edges["src"] == F.col("v"), "left_anti")
 
     verts.unpersist()
     deg.unpersist()
+    if blocks is not None:
+        blocks.unpersist()
     return BFSResult(
         parents=parents,
         residual_edges=residual,

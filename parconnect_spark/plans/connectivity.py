@@ -121,6 +121,68 @@ def _small_star_canonical(canon: DataFrame, parts: int) -> DataFrame:
     )
 
 
+_PACK_MASK = (1 << 32) - 1
+
+
+def _two_phase_round_window_packed(canon: DataFrame, parts: int) -> DataFrame:
+    """The window round over PACKED single-long edge rows.
+
+    Same rewiring semantics as _two_phase_round_window, but every exchange
+    inside the round carries ONE long column (src<<32 | dst) instead of two:
+    UnsafeRow layout makes a 1-long row 16 bytes vs 24 for 2 longs, so the
+    round's three shuffles shrink by a third (NOTES.md limitation #2 of
+    round 2). Callers guarantee 0 <= id < 2^31 for every vertex (checked
+    once per run in _cc_two_phase; falls back to the unpacked round
+    otherwise — e.g. de Bruijn k-mer ids, which use 62 bits).
+
+    Key invariant making this work: within a src group the packed value
+    orders exactly like dst (src is the constant high half), so
+    min(packed) over the group == src<<32 | min(dst) — the grouped min
+    never needs to unpack."""
+    from pyspark.sql import Window
+
+    src = F.shiftright("e", 32)
+    dst = F.col("e").bitwiseAND(F.lit(_PACK_MASK))
+    fwd = canon.select(
+        (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("e")
+    )
+    rev = canon.select(
+        (F.shiftleft(F.col("dst"), 32) + F.col("src")).alias("e")
+    )
+    sym = fwd.unionByName(rev).repartition(parts, src)
+    w = Window.partitionBy(src)
+    # large star: m = min(src, min over N(src)); min(e) over the src group
+    # IS (src<<32 | min(dst)) — see invariant above
+    mm = sym.select(
+        "e",
+        F.least(src, F.min("e").over(w).bitwiseAND(F.lit(_PACK_MASK))).alias("_m"),
+    )
+    ls = (
+        mm.where(dst > src)
+        .select((F.shiftleft(dst, 32) + F.col("_m")).alias("e"))
+        .where(src != dst)
+        .repartition(parts, src)
+    )
+    # small star over the large-star output (rows keep src > dst, so the
+    # same packed-min trick applies)
+    m2 = ls.select(
+        "e", F.min("e").over(w).bitwiseAND(F.lit(_PACK_MASK)).alias("_m")
+    )
+    pairs = m2.select(
+        F.explode(
+            F.array(
+                F.when(dst != F.col("_m"), F.shiftleft(dst, 32) + F.col("_m")),
+                F.shiftleft(src, 32) + F.col("_m"),
+            )
+        ).alias("e")
+    ).where(F.col("e").isNotNull())
+    # single-column dedup: no explicit repartition — the aggregate plans as
+    # partial(map-side dedup) → exchange(hash(e)) → final, so the round's
+    # last shuffle carries only per-partition-distinct packed longs
+    deduped = pairs.dropDuplicates(["e"])
+    return deduped.select(src.alias("src"), dst.alias("dst"))
+
+
 def _two_phase_round_window(canon: DataFrame, parts: int) -> DataFrame:
     """One full large-star + small-star round as a SINGLE linear plan.
 
@@ -174,7 +236,7 @@ def _two_phase_round_window(canon: DataFrame, parts: int) -> DataFrame:
     return pairs.repartition(parts, "src").dropDuplicates(["src", "dst"])
 
 
-def _large_star_noskew(canon: DataFrame) -> DataFrame:
+def _large_star_noskew(canon: DataFrame, broadcast_mins: bool = True) -> DataFrame:
     """Large-star pass with NO forced hash(src) placement of the edge table.
 
     The co-located formulation (_large_star_canonical) repartitions the big
@@ -191,39 +253,57 @@ def _large_star_noskew(canon: DataFrame) -> DataFrame:
     * the min table (|V| rows) joins BACK to the unshuffled edge table —
       broadcast when it fits (no big-side exchange at all), AQE skew-split
       sort-merge otherwise;
-    * nothing pins the big table to hash(src)."""
+    * nothing pins the big table to hash(src).
+
+    ``broadcast_mins``: the min table is |V'| rows of the ACTIVE working
+    set, which contracts every round. The broadcast hint is size-gated by
+    the caller (_cc_two_phase counts the vertex set once per run): forced
+    only when it fits executor memory; past the gate the join degrades to a
+    plain sort-merge with AQE skew-split instead of a broadcast OOM. NB:
+    without the hint a hub partition UNDER AQE's 256MB skew threshold is
+    one straggler task (measured pathological on the 16%-hub transcript
+    graph at sf0.1) — above the threshold AQE splits it, which is exactly
+    the giant-|V| regime the gate targets."""
     rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     sym = canon.unionByName(rev)
     mins = sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
         "src", F.least(F.col("src"), F.col("_mn")).alias("_m")
     )
-    # broadcast hint: without it the join falls back to sort-merge and the
-    # hub partition (80MB here) sits under AQE's default 256MB skew-split
-    # threshold — one straggler task again. The min table is |V'| rows of
-    # the ACTIVE working set, which contracts every round; callers choose
-    # this path when it fits executor memory (hub-heavy graphs, |V| ≪ |E|).
+    if broadcast_mins:
+        mins = F.broadcast(mins)
     return (
         sym.where(F.col("dst") > F.col("src"))
-        .join(F.broadcast(mins), "src")
+        .join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
 
 
-def _small_star_noskew(ls: DataFrame, parts: int) -> DataFrame:
+def _small_star_noskew(
+    ls: DataFrame, parts: int, broadcast_mins: bool = True, packed: bool = False
+) -> DataFrame:
     """Small-star pass, same skew-oblivious shape; the round's only
-    full-size shuffle is the final dedup, keyed by the WHOLE edge
-    (src, dst) — balanced even when hash(src) alone is hub-skewed."""
+    full-size shuffle is the final dedup, keyed by the WHOLE edge —
+    balanced even when hash(src) alone is hub-skewed. With ``packed``
+    (ids < 2^31, checked by the caller) that dedup exchanges a single
+    packed long per row instead of two — a third less shuffle volume."""
     mins = ls.groupBy("src").agg(F.min("dst").alias("_m"))
     rewired = (
-        ls.join(F.broadcast(mins), "src")
+        ls.join(F.broadcast(mins) if broadcast_mins else mins, "src")
         .where(F.col("dst") != F.col("_m"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
     )
     selfarc = mins.select("src", F.col("_m").alias("dst"))
+    both = rewired.unionByName(selfarc)
+    if packed:
+        packed_col = (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("e")
+        deduped = both.select(packed_col).dropDuplicates(["e"])
+        return deduped.select(
+            F.shiftright("e", 32).alias("src"),
+            F.col("e").bitwiseAND(F.lit(_PACK_MASK)).alias("dst"),
+        )
     return (
-        rewired.unionByName(selfarc)
-        .repartition(parts, "src", "dst")
+        both.repartition(parts, "src", "dst")
         .dropDuplicates(["src", "dst"])
     )
 
@@ -244,6 +324,23 @@ def _both_orientations(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev).distinct()
 
 
+#: fraction of all symmetric edge rows held by the single largest src group
+#: above which `materialize="auto"` switches from the window round to the
+#: skew-oblivious salted round. Calibrated on this box (see BASELINE.md
+#: BENCH): the 16%-hub transcript graph still wins with `window` at 8
+#: pinned cores (the hub group is seconds of work and the window round is
+#: one job), while graphs with a dominant hub (>~1/3 of rows) serialize the
+#: window's hash(src) placement into one straggler task.
+AUTO_HUB_FRAC = 0.33
+
+#: size gate for the salted round's forced broadcast of the per-vertex min
+#: table: |V'| rows above this fall through to a plain join (AQE picks
+#: sort-merge + skew split) instead of an executor-memory OOM. 8M rows ≈
+#: 250 MB as a broadcast hash relation — comfortably under the 8 GB hard
+#: limit and typical executor memory; raise it on fat-executor clusters.
+BROADCAST_MAX_ROWS = 8_000_000
+
+
 def connected_components(
     edges: DataFrame,
     algorithm: str = "two_phase",
@@ -251,8 +348,10 @@ def connected_components(
     max_iterations: int = 100,
     checkpoint=None,
     checkpoint_every: int = 1,
-    materialize: str = "window",
+    materialize: str = "auto",
     opt_level: str = "stable_removed",
+    auto_hub_frac: float = AUTO_HUB_FRAC,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> CCResult:
     """Compute per-vertex component labels (= min vertex id in component).
 
@@ -261,9 +360,29 @@ def connected_components(
     exact component count and per-vertex membership
     (/root/reference/src/coloring/labelProp.hpp:122-139 component count;
     BASELINE.json exact-membership rule).
+
+    ``materialize`` picks the two_phase superstep's physical strategy —
+    every choice computes identical labels:
+
+    * ``"auto"`` (default): one degree-census aggregate over the input
+      decides ``window`` vs ``salted`` from the measured hub fraction
+      (max src-group rows / total rows vs ``auto_hub_frac``) — the same
+      statistics-driven strategy selection the reference applies with its
+      power-law fit (degreeDistInfo.hpp:167-194), aimed at the physical
+      plan instead of the algorithm. The census also sizes the salted
+      round's broadcast gate (``broadcast_max_rows``).
+    * ``"window"``: single-job round, grouped min as a window aggregate;
+      fastest on uniform-degree graphs, serializes on dominant hubs.
+    * ``"salted"``: skew-oblivious two-phase minima (map-side combine) +
+      size-gated broadcast/AQE join-back; no hash(src) placement of the
+      edge table anywhere.
+    * ``"persist"`` / ``"local_checkpoint"``: join-based rounds with fused
+      lazy / eager per-phase checkpoints (conservative baselines).
     """
     if algorithm not in ("two_phase", "min_label", "local_contract"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if materialize not in ("auto", "window", "salted", "persist", "local_checkpoint"):
+        raise ValueError(f"unknown materialize strategy {materialize!r}")
     if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
         # Identity-stamp the checkpoint so a rerun with the same dir but a
         # different algorithm (different working-set schema) or a different
@@ -285,7 +404,8 @@ def connected_components(
         )
     if algorithm == "two_phase":
         return _cc_two_phase(
-            edges, max_iterations, checkpoint, checkpoint_every, materialize
+            edges, max_iterations, checkpoint, checkpoint_every, materialize,
+            auto_hub_frac, broadcast_max_rows,
         )
     if algorithm == "min_label":
         return _cc_min_label(
@@ -306,12 +426,47 @@ def _resume(checkpoint, default_df: DataFrame) -> tuple[int, DataFrame]:
     return step, df
 
 
+def _degree_census(canon: DataFrame) -> tuple[int, int, int]:
+    """(max src-group rows, total rows, distinct vertices) over the
+    symmetrized view of a canonical edge set — one aggregate job. The
+    Spark-side analogue of the reference's degree-distribution decision
+    input (degreeDistInfo.hpp:92-166), reduced to the three scalars the
+    physical-strategy choice needs."""
+    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    row = (
+        canon.unionByName(rev)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.max("_c").alias("mx"),
+            F.sum("_c").alias("tot"),
+            F.count(F.lit(1)).alias("nv"),
+        )
+        .collect()[0]
+    )
+    return int(row["mx"] or 0), int(row["tot"] or 0), int(row["nv"] or 0)
+
+
+def _ids_fit_packed(canon: DataFrame) -> bool:
+    """True iff every vertex id fits an unsigned 31-bit value, making the
+    packed (src<<32 | dst) single-long edge representation exact."""
+    row = canon.agg(
+        F.max(F.greatest("src", "dst")).alias("mx"),
+        F.min(F.least("src", "dst")).alias("mn"),
+    ).collect()[0]
+    if row["mx"] is None:
+        return True
+    return int(row["mn"]) >= 0 and int(row["mx"]) < (1 << 31)
+
+
 def _cc_two_phase(
     edges: DataFrame,
     max_iterations: int,
     checkpoint,
     checkpoint_every: int,
-    materialize: str = "window",
+    materialize: str = "auto",
+    auto_hub_frac: float = AUTO_HUB_FRAC,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> CCResult:
     verts = vertex_table(_both_orientations(edges)).persist()
     verts.count()
@@ -320,6 +475,22 @@ def _cc_two_phase(
     work = _canonical(edges)
     start_step, work = _resume(checkpoint, work)
     work = work.localCheckpoint()
+
+    # Strategy resolution (once per run, on the working set actually being
+    # iterated). The census is one aggregate; the packed-id bounds check is
+    # one cheap min/max scan. Decisions stay fixed across supersteps — the
+    # working set only contracts, which never flips window→salted (hubs
+    # merge away, they do not appear).
+    strategy = materialize
+    broadcast_mins = True
+    if materialize in ("auto", "salted"):
+        mx, tot, nv = _degree_census(work)
+        broadcast_mins = nv <= broadcast_max_rows
+        if materialize == "auto":
+            hub_frac = (mx / tot) if tot else 0.0
+            strategy = "salted" if hub_frac >= auto_hub_frac else "window"
+    packed = strategy in ("window", "salted") and _ids_fit_packed(work)
+
     metrics: list = []
     prev = None
     it = start_step
@@ -331,26 +502,34 @@ def _cc_two_phase(
         # branches nor shares an unmaterialized cache between concurrently
         # scheduled stages of one job — without the cut the whole large-star
         # phase runs up to 3×.
-        if materialize == "salted":
+        if strategy == "salted":
             # Skew-proof path, 2 jobs/superstep: map-side-combined minima
             # (two-phase aggregation) + runtime-chosen join-back; no
             # full-size hash(src) shuffle anywhere (hub groups would
             # serialize it — see _large_star_noskew). ls feeds small-star
             # twice → lazily checkpointed, count() materializes.
-            ls = _large_star_noskew(work).localCheckpoint(eager=False)
+            ls = _large_star_noskew(work, broadcast_mins).localCheckpoint(
+                eager=False
+            )
             ls.count()
-            nxt = _small_star_noskew(ls, parts).localCheckpoint(eager=False)
+            nxt = _small_star_noskew(
+                ls, parts, broadcast_mins, packed
+            ).localCheckpoint(eager=False)
             cnt, s = _checksum(nxt)
-        elif materialize == "window":
+        elif strategy == "window":
             # Fastest path, 1 job/superstep: the whole round is a single
             # linear plan (window-aggregate phases, single-consumer
             # intermediates), lazily checkpointed so the convergence
             # checksum materializes it and truncates lineage in one action.
-            nxt = _two_phase_round_window(work, parts).localCheckpoint(
-                eager=False
+            # Packed variant (ids < 2^31) shuffles single-long edge rows —
+            # a third less exchange volume per superstep.
+            round_fn = (
+                _two_phase_round_window_packed if packed
+                else _two_phase_round_window
             )
+            nxt = round_fn(work, parts).localCheckpoint(eager=False)
             cnt, s = _checksum(nxt)
-        elif materialize == "persist":
+        elif strategy == "persist":
             # Fused path, 2 jobs/superstep: LAZY localCheckpoint truncates
             # the logical plan immediately (no nested-cache plan blowup),
             # while the actual block materialization rides existing jobs —
@@ -371,6 +550,8 @@ def _cc_two_phase(
         m = {
             "superstep": it,
             "algorithm": "two_phase",
+            "strategy": strategy,
+            "packed": packed,
             "edges": cnt,
             "checksum": s,
             "seconds": dt,

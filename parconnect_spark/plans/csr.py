@@ -36,13 +36,33 @@ from parconnect_spark.operators.graph import vertices as vertex_table
 from parconnect_spark.plans.connectivity import CCResult, _canonical, _checksum, _resume
 
 
-def adjacency_blocks(edges: DataFrame, parts: int | None = None) -> DataFrame:
-    """Range-partitioned CSR rows: DataFrame[v: long, nbrs: array<long>],
-    neighbors sorted. One shuffle to build; reusable across iterations."""
+def adjacency_blocks(
+    edges: DataFrame, parts: int | None = None, layout: str = "range"
+) -> DataFrame:
+    """Partitioned CSR rows: DataFrame[v: long, nbrs: array<long>],
+    neighbors sorted+deduped. One shuffle to build; persist and reuse
+    across iterations (the reference builds its CombBLAS matrix once and
+    runs every SpMV against it, bfsRunner.hpp:111-160).
+
+    ``layout``: ``"range"`` (default) is the north-star's range-partitioned
+    CSR layout — contiguous vertex-id blocks, right for ordered scans and
+    the Arrow gather-scatter kernels. ``"hash"`` places rows by hash(v) so
+    a later equi-join on v (BFS frontier expansion, plans/bfs.py) reuses
+    the cached partitioning: only the (small) frontier side shuffles per
+    level, the blocks never move again."""
+    if layout not in ("range", "hash"):
+        raise ValueError(f"unknown layout {layout!r}")
     sym = edges.where(F.col("src") != F.col("dst"))
-    parted = (
-        sym.repartitionByRange(parts, "src") if parts else sym.repartitionByRange("src")
-    )
+    if layout == "hash":
+        parted = sym.repartition(parts, "src") if parts else sym.repartition("src")
+    else:
+        parted = (
+            sym.repartitionByRange(parts, "src")
+            if parts
+            else sym.repartitionByRange("src")
+        )
+    # groupBy(src) is exchange-free here: both range and hash partitioning
+    # on src satisfy the aggregate's clustered-distribution requirement
     return (
         parted.groupBy(F.col("src").alias("v"))
         .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))

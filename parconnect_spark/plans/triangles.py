@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from parconnect_spark.cache import scoped_persist
 from parconnect_spark.operators.graph import canonicalize, degrees
 
 
@@ -49,7 +50,7 @@ def _oriented(edges: DataFrame) -> DataFrame:
 def _enumerate_triangles(edges: DataFrame) -> DataFrame:
     """DataFrame[a, b, c]: one row per triangle; a = apex in degree order,
     (b, c) ordered by the same (degree, id) total order."""
-    o = _oriented(edges).persist()
+    o = scoped_persist(_oriented(edges))
     w1 = o.select(
         F.col("lo").alias("a"),
         F.col("hi").alias("n1"),

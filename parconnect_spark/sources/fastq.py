@@ -10,8 +10,12 @@ adjacent k-mers in a read (in- and out-neighbors both emitted).
 Spark-first re-expression, all built-in expressions (no Python row path):
 
 * FASTQ parsing — reads are 4-line records; sequence lines are recovered by
-  global line index (zipWithIndex — deterministic for a given file split
-  order) ≡ BLISS's FASTQParser record framing.
+  global line index ≡ BLISS's FASTQParser record framing. The index is
+  computed columnar in one shape: partition-local ordinal (from
+  monotonically_increasing_id's pid/local decomposition) + exclusive prefix
+  sum of partition sizes — the same offset-exscan trick as
+  operators/relabel.dense_rank_relabel, all JVM-side (the earlier
+  rdd.zipWithIndex needed two Python-serialized RDD passes).
 * k-mer extraction — the shingle transform over the sequence string;
   k-mers containing non-ACGT characters are dropped (the reference
   restricts the alphabet, deBruijnGraphGen.hpp:49).
@@ -33,16 +37,44 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def read_fastq_sequences(spark: SparkSession, path: str) -> DataFrame:
-    """[seq_id: long, seq: string] — one row per FASTQ read."""
-    lines = spark.read.text(path)
-    indexed = lines.rdd.zipWithIndex().map(
-        lambda pair: (pair[1], pair[0]["value"])
+    """[seq_id: long, seq: string] — one row per FASTQ read.
+
+    Global line index = partition-local ordinal + offset exscan: one tiny
+    aggregate (one row per split) collects partition sizes, broadcast back
+    as offsets. Line order within a split follows file order (same
+    assumption zipWithIndex made); deterministic across the two scans
+    because both jobs read identical splits."""
+    from pyspark.sql import Window
+
+    lines = (
+        spark.read.text(path)
+        .select("value", F.monotonically_increasing_id().alias("_mid"))
+        # mid = partition_id << 33 | row-ordinal-within-partition (the
+        # documented encoding) — decompose rather than re-derive
+        .select(
+            "value",
+            F.shiftrightunsigned("_mid", 33).alias("_pid"),
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_local"),
+        )
     )
-    df = spark.createDataFrame(indexed, "idx long, value string")
+    sizes = lines.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    idx = F.col("_offset") + F.col("_local")
     return (
-        df.where(F.pmod("idx", F.lit(4)) == 1)
-        .select((F.col("idx") / 4).cast("long").alias("seq_id"),
-                F.upper(F.col("value")).alias("seq"))
+        lines.join(F.broadcast(offsets), "_pid")
+        .where(F.pmod(idx, F.lit(4)) == 1)
+        .select(
+            (idx / 4).cast("long").alias("seq_id"),
+            F.upper(F.col("value")).alias("seq"),
+        )
     )
 
 

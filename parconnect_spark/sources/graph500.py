@@ -337,6 +337,9 @@ def generate_window(
                 fei_i += counts[i]
 
     rec(0, num_edges, nverts, 0, 0)
+    # every window slot must have been filled by exactly one recursion leaf —
+    # the window decomposition is a partition of [first_edge, last_edge)
+    assert all(e is not None for e in out), "graph500 window left unfilled slots"
     return out
 
 
@@ -356,7 +359,6 @@ def kronecker_edges_graph500(
     coordinates alone — no cross-task communication, deterministic at any
     parallelism."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     M = edge_factor << scale
     if num_tasks is None:
@@ -385,5 +387,4 @@ def kronecker_edges_graph500(
                     src, dst = src + dst, dst + src
                 yield pd.DataFrame({"src": src, "dst": dst})
 
-    out = bdf.mapInPandas(gen, "src long, dst long")
-    return out.where(F.col("src").isNotNull())
+    return bdf.mapInPandas(gen, "src long, dst long")

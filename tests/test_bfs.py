@@ -102,3 +102,70 @@ def test_bfs_one_iteration_per_call(spark, tmp_path):
             got = {r["v"]: r["parent"] for r in res.parents.collect()}
             break
     assert got == want
+
+
+def test_bfs_csr_blocks_equivalent(spark):
+    """use_csr expands frontiers against the cached CSR block table —
+    identical parents/residual to the raw-edge path."""
+    p = 3
+    edges, _ = disjoint_chains(spark, p=p)
+    base = bfs(edges, num_runs=2)
+    csr = bfs(edges, num_runs=2, use_csr=True)
+    want = {r["v"]: r["parent"] for r in base.parents.collect()}
+    got = {r["v"]: r["parent"] for r in csr.parents.collect()}
+    assert got == want
+    assert csr.residual_edges.count() == base.residual_edges.count()
+    assert csr.levels == base.levels
+
+
+def test_bfs_csr_level_plan_fewer_exchanges(spark):
+    """The CSR win when the frontier outgrows broadcast: the cached
+    hash(v)-partitioned blocks satisfy the expansion join's distribution, so
+    only the frontier side shuffles — the raw-edge plan must shuffle both
+    sides. Assert on the physical plans with broadcast + AQE disabled (AQE
+    would hide the initial exchanges inside AdaptiveSparkPlan)."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.plans.csr import adjacency_blocks
+
+    edges, _ = disjoint_chains(spark, p=4)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        blocks = adjacency_blocks(edges, parts=8, layout="hash").persist()
+        blocks.count()
+        frontier = edges.select(F.col("src").alias("v")).distinct().limit(60)
+
+        csr_level = (
+            blocks.join(frontier, "v")
+            .select(F.explode("nbrs").alias("nv"), F.col("v").alias("parent"))
+            .groupBy("nv")
+            .agg(F.min("parent").alias("parent"))
+        )
+        edge_level = (
+            edges.join(frontier, edges["src"] == frontier["v"])
+            .select(F.col("dst").alias("nv"), F.col("src").alias("parent"))
+            .groupBy("nv")
+            .agg(F.min("parent").alias("parent"))
+        )
+
+        def n_exchanges(df):
+            # count only the exchanges EnsureRequirements inserts at runtime:
+            # the cached blocks' plan string embeds its one-time build
+            # exchange (REPARTITION_BY_NUM, paid once at persist time), which
+            # is not a per-level shuffle
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("ENSURE_REQUIREMENTS")
+
+        assert n_exchanges(csr_level) < n_exchanges(edge_level)
+        blocks.unpersist()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -1,0 +1,57 @@
+"""Cache-hygiene contract: operator-internal persists are registered and
+released in one call — no unbounded cache growth across a many-query
+session (the driver's 25-query harness shape)."""
+
+import pyspark.sql.functions as F
+
+
+def _persistent_ids(spark):
+    return {
+        int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def test_release_caches_bounds_growth(spark):
+    from parconnect_spark.cache import release_caches
+    from parconnect_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from parconnect_spark.plans.triangles import triangle_count
+
+    release_caches(spark)  # start from a clean registry
+    before = _persistent_ids(spark)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    ngram_jaccard_pairs(docs, threshold=0.5).count()
+    minhash_near_dup_pairs(docs, threshold=0.5).count()
+    simhash_near_pairs(docs, max_hamming=3).count()
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    assert triangle_count(edges) == 1
+
+    # delta-based assertions: Spark's ContextCleaner may drop OTHER tests'
+    # GC'd caches concurrently, so only our own cache ids are compared.
+    # 3 distinct entries, not 4: ngram's and minhash's shingle tables have
+    # identical plans, so the CacheManager maps both persists to one cache.
+    ours = _persistent_ids(spark) - before
+    assert len(ours) >= 3
+    released = release_caches(spark)
+    assert released >= 4  # ...but all four registrations are tracked
+    assert not (_persistent_ids(spark) & ours)  # all of ours are gone
+
+
+def test_release_caches_idempotent_and_session_scoped(spark):
+    from parconnect_spark.cache import release_caches, scoped_persist
+
+    df = scoped_persist(spark.range(10).select(F.col("id").alias("v")))
+    df.count()
+    assert release_caches(spark) == 1
+    assert release_caches(spark) == 0  # registry drained

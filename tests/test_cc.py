@@ -109,7 +109,7 @@ def test_min_label_opt_levels_same_fixpoint(spark, three_components_small):
     assert actives[-1] == 0
 
 
-@pytest.mark.parametrize("mat", ["window", "persist", "salted", "local_checkpoint"])
+@pytest.mark.parametrize("mat", ["auto", "window", "persist", "salted", "local_checkpoint"])
 def test_two_phase_materialize_strategies_same_labels(spark, three_components_small, mat):
     """All four superstep execution strategies (single-job window round,
     fused lazy-checkpoint joins, skew-proof salted two-phase minima, eager
@@ -122,6 +122,67 @@ def test_two_phase_materialize_strategies_same_labels(spark, three_components_sm
         three_components_small, algorithm="two_phase", materialize=mat
     )
     got = {r["v"]: r["label"] for r in res.labels.collect()}
+    und = [
+        (r["src"], r["dst"])
+        for r in three_components_small.where("src < dst").collect()
+    ]
+    assert got == expected_membership(und)
+
+
+def test_materialize_validated(spark, three_components_small):
+    """A typo must raise, not silently fall into the slowest path."""
+    with pytest.raises(ValueError, match="materialize"):
+        connected_components(three_components_small, materialize="windw")
+
+
+def test_packed_round_used_and_fallback_on_wide_ids(spark):
+    """Ids < 2^31 take the packed single-long window round; ids that do not
+    fit (e.g. de Bruijn 62-bit k-mer codes) fall back to the two-column
+    round — identical labels either way."""
+    und = [(1, 2), (2, 3), (7, 8), (8, 9), (9, 12), (20, 21)]
+    rows = und + [(b, a) for a, b in und]
+    small = spark.createDataFrame(rows, "src long, dst long")
+    r_small = connected_components(small, materialize="window")
+    assert all(m["packed"] for m in r_small.metrics)
+    off = 1 << 40
+    wide = small.select(
+        (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+    )
+    r_wide = connected_components(wide, materialize="window")
+    assert not any(m["packed"] for m in r_wide.metrics)
+    exp = expected_membership(und)
+    assert labels_dict(r_small) == exp
+    assert labels_dict(r_wide) == {
+        v + off: l + off for v, l in exp.items()
+    }
+
+
+def test_auto_strategy_census_decision(spark, chain_1000):
+    """auto = statistics-driven physical strategy: a uniform-degree chain
+    stays on the window round; a dominant-hub star (one src group = half of
+    all symmetric rows) switches to the skew-oblivious salted round. Labels
+    correct in both regimes."""
+    r_uniform = connected_components(chain_1000, materialize="auto")
+    assert r_uniform.metrics[0]["strategy"] == "window"
+    assert component_count(r_uniform.labels) == 1
+
+    und = [(0, i) for i in range(1, 101)]
+    rows = und + [(b, a) for a, b in und]
+    star = spark.createDataFrame(rows, "src long, dst long")
+    r_hub = connected_components(star, materialize="auto")
+    assert r_hub.metrics[0]["strategy"] == "salted"
+    got = labels_dict(r_hub)
+    assert got == expected_membership(und)
+
+
+def test_salted_broadcast_gate_fallback(spark, three_components_small):
+    """With the broadcast gate forced shut (broadcast_max_rows=0) the salted
+    round degrades to a plain AQE-planned join instead of a forced
+    broadcast — labels unchanged."""
+    res = connected_components(
+        three_components_small, materialize="salted", broadcast_max_rows=0
+    )
+    got = labels_dict(res)
     und = [
         (r["src"], r["dst"])
         for r in three_components_small.where("src < dst").collect()

@@ -85,6 +85,31 @@ def test_fastq_to_cc_single_contig(spark, tmp_path):
     assert len(set(labels.values())) == 2
 
 
+def test_fastq_parsing_multi_partition(spark, tmp_path):
+    """Record framing must survive the file being read as multiple splits
+    (the offset-exscan path): force tiny splits and check every read lands
+    on its exact (seq_id, sequence)."""
+    n = 200
+    reads = {i: ("ACGT" * 8) + "ACGT"[i % 4] * 12 for i in range(n)}
+    text = "".join(
+        f"@read{i}\n{reads[i]}\n+\n{'I' * len(reads[i])}\n" for i in range(n)
+    )
+    p = tmp_path / "big.fastq"
+    p.write_text(text)
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        parts = spark.read.text(str(p)).rdd.getNumPartitions()
+        assert parts > 1  # the split forcing actually happened
+        got = {
+            r["seq_id"]: r["seq"]
+            for r in read_fastq_sequences(spark, str(p)).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    assert got == reads
+
+
 def test_k_bounds():
     import pyspark.sql  # noqa: F401
 
