@@ -77,6 +77,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
 
     compress = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "0") != "0"
     mat = os.environ.get("SPARK_GRAFT_CC_MATERIALIZE", "window")
+    algo = os.environ.get("SPARK_GRAFT_CC_ALGORITHM", "two_phase")
     shm = "/dev/shm/spark-bench-tmp"
     os.makedirs(shm, exist_ok=True)
     spark = get_spark(
@@ -107,7 +108,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     n_edges = edges.count()  # warm the scan before the clock starts
     tot0, steal0 = _cpu_stat()
     t0 = time.monotonic()
-    res = connected_components(edges, algorithm="two_phase", materialize=mat)
+    res = connected_components(edges, algorithm=algo, materialize=mat)
     n_labels = res.labels.count()  # force the final plan
     dt = time.monotonic() - t0
     tot1, steal1 = _cpu_stat()
@@ -126,6 +127,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
                 "supersteps": res.iterations,
                 "cc_seconds": round(dt, 3),
                 "superstep_seconds": round(superstep_sec, 3),
+                "algorithm": algo,
                 "materialize": mat,
                 "shuffle_compress": compress,
                 # ambient-load transparency: >~0.5 before a run means the
@@ -209,7 +211,7 @@ def main() -> None:
     # repetitions to damp single-box variance)
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "7"))
         n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         tmp = tempfile.mkdtemp(prefix="bench_scaling_")
         graph_path = os.path.join(tmp, "edges.parquet")
@@ -244,11 +246,13 @@ def main() -> None:
         lo, hi = results[n_cpus], results[4 * n_cpus]
         thr_n = lo["throughput_edges_per_sec_per_superstep"]
         thr_4n = hi["throughput_edges_per_sec_per_superstep"]
-        # Primary efficiency estimator: median of PER-PAIR ratios. Each rep
-        # runs N then 4N back-to-back, so slow host drift (the documented 3x
-        # mood swings) hits both levels of a pair about equally and cancels
-        # in the ratio; the ratio-of-medians pairs measurements taken up to
-        # 15 minutes apart and keeps the drift. Both reported.
+        # Primary efficiency estimator: ratio of per-level MEDIANS — robust
+        # to this host's spiky per-run noise (observed: single runs 3x off
+        # with steal≈0) and protocol-consistent with earlier rounds. The
+        # per-pair ratios (each rep runs N then 4N back-to-back) are
+        # reported alongside with their median: they cancel slow hour-scale
+        # drift but amplify single-run spikes, so neither estimator
+        # dominates — read both against the spreads.
         pair_effs = []
         for rn, r4 in rep_pairs:
             a = rn["throughput_edges_per_sec_per_superstep"]
@@ -270,8 +274,8 @@ def main() -> None:
             "cc_seconds_4n": hi["cc_seconds"],
             "throughput_n": thr_n,
             "throughput_4n": thr_4n,
-            "scaling_efficiency": median_pair_eff,
-            "efficiency_of_medians": round(thr_4n / thr_n / 4.0, 3),
+            "scaling_efficiency": round(thr_4n / thr_n / 4.0, 3),
+            "median_pair_efficiency": median_pair_eff,
             "pair_efficiencies": pair_effs,
             "spread_n": spreads[n_cpus],
             "spread_4n": spreads[4 * n_cpus],
