@@ -227,6 +227,18 @@ def _q_bfs_chain(spark, sf_dir):
     return res.parents.orderBy("v")
 
 
+def _q_bfs_chain_csr(spark, sf_dir):
+    """Same BFS sweep expanded against the cached hash-partitioned CSR
+    adjacency blocks (plans/csr.adjacency_blocks via use_csr) — verifies
+    the reference's build-once/reuse-per-SpMV adjacency structure
+    (bfsRunner.hpp:111-160) against the identical oracle."""
+    from parconnect_spark.plans.bfs import bfs
+
+    edges = _chain_graph(spark, sf_dir)
+    res = bfs(edges, num_runs=1, use_csr=True)
+    return res.parents.orderBy("v")
+
+
 def _q_pagerank(spark, sf_dir):
     from parconnect_spark.plans.pagerank import pagerank
 
@@ -451,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
         "bfs_chain": _q_bfs_chain,
+        "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
@@ -754,6 +767,13 @@ reach(v, lbl) AS (
 )
 SELECT v, MIN(lbl) AS label FROM reach GROUP BY v ORDER BY v""",
         "bfs_chain": "WITH "
+        + CHAIN_CTES.strip()
+        + """,
+mn AS (SELECT MIN(u) AS m FROM users)
+SELECT u AS v, CASE WHEN u = mn.m THEN u ELSE u - 1 END AS parent
+FROM users CROSS JOIN mn
+WHERE u - mn.m < 10 ORDER BY v""",
+        "bfs_chain_csr": "WITH "
         + CHAIN_CTES.strip()
         + """,
 mn AS (SELECT MIN(u) AS m FROM users)
