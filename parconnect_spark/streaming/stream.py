@@ -21,7 +21,7 @@ scale. Three operators:
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F

@@ -9,7 +9,7 @@ from parconnect_spark.plans.connectivity import (
     component_count,
     largest_component_size,
 )
-from parconnect_spark.sources.generators import chain_edges, kronecker_edges
+from parconnect_spark.sources.generators import kronecker_edges
 from tests.conftest import expected_membership
 
 ALGOS = ["two_phase", "min_label"]

@@ -1,13 +1,11 @@
-import numpy as np
 import pandas as pd
-import pyspark.sql.functions as F
 
 from parconnect_spark.plans.csr import (
     _np_union_find_kernel,
     adjacency_blocks,
     local_contract_cc,
 )
-from parconnect_spark.sources.generators import chain_edges, kronecker_edges
+from parconnect_spark.sources.generators import kronecker_edges
 from tests.conftest import expected_membership
 
 

@@ -1,4 +1,3 @@
-import pyspark.sql.functions as F
 
 from parconnect_spark.functions.dedup import (
     exact_dup_groups,

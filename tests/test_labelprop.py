@@ -1,4 +1,3 @@
-from parconnect_spark.operators.graph import symmetrize
 from parconnect_spark.plans.labelprop import label_propagation
 
 

@@ -1,6 +1,5 @@
 import numpy as np
 
-from parconnect_spark.operators.graph import symmetrize
 from parconnect_spark.plans.pagerank import pagerank
 
 
