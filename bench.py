@@ -219,7 +219,11 @@ def main() -> None:
     # repetitions to damp single-box variance)
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+        # 3 reps default: at the 45M-edge size per-run spreads are ±12%
+        # (vs 3x at the old size), so 3 interleaved pairs bound the median
+        # while keeping the whole protocol inside ~25 min; in-tree
+        # characterization runs used SPARK_GRAFT_SCALE_REPS=5.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         tmp = tempfile.mkdtemp(prefix="bench_scaling_")
         graph_path = os.path.join(tmp, "edges.parquet")
