@@ -219,11 +219,11 @@ def main() -> None:
     # repetitions to damp single-box variance)
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        # 3 reps default: at the 45M-edge size per-run spreads are ±12%
-        # (vs 3x at the old size), so 3 interleaved pairs bound the median
-        # while keeping the whole protocol inside ~25 min; in-tree
-        # characterization runs used SPARK_GRAFT_SCALE_REPS=5.
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        # 5 interleaved pairs: a timed dress rehearsal of the whole
+        # protocol at 3 pairs took 20 min and showed 3 pairs are too few
+        # for stable pair statistics (one batch drew 0.37..1.27); 5 pairs
+        # adds ~8 min and was measured stable (pair band 0.512..0.661).
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
         n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         tmp = tempfile.mkdtemp(prefix="bench_scaling_")
         graph_path = os.path.join(tmp, "edges.parquet")
