@@ -271,10 +271,10 @@ def _q_labelprop_majority(spark, sf_dir):
 
 
 def _q_triangle_count(spark, sf_dir):
-    from parconnect_spark.plans.triangles import _enumerate_triangles
+    from parconnect_spark.plans.triangles import enumerate_triangles
 
     _, edges, _ = _graph(spark, sf_dir)
-    return _enumerate_triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return enumerate_triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def _q_triangles_per_vertex(spark, sf_dir):

@@ -28,23 +28,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_REGISTRY: dict[str, list[DataFrame]] = {}
+_REGISTRY: dict[tuple[str, int], list[DataFrame]] = {}
+
+
+def _key(spark: SparkSession) -> tuple[str, int]:
+    # applicationId alone is NOT session-unique: sibling sessions from
+    # spark.newSession() share one SparkContext, and a shared bucket would
+    # let release_caches(sessionA) unpersist sessionB's still-needed caches
+    # (silent recompute). The Python object id disambiguates siblings; the
+    # applicationId component keeps keys valid across context restarts.
+    return (spark.sparkContext.applicationId, id(spark))
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() + register for later ``release_caches`` cleanup."""
     out = df.persist()
-    key = df.sparkSession.sparkContext.applicationId
-    _REGISTRY.setdefault(key, []).append(out)
+    _REGISTRY.setdefault(_key(df.sparkSession), []).append(out)
     return out
 
 
 def release_caches(spark: SparkSession) -> int:
-    """Unpersist every registered operator-internal cache of this session.
-    Returns the number of caches released. Blocking=False: eviction happens
-    asynchronously, callers never wait on it."""
-    key = spark.sparkContext.applicationId
-    dfs = _REGISTRY.pop(key, [])
+    """Unpersist every registered operator-internal cache of this session
+    (the exact SparkSession object — sibling sessions sharing the context
+    keep their own caches). Returns the number of caches released.
+    Blocking=False: eviction happens asynchronously, callers never wait on
+    it."""
+    dfs = _REGISTRY.pop(_key(spark), [])
     n = 0
     for df in dfs:
         try:

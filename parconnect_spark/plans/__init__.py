@@ -6,7 +6,11 @@ from parconnect_spark.plans.connectivity import (
 )
 from parconnect_spark.plans.pagerank import pagerank
 from parconnect_spark.plans.labelprop import label_propagation
-from parconnect_spark.plans.triangles import triangle_count, triangles_per_vertex
+from parconnect_spark.plans.triangles import (
+    enumerate_triangles,
+    triangle_count,
+    triangles_per_vertex,
+)
 from parconnect_spark.plans.bfs import bfs, bfs_peel
 from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
 
@@ -19,6 +23,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangles_per_vertex",
+    "enumerate_triangles",
     "bfs",
     "bfs_peel",
     "should_run_bfs",

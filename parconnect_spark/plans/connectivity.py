@@ -464,12 +464,18 @@ def _degree_census(canon: DataFrame) -> tuple[int, int, int]:
 def _execution_width(spark) -> int:
     """Concurrent task slots — the width the straggler crossover cares
     about. defaultParallelism is unreliable here (session.py pins
-    spark.default.parallelism to the shuffle-partition count), so local
-    masters are parsed directly; on a cluster defaultParallelism ≈ total
-    executor cores."""
+    spark.default.parallelism to the shuffle-partition count, so on a
+    1000-core cluster built via get_spark it would read 32 and the auto
+    rule would under-salt hubs by ~30x), so: local masters are parsed
+    directly; cluster masters are sized from the submit conf
+    (executor.instances × executor.cores) or, under dynamic allocation,
+    from the live executor registry; the pinned defaultParallelism is only
+    the last-resort fallback."""
     import os
 
     master = spark.sparkContext.master
+    if master == "local":  # bare 'local' = exactly one task slot
+        return 1
     if master.startswith("local[") and master.endswith("]"):
         inner = master[len("local["):-1].split(",")[0]
         if inner == "*":
@@ -477,6 +483,28 @@ def _execution_width(spark) -> int:
         try:
             return max(int(inner), 1)
         except ValueError:
+            pass
+
+    def _conf_int(key: str) -> int:
+        try:
+            return int(spark.conf.get(key))
+        except Exception:
+            return 0
+
+    cores = _conf_int("spark.executor.cores")
+    instances = _conf_int("spark.executor.instances")
+    if instances > 0 and cores > 0:
+        return instances * cores
+    if cores > 0:
+        # dynamic allocation: count live executors (block-manager registry
+        # minus the driver's own entry)
+        try:
+            n_exec = (
+                spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+            )
+            if n_exec > 0:
+                return n_exec * cores
+        except Exception:
             pass
     return max(int(spark.sparkContext.defaultParallelism), 1)
 
@@ -513,9 +541,15 @@ def _cc_two_phase(
 
     # Strategy resolution (once per run, on the working set actually being
     # iterated). The census is one aggregate; the packed-id bounds check is
-    # one cheap min/max scan. Decisions stay fixed across supersteps — the
-    # working set only contracts, which never flips window→salted (hubs
-    # merge away, they do not appear).
+    # one cheap min/max scan. The window/salted choice is a heuristic on the
+    # INPUT degree distribution, not an invariant of every superstep:
+    # two_phase convergence drives each component toward a star on its min
+    # vertex, so LATE supersteps are maximally hub-skewed by construction —
+    # but by then the working set has contracted to ~|V'| rows, so the
+    # window round's serialized hub group is small in absolute terms. The
+    # broadcast gate needs no re-check at all: its quantity (|V'| = the
+    # min-table rows) is a run INVARIANT — see the proof note at the bottom
+    # of the loop — so the round-0 census decides it exactly, for good.
     strategy = materialize
     broadcast_mins = True
     if materialize in ("auto", "salted"):
@@ -598,11 +632,23 @@ def _cc_two_phase(
             "algorithm": "two_phase",
             "strategy": strategy,
             "packed": packed,
+            "broadcast_mins": broadcast_mins,
             "edges": cnt,
             "checksum": s,
             "seconds": dt,
         }
         metrics.append(m)
+        # No per-round broadcast-gate re-check — it is PROVABLY dead code,
+        # not an omission (NOTES.md round-4): the gated quantity is the
+        # min-table row count = |V'| of the working set, and every vertex of
+        # the input persists in the two_phase working set forever (non-roots
+        # as star members (v, m), roots as those stars' dst — verified
+        # empirically: nv exactly constant across all rounds on chain/star/
+        # transcript graphs). The round-0 census is therefore exact for the
+        # life of the run. Any cheap per-round witness is weaker: nv ≤ 2|E'|
+        # always, so "2·cnt ≤ gate" firing would imply the round-0 gate was
+        # already open. Revisit only if an active/stable working-set split
+        # (reference opt P4) lands for two_phase — THAT would shrink |V'|.
         if checkpoint is not None and it % checkpoint_every == 0:
             nxt = checkpoint.save(it, nxt, m)
         if prev == (cnt, s):

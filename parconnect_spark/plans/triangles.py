@@ -47,9 +47,11 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def _enumerate_triangles(edges: DataFrame) -> DataFrame:
+def enumerate_triangles(edges: DataFrame) -> DataFrame:
     """DataFrame[a, b, c]: one row per triangle; a = apex in degree order,
-    (b, c) ordered by the same (degree, id) total order."""
+    (b, c) ordered by the same (degree, id) total order. Public: the
+    driver contract and downstream per-triangle analyses consume it
+    directly, not just the two count reductions below."""
     o = scoped_persist(_oriented(edges))
     w1 = o.select(
         F.col("lo").alias("a"),
@@ -78,7 +80,7 @@ def _enumerate_triangles(edges: DataFrame) -> DataFrame:
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """DataFrame[v, triangles] — triangle participation counts."""
-    tri = _enumerate_triangles(edges)
+    tri = enumerate_triangles(edges)
     longf = (
         tri.select(F.col("a").alias("v"))
         .unionByName(tri.select(F.col("b").alias("v")))
@@ -89,4 +91,4 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> int:
     """Exact global triangle count."""
-    return int(_enumerate_triangles(edges).count())
+    return int(enumerate_triangles(edges).count())

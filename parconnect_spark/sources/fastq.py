@@ -50,7 +50,13 @@ def read_fastq_sequences(spark: SparkSession, path: str) -> DataFrame:
         spark.read.text(path)
         .select("value", F.monotonically_increasing_id().alias("_mid"))
         # mid = partition_id << 33 | row-ordinal-within-partition (the
-        # documented encoding) — decompose rather than re-derive
+        # layout documented on monotonically_increasing_id since Spark 1.6
+        # and load-bearing here: the offset exscan joins on the decomposed
+        # _pid, and the sizes job + this job must plan identical file
+        # splits — true within one session's deterministic FileScan. If a
+        # future Spark changes the bit layout, the pmod(idx,4) framing
+        # check below starts dropping/misframing records loudly (parse
+        # failures in downstream k-mer tests), not silently.
         .select(
             "value",
             F.shiftrightunsigned("_mid", 33).alias("_pid"),

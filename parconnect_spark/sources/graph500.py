@@ -338,8 +338,11 @@ def generate_window(
 
     rec(0, num_edges, nverts, 0, 0)
     # every window slot must have been filled by exactly one recursion leaf —
-    # the window decomposition is a partition of [first_edge, last_edge)
-    assert all(e is not None for e in out), "graph500 window left unfilled slots"
+    # the window decomposition is a partition of [first_edge, last_edge).
+    # Explicit raise (not assert): under `python -O` an assert is stripped
+    # and an unfilled slot would emit null rows into the long edge columns.
+    if any(e is None for e in out):
+        raise RuntimeError("graph500 window left unfilled slots")
     return out
 
 
