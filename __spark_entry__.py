@@ -322,6 +322,41 @@ reach(v, lbl) AS (
 SELECT v, MIN(lbl) AS label FROM reach GROUP BY v ORDER BY v"""
 
 
+def _q_cc_hybrid(spark, sf_dir):
+    """The reference's shipped binary end-to-end: statistics-driven decision
+    (CSN-MLE power-law KS fit) → BFS peel of the giant component → label-
+    propagation coloring of the residual (benchmark_parconnect_auto.cpp:
+    194-267), on a deterministic scale-free graph built so the KS fit
+    actually fires (measured 0.034 < 0.05) and BOTH stages do real work.
+    Verified against the same recursive-CTE min-reach oracle as the other
+    CC entries; tests/test_pipeline.py asserts ran_bfs=True on this graph."""
+    from parconnect_spark.pipeline import parconnect_pipeline
+    from parconnect_spark.sources.generators import powerlaw_star_edges
+
+    edges = powerlaw_star_edges(spark)
+    res = parconnect_pipeline(edges)
+    return res.labels.orderBy("v")
+
+
+def _cc_hybrid_oracle() -> str:
+    """Min-reach ground truth over the SAME deterministic edge list,
+    embedded as literals (the graph500-oracle pattern)."""
+    from parconnect_spark.sources.generators import powerlaw_star_edge_list
+
+    und = powerlaw_star_edge_list()
+    values = ",".join(f"({a},{b})" for a, b in und)
+    return f"""
+WITH RECURSIVE raw(src, dst) AS (VALUES {values}),
+sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+verts AS (SELECT DISTINCT src AS v FROM sym),
+reach(v, lbl) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN sym e ON e.src = r.v
+)
+SELECT v, MIN(lbl) AS label FROM reach GROUP BY v ORDER BY v"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     from parconnect_spark.functions.dedup import exact_dup_groups
 
@@ -462,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
+        "cc_hybrid": _q_cc_hybrid,
         "bfs_chain": _q_bfs_chain,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -781,6 +817,7 @@ SELECT u AS v, CASE WHEN u = mn.m THEN u ELSE u - 1 END AS parent
 FROM users CROSS JOIN mn
 WHERE u - mn.m < 10 ORDER BY v""",
         "cc_kronecker": _cc_kronecker_oracle(),
+        "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),

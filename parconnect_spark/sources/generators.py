@@ -93,3 +93,65 @@ def kronecker_edges(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     return edges
+
+
+def powerlaw_star_edge_list(
+    n_hubs: int = 500,
+    alpha: float = 2.3,
+    smax: int = 400,
+    giant_hubs: int = 40,
+    seed: int = 77,
+) -> list[tuple[int, int]]:
+    """Deterministic scale-free test graph for the hybrid pipeline: a star
+    forest whose hub sizes follow a discrete power law (inverse-CDF over
+    counter-based splitmix64 draws — no RNG state, bit-stable forever), with
+    the first ``giant_hubs`` hubs chained into one component containing
+    vertex 0.
+
+    Purpose-built so the reference's runBFSDecision fires
+    (benchmark_parconnect_auto.cpp:194-210: CSN-MLE KS fit < 0.05 — measured
+    0.034 at these defaults): the BFS sweep peels vertex 0's chained giant
+    component and label-propagation coloring gets the remaining stars, i.e.
+    BOTH stages of the shipped binary's hybrid path do real work. Pure
+    Python on purpose: the DuckDB oracle embeds exactly these edges as
+    literals (like the graph500 oracle), so the driver compares the full
+    pipeline against min-reach ground truth on byte-identical input.
+
+    Returns undirected edges once (a < b by construction)."""
+    sizes = np.arange(1, smax + 1, dtype=float)
+    p = sizes ** -alpha
+    p /= p.sum()
+    cdf = np.cumsum(p)
+    ctr = np.uint64(seed) * np.uint64(0x100000001) + np.arange(
+        n_hubs, dtype=np.uint64
+    )
+    u = _splitmix64(ctr).astype(np.float64) / float(2 ** 64)
+    hub_sizes = (np.searchsorted(cdf, u) + 1).tolist()
+    edges: list[tuple[int, int]] = []
+    hub_ids: list[int] = []
+    nxt = 0
+    for sz in hub_sizes:
+        hub = nxt
+        hub_ids.append(hub)
+        nxt += 1
+        for _ in range(sz):
+            edges.append((hub, nxt))
+            nxt += 1
+    for a, b in zip(hub_ids[: giant_hubs - 1], hub_ids[1:giant_hubs]):
+        edges.append((a, b))
+    return edges
+
+
+def powerlaw_star_edges(
+    spark: SparkSession,
+    n_hubs: int = 500,
+    alpha: float = 2.3,
+    smax: int = 400,
+    giant_hubs: int = 40,
+    seed: int = 77,
+    both_directions: bool = True,
+) -> DataFrame:
+    """``powerlaw_star_edge_list`` as a symmetric edge DataFrame."""
+    und = powerlaw_star_edge_list(n_hubs, alpha, smax, giant_hubs, seed)
+    rows = und + [(b, a) for a, b in und] if both_directions else und
+    return spark.createDataFrame(rows, "src long, dst long")

@@ -98,3 +98,30 @@ def test_cli_resume_through_checkpoint(spark, tmp_path, capsys):
     got = {r["v"]: r["label"] for r in spark.read.parquet(out).collect()}
     assert got == want
     assert payload["components"] == len(set(want.values()))
+
+
+def test_pipeline_hybrid_decision_fires_and_labels_exact(spark):
+    """The driver-contract cc_hybrid graph (deterministic power-law star
+    forest with a chained giant component at vertex 0) must actually take
+    the hybrid path: the CSN-MLE KS fit fires (ran_bfs=True, VERDICT r3
+    next-round #2), ONE BFS run peels vertex 0's component, coloring labels
+    the rest, and the merged per-vertex labels equal union-find ground
+    truth with components = bfs + coloring counts."""
+    from parconnect_spark.sources.generators import (
+        powerlaw_star_edge_list,
+        powerlaw_star_edges,
+    )
+
+    und = powerlaw_star_edge_list()
+    edges = powerlaw_star_edges(spark)
+    res = parconnect_pipeline(edges)
+
+    assert res.ran_bfs is True
+    assert res.bfs_components == 1  # one sweep peels vertex 0's component
+    exp = expected_membership(und)
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == exp
+    assert res.component_count == len(set(exp.values()))
+    # the peel did real work: the residual coloring saw fewer components
+    # than the whole graph has
+    assert res.component_count > 1
