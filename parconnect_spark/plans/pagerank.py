@@ -11,14 +11,26 @@ BASELINE.json), or exactly ``num_iters`` fixed iterations when ``tol`` is
 None (used by the DuckDB oracle comparison, which unrolls the same fixed
 recurrence in SQL).
 
-Scale notes:
-* contributions are a single shuffle per iteration: edges ⨝ ranks on src
-  (ranks side is |V|, edge side |E|) then groupBy(dst).sum — Catalyst gives
-  map-side partial sums.
+Physical plan (one iteration):
+* ``|V| <= broadcast_max_rows`` (the common case until ~10^8 vertices):
+  the rank table is BROADCAST into the edge join, so the persisted edge
+  table is never exchanged — the iteration's only shuffle is the map-side-
+  combined groupBy(dst) partial sum, and the whole iteration runs as ONE
+  job (the convergence-delta aggregate materializes the lazily
+  local-checkpointed new ranks).
+* above the gate: the edge table is cached PRE-HASHED on ``src`` once, so
+  every iteration's join exchanges only the |V|-row rank side
+  (shuffle-hash hinted — no per-iteration re-sort of |E| rows).
 * hub skew: ``salt_buckets > 1`` splits hot dst keys into that many partial
   groups before the final combine (two-phase aggregation, the explicit
   skew handling BASELINE.json requires). For sum() the rewrite is exact.
-* lineage truncated per iteration via localCheckpoint.
+* lineage truncated per iteration via lazy localCheckpoint; with ``tol``
+  set the delta aggregate is the materializing action (1 job/iteration).
+
+Resumability (north_rule): pass a SuperstepCheckpoint — every
+``checkpoint_every``-th iteration persists the rank table + iteration
+metrics, and a rerun resumes from the last committed iteration (identity-
+stamped against the input graph like plans/connectivity.py).
 """
 
 from __future__ import annotations
@@ -26,6 +38,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.operators.graph import vertices as vertex_table
+
+#: |V| gate for broadcasting the rank table into the per-iteration join.
+#: 8M (v:long, rank:double) rows ≈ 250 MB as a broadcast relation — the same
+#: executor-memory calculus as plans/connectivity.BROADCAST_MAX_ROWS.
+BROADCAST_MAX_ROWS = 8_000_000
+
+
+def _directed_checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive (count, hash-sum) fingerprint of the DIRECTED edge
+    set (orientation matters for PageRank, unlike connectivity's canonical
+    form)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["cnt"]), int(row["s"] or 0)
 
 
 def pagerank(
@@ -36,6 +64,8 @@ def pagerank(
     salt_buckets: int = 1,
     hub_degree_threshold: int | None = None,
     checkpoint=None,
+    checkpoint_every: int = 1,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]. ``edges`` are directed
     (u→v); pass a symmetrized table for undirected semantics.
@@ -44,6 +74,8 @@ def pagerank(
     aggregation. With ``hub_degree_threshold`` set, only edges whose dst
     in-degree exceeds it are salted (degree-based edge splitting,
     operators/skew.py) — cold keys keep the single-phase path."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     verts = (
         vertex_table(edges)
         .unionByName(edges.select(F.col("dst").alias("v")).distinct())
@@ -53,10 +85,13 @@ def pagerank(
     n = verts.count()
     if n == 0:
         verts.unpersist()
-        return edges.sparkSession.createDataFrame([], "v long, rank double")
+        return spark.createDataFrame([], "v long, rank double")
+    bcast_ranks = n <= broadcast_max_rows
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
 
-    # Pre-join degree onto edges once; reused every iteration.
+    # Pre-join degree onto edges once; reused every iteration. Above the
+    # broadcast gate the cache is pre-hashed on the join key so the big side
+    # never re-exchanges (the rank side is the only per-iteration shuffle).
     contrib_edges = edges.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w")
     )
@@ -74,10 +109,29 @@ def pagerank(
             contrib_edges = contrib_edges.withColumn(
                 "_salt", F.pmod(F.hash("src"), F.lit(salt_buckets))
             )
+    if not bcast_ranks:
+        contrib_edges = contrib_edges.repartition(parts, "src")
     contrib_edges = contrib_edges.persist()
     contrib_edges.count()
 
+    if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
+        cnt, s = _directed_checksum(edges)
+        checkpoint.bind_identity(
+            {
+                "algorithm": "pagerank",
+                "working_set_schema": "v:long,rank:double",
+                "input_edges": cnt,
+                "input_checksum": str(s),
+                "damping": damping,
+            }
+        )
+
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    it = 0
+    if checkpoint is not None:
+        step, df = checkpoint.latest()
+        if step is not None:
+            it, ranks = step, df.localCheckpoint()
     teleport = (1.0 - damping) / n
 
     # The dangling SET is fixed; compute it once. On symmetric graphs it is
@@ -87,16 +141,17 @@ def pagerank(
     ).persist()
     has_dangling = dangling_verts.limit(1).count() > 0
 
-    it = 0
     while it < num_iters:
         it += 1
         dangling = (
             dangling_verts.join(ranks, "v").agg(F.sum("rank")).collect()[0][0] or 0.0
         ) if has_dangling else 0.0
+        rank_side = F.broadcast(ranks) if bcast_ranks else ranks.hint("shuffle_hash")
+        joined = contrib_edges.join(
+            rank_side, contrib_edges["src"] == rank_side["v"]
+        )
         if salt_buckets > 1:
-            contribs = contrib_edges.join(
-                ranks, contrib_edges["src"] == ranks["v"]
-            ).select(
+            contribs = joined.select(
                 "dst", "_salt", (F.col("rank") * F.col("_w")).alias("_c")
             )
             partial = contribs.groupBy("dst", "_salt").agg(
@@ -104,10 +159,12 @@ def pagerank(
             )
             summed = partial.groupBy("dst").agg(F.sum("_ps").alias("_s"))
         else:
-            contribs = contrib_edges.join(
-                ranks, contrib_edges["src"] == ranks["v"]
-            ).select(F.col("dst"), (F.col("rank") * F.col("_w")).alias("_c"))
+            contribs = joined.select(
+                F.col("dst"), (F.col("rank") * F.col("_w")).alias("_c")
+            )
             summed = contribs.groupBy("dst").agg(F.sum("_c").alias("_s"))
+        if bcast_ranks:
+            summed = F.broadcast(summed)
         new = verts.join(summed, verts["v"] == summed["dst"], "left").select(
             "v",
             (
@@ -116,18 +173,38 @@ def pagerank(
                 * (F.coalesce("_s", F.lit(0.0)) + F.lit(dangling / n))
             ).alias("rank"),
         )
-        new = new.localCheckpoint()
+        # Lazy checkpoint: the logical plan truncates now; the blocks
+        # materialize under the delta aggregate (tol mode — exactly one job
+        # per iteration) or cascade into the caller's terminal action (fixed
+        # num_iters mode — the whole unrolled recurrence is ONE job).
+        new = new.localCheckpoint(eager=False)
+        delta = None
         if tol is not None:
+            old = ranks.select("v", F.col("rank").alias("_old"))
+            if bcast_ranks:
+                old = F.broadcast(old)
             delta = (
-                new.join(ranks.withColumnRenamed("rank", "_old"), "v")
+                new.join(old, "v")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("d"))
                 .collect()[0]["d"]
             )
-            ranks = new
-            if delta < tol:
-                break
-        else:
-            ranks = new
+        ranks = new
+        if tol is None and it % 8 == 0:
+            # Fixed-iteration mode has no per-iteration action; bound the
+            # lazy-checkpoint cascade depth (nested broadcast subqueries
+            # execute recursively at the terminal action — fine at 8 deep,
+            # fragile at 50) by materializing every 8th iteration.
+            ranks.count()
+        if checkpoint is not None and it % checkpoint_every == 0:
+            m = {
+                "iteration": it,
+                "algorithm": "pagerank",
+                "dangling_mass": dangling,
+                "l1_delta": delta,
+            }
+            ranks = checkpoint.save(it, ranks, m)
+        if delta is not None and delta < tol:
+            break
 
     verts.unpersist()
     out_deg.unpersist()

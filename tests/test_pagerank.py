@@ -61,3 +61,60 @@ def test_pagerank_salted_equals_plain(spark):
     }
     for v in plain:
         assert abs(plain[v] - salted[v]) < 1e-12
+
+
+def test_pagerank_partitioned_path_equals_broadcast(spark):
+    """broadcast_max_rows=0 forces the above-the-gate physical plan (edge
+    cache pre-hashed on src, shuffle-hash rank join) — identical ranks."""
+    und = [(i, i + 1) for i in range(25)] + [(0, j) for j in range(2, 15)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    bcast = {r["v"]: r["rank"] for r in pagerank(edges, tol=1e-10).collect()}
+    parted = {
+        r["v"]: r["rank"]
+        for r in pagerank(edges, tol=1e-10, broadcast_max_rows=0).collect()
+    }
+    assert sorted(bcast) == sorted(parted)
+    for v in bcast:
+        assert abs(bcast[v] - parted[v]) < 1e-12
+
+
+def test_pagerank_checkpoint_resume_parity(spark, tmp_path):
+    """A run killed after k iterations resumes from the checkpoint and ends
+    bit-identical to an uninterrupted fixed-iteration run."""
+    from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
+
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]  # 4 is dangling
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    full = {r["v"]: r["rank"] for r in pagerank(edges, tol=None, num_iters=6).collect()}
+
+    ck1 = SuperstepCheckpoint(spark, str(tmp_path), "pr")
+    pagerank(edges, tol=None, num_iters=3, checkpoint=ck1).collect()
+    assert ck1.committed_steps()[-1] == 3
+    assert ck1.latest_meta()["metrics"]["iteration"] == 3
+
+    ck2 = SuperstepCheckpoint(spark, str(tmp_path), "pr")
+    resumed = {
+        r["v"]: r["rank"]
+        for r in pagerank(edges, tol=None, num_iters=6, checkpoint=ck2).collect()
+    }
+    assert ck2.committed_steps()[-1] == 6
+    for v in full:
+        assert abs(full[v] - resumed[v]) < 1e-12
+
+
+def test_pagerank_checkpoint_rejects_foreign_graph(spark, tmp_path):
+    import pytest as _pytest
+
+    from parconnect_spark.streaming.checkpoint import (
+        CheckpointIdentityError,
+        SuperstepCheckpoint,
+    )
+
+    e1 = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    e2 = spark.createDataFrame([(0, 2), (2, 0)], "src long, dst long")
+    ck1 = SuperstepCheckpoint(spark, str(tmp_path), "prx")
+    pagerank(e1, tol=None, num_iters=2, checkpoint=ck1).collect()
+    ck2 = SuperstepCheckpoint(spark, str(tmp_path), "prx")
+    with _pytest.raises(CheckpointIdentityError):
+        pagerank(e2, tol=None, num_iters=2, checkpoint=ck2).collect()
