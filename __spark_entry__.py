@@ -433,6 +433,59 @@ def _q_similarity_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_similarity_ivf(spark, sf_dir):
+    from parconnect_spark.functions.similarity import ivf_topk
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5")
+    out = ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def _similarity_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
+    """Replicates ivf_topk exactly: centroids = the n_lists lowest-id
+    vectors (pure SQL — no literals needed), max-cosine list assignment
+    with (cosine DESC, cid ASC) ties, n_probe probed lists per query,
+    exact cosine top-k over probed lists only."""
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cid, ev AS cv FROM base WHERE vec_id < {n_lists}),
+scored_lists AS (
+  SELECT b.vec_id, b.ev, c.cid,
+         list_cosine_similarity(b.ev, c.cv) AS ccos,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                            ORDER BY list_cosine_similarity(b.ev, c.cv) DESC,
+                                     c.cid ASC) AS rk
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, ev AS cv, cid AS list
+  FROM scored_lists WHERE rk = 1
+),
+probed AS (
+  SELECT vec_id AS query_id, ev AS qv, cid AS list
+  FROM scored_lists WHERE vec_id < 5 AND rk <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id, p.qv, a.cv
+  FROM probed p JOIN assigned a USING (list)
+  WHERE p.query_id <> a.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id ASC) AS rk
+  FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= {k} ORDER BY query_id, rank"""
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs over LSH-bucketed candidates. The
     synthetic embeddings have no true near-dups (max pairwise cosine ≈0.51
@@ -514,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
+        "similarity_ivf": _q_similarity_ivf,
         "events_rollup": _q_events_rollup,
     }
 
@@ -860,6 +914,7 @@ ORDER BY id_a, id_b""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": _embedding_dedup_oracle(),
         "similarity_lsh": _similarity_lsh_oracle(),
+        "similarity_ivf": _similarity_ivf_oracle(),
         "quality_features": """
 WITH base AS (
   SELECT doc_id, text,

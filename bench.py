@@ -64,6 +64,10 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
       OS) concentrates on low cores and would otherwise contend unequally.
     * off-heap Tungsten memory removes a GC contention that made 32
       threads *slower* than 8 on this box.
+    * shuffle factor 4 (partitions = 4 x cores): measured at 8c vs factor 8
+      (3.09M vs 2.81M edges/s/superstep) — 200-task stages with ~20ms tasks
+      were paying more dispatch than compute after the hub split removed
+      the data stragglers.
     * tmpfs shuffle dirs; shuffle compression per
       SPARK_GRAFT_SHUFFLE_COMPRESS (default mirrors a real cluster: on).
     """
@@ -86,6 +90,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     compress = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "0") != "0"
     mat = os.environ.get("SPARK_GRAFT_CC_MATERIALIZE", "window")
     algo = os.environ.get("SPARK_GRAFT_CC_ALGORITHM", "two_phase")
+    hub_mode = os.environ.get("SPARK_GRAFT_CC_HUB_MODE", "census")
     shm = "/dev/shm/spark-bench-tmp"
     os.makedirs(shm, exist_ok=True)
     spark = get_spark(
@@ -93,7 +98,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
         # shuffle partitions sized to the parallelism level, like a real
         # deployment sizes them to cluster width (identical code, the
         # config is a function of the level)
-        shuffle_partitions=8 * cpus,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_FACTOR", "4")) * cpus,
         extra_conf={
             "spark.local.dir": shm,
             "spark.shuffle.compress": str(compress).lower(),
@@ -116,7 +121,9 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     n_edges = edges.count()  # warm the scan before the clock starts
     tot0, steal0 = _cpu_stat()
     t0 = time.monotonic()
-    res = connected_components(edges, algorithm=algo, materialize=mat)
+    res = connected_components(
+        edges, algorithm=algo, materialize=mat, hub_mode=hub_mode
+    )
     n_labels = res.labels.count()  # force the final plan
     dt = time.monotonic() - t0
     tot1, steal1 = _cpu_stat()
@@ -137,6 +144,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
                 "superstep_seconds": round(superstep_sec, 3),
                 "algorithm": algo,
                 "materialize": mat,
+                "hub_mode": hub_mode,
                 "shuffle_compress": compress,
                 # ambient-load transparency: >~0.5 before a run means the
                 # box was not idle and the numbers are suspect

@@ -19,6 +19,8 @@ from parconnect_spark.functions.similarity import (
     cosine_scores,
     brute_force_topk,
     lsh_topk,
+    ivf_topk,
+    embedding_near_dup_pairs,
 )
 
 __all__ = [
@@ -40,4 +42,6 @@ __all__ = [
     "cosine_scores",
     "brute_force_topk",
     "lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
 ]

@@ -288,3 +288,105 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+#: default inverted-file list count. Real deployments size this ~sqrt(n)
+#: (10^8 vectors → ~10^4 lists); the driver contract pins 16 so the DuckDB
+#: oracle's argmin CTE stays cheap.
+DEFAULT_IVF_LISTS = 16
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = DEFAULT_IVF_LISTS,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the third ANN strategy next to
+    ``brute_force_topk`` (exact baseline) and ``lsh_topk`` (hyperplane
+    buckets).
+
+    Index: centroids are the ``n_lists`` lowest-id corpus vectors
+    (deterministic seed-sampling — no k-means iterations, so the whole
+    index is replicable in pure SQL); every corpus vector is assigned to
+    its max-cosine centroid (ties → smaller centroid id). Search: each
+    query probes its ``n_probe`` best lists and scores ONLY vectors in
+    those lists exactly.
+
+    Physical plan: centroids are collected once (n_lists rows — tiny) and
+    embedded as column literals, so list assignment is a NARROW map over
+    the corpus (no shuffle, no UDF — the same literal-projection trick as
+    ``lsh_bucket``); the probe→list lookup is an equi-join on the list id
+    with the (small, exploded) query side broadcast under the same
+    MAX_BROADCAST_QUERY_ROWS gate as lsh_topk. Candidate volume is
+    n_probe/n_lists of the corpus per query instead of all of it."""
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.where(F.col(id_col) < n_lists)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not cents:
+        raise ValueError(
+            f"IVF needs at least one centroid seed: no corpus {id_col} < {n_lists}"
+        )
+
+    def _scored_lists(vcol: str) -> F.Column:
+        """array<struct<cosine,negcid>> sorted best-first: cosine DESC,
+        centroid id ASC (negcid DESC)."""
+        entries = []
+        for row in cents:
+            cid = int(row[id_col])
+            cv = [float(x) for x in row[vec_col]]
+            cnorm = float(sum(x * x for x in cv)) ** 0.5
+            vec_lit = F.array(*[F.lit(x) for x in cv])
+            dot = F.aggregate(
+                F.zip_with(F.col(vcol), vec_lit, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cos = dot / (F.lit(cnorm) * _norm(vcol))
+            entries.append(F.struct(cos.alias("cosine"), F.lit(-cid).alias("negcid")))
+        return F.sort_array(F.array(*entries), asc=False)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
+        (-F.element_at(_scored_lists(vec_col), 1)["negcid"]).alias("list"),
+    )
+    n_queries = queries.count()
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
+        F.explode(
+            F.transform(
+                F.slice(_scored_lists(vec_col), 1, n_probe), lambda s: -s["negcid"]
+            )
+        ).alias("list"),
+    )
+    if n_queries * n_probe <= MAX_BROADCAST_QUERY_ROWS:
+        probed = F.broadcast(probed)
+    scored = (
+        probed.join(assigned, "list")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -124,7 +124,44 @@ def _small_star_canonical(canon: DataFrame, parts: int) -> DataFrame:
 _PACK_MASK = (1 << 32) - 1
 
 
-def _two_phase_round_window_packed(canon: DataFrame, parts: int) -> DataFrame:
+def _packed_group_min(
+    rows: DataFrame, hubs: list, parts: int
+) -> DataFrame:
+    """min(e) & MASK attached to every row of a packed edge set, grouped by
+    the packed src — the shared kernel of both window phases, with DEGREE-
+    BASED EDGE SPLITTING (BASELINE.json north_rule): rows whose src is in
+    ``hubs`` bypass the hash(src) window (whose single partition would
+    buffer/spill the whole hub group in one task) and take a map-side-
+    combined aggregate + broadcast join-back instead — the hub min table is
+    ≤ len(hubs) rows, so the join-back is a trivial broadcast and no task
+    ever holds a hub group. Returns columns [e, _mn]."""
+    from pyspark.sql import Window
+
+    src = F.shiftright("e", 32)
+    w = Window.partitionBy(src)
+    win_min = F.min("e").over(w).bitwiseAND(F.lit(_PACK_MASK))
+    if not hubs:
+        return rows.repartition(parts, src).select("e", win_min.alias("_mn"))
+    is_hub = src.isin(hubs)
+    cold = (
+        rows.where(~is_hub)
+        .repartition(parts, src)
+        .select("e", win_min.alias("_mn"))
+    )
+    hot = rows.where(is_hub)
+    hot_mins = hot.groupBy(src.alias("_hv")).agg(
+        F.min("e").bitwiseAND(F.lit(_PACK_MASK)).alias("_hmn")
+    )
+    hot_joined = hot.join(
+        F.broadcast(hot_mins), src == F.col("_hv")
+    ).select("e", F.col("_hmn").alias("_mn"))
+    return cold.unionByName(hot_joined)
+
+
+def _two_phase_round_window_packed(
+    canon: DataFrame, parts: int, hubs: list | None = None,
+    caches: list | None = None,
+) -> DataFrame:
     """The window round over PACKED single-long edge rows.
 
     Same rewiring semantics as _two_phase_round_window, but every exchange
@@ -135,12 +172,14 @@ def _two_phase_round_window_packed(canon: DataFrame, parts: int) -> DataFrame:
     once per run in _cc_two_phase; falls back to the unpacked round
     otherwise — e.g. de Bruijn k-mer ids, which use 62 bits).
 
+    ``hubs`` (vertex ids with straggler-scale symmetric degree, from the
+    run census / the per-superstep checksum census) activates degree-based
+    edge splitting in BOTH phases — see _packed_group_min.
+
     Key invariant making this work: within a src group the packed value
     orders exactly like dst (src is the constant high half), so
     min(packed) over the group == src<<32 | min(dst) — the grouped min
     never needs to unpack."""
-    from pyspark.sql import Window
-
     src = F.shiftright("e", 32)
     dst = F.col("e").bitwiseAND(F.lit(_PACK_MASK))
     fwd = canon.select(
@@ -149,24 +188,30 @@ def _two_phase_round_window_packed(canon: DataFrame, parts: int) -> DataFrame:
     rev = canon.select(
         (F.shiftleft(F.col("dst"), 32) + F.col("src")).alias("e")
     )
-    sym = fwd.unionByName(rev).repartition(parts, src)
-    w = Window.partitionBy(src)
+    sym = fwd.unionByName(rev)
     # large star: m = min(src, min over N(src)); min(e) over the src group
     # IS (src<<32 | min(dst)) — see invariant above
-    mm = sym.select(
-        "e",
-        F.least(src, F.min("e").over(w).bitwiseAND(F.lit(_PACK_MASK))).alias("_m"),
+    mm = _packed_group_min(sym, hubs or [], parts).select(
+        "e", F.least(src, F.col("_mn")).alias("_m")
     )
     ls = (
         mm.where(dst > src)
         .select((F.shiftleft(dst, 32) + F.col("_m")).alias("e"))
         .where(src != dst)
-        .repartition(parts, src)
     )
+    if hubs:
+        # the split consumes ls three ways (cold window, hub agg — which
+        # runs FIRST as a broadcast subquery and populates the cache — and
+        # hub join-back); without the lazy persist each consumer would
+        # recompute the whole large-star phase past the reused exchange.
+        # The loop unpersists after the round materializes.
+        ls = ls.persist()
+        if caches is not None:
+            caches.append(ls)
     # small star over the large-star output (rows keep src > dst, so the
     # same packed-min trick applies)
-    m2 = ls.select(
-        "e", F.min("e").over(w).bitwiseAND(F.lit(_PACK_MASK)).alias("_m")
+    m2 = _packed_group_min(ls, hubs or [], parts).select(
+        "e", F.col("_mn").alias("_m")
     )
     pairs = m2.select(
         F.explode(
@@ -183,7 +228,38 @@ def _two_phase_round_window_packed(canon: DataFrame, parts: int) -> DataFrame:
     return deduped.select(src.alias("src"), dst.alias("dst"))
 
 
-def _two_phase_round_window(canon: DataFrame, parts: int) -> DataFrame:
+def _group_min(rows: DataFrame, hubs: list, parts: int) -> DataFrame:
+    """Unpacked twin of _packed_group_min: min(dst) per src group attached
+    to every [src, dst] row, hub src groups split out of the window into a
+    combine-aggregate + broadcast join-back. Returns [src, dst, _mn]."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
+    win_min = F.min("dst").over(w)
+    if not hubs:
+        return rows.repartition(parts, "src").select(
+            "src", "dst", win_min.alias("_mn")
+        )
+    is_hub = F.col("src").isin(hubs)
+    cold = (
+        rows.where(~is_hub)
+        .repartition(parts, "src")
+        .select("src", "dst", win_min.alias("_mn"))
+    )
+    hot = rows.where(is_hub)
+    hot_mins = hot.groupBy(F.col("src").alias("_hv")).agg(
+        F.min("dst").alias("_hmn")
+    )
+    hot_joined = hot.join(
+        F.broadcast(hot_mins), F.col("src") == F.col("_hv")
+    ).select("src", "dst", F.col("_hmn").alias("_mn"))
+    return cold.unionByName(hot_joined)
+
+
+def _two_phase_round_window(
+    canon: DataFrame, parts: int, hubs: list | None = None,
+    caches: list | None = None,
+) -> DataFrame:
     """One full large-star + small-star round as a SINGLE linear plan.
 
     The join-based phases consume their inputs in 2-3 branches each, forcing
@@ -193,29 +269,32 @@ def _two_phase_round_window(canon: DataFrame, parts: int) -> DataFrame:
     intermediate single-consumer, so the whole round — both phases plus the
     final dedup — is ONE job with 3 exchanges and no cache/checkpoint copy
     in the middle. The sort the window needs rides the same hash(src)
-    exchange the grouped min would have taken.
+    exchange the grouped min would have taken. ``hubs`` activates
+    degree-based edge splitting in both phases (see _packed_group_min).
 
     Same rewiring semantics as _large_star_canonical/_small_star_canonical
     (Kiveris SoCC'14): large-star input need not be distinct for min() and
     the trailing dedup restores set semantics."""
-    from pyspark.sql import Window
-
     rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    sym = canon.unionByName(rev).repartition(parts, "src")
-    w = Window.partitionBy("src")
+    sym = canon.unionByName(rev)
     # large star: every neighbor v > u re-points to m = min(u, N(u))
-    mm = sym.select(
-        "src", "dst", F.least(F.col("src"), F.min("dst").over(w)).alias("_m")
+    mm = _group_min(sym, hubs or [], parts).select(
+        "src", "dst", F.least(F.col("src"), F.col("_mn")).alias("_m")
     )
     ls = (
         mm.where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .repartition(parts, "src")
     )
+    if hubs:
+        ls = ls.persist()  # three consumers under the split — see packed twin
+        if caches is not None:
+            caches.append(ls)
     # small star over the (canonical, possibly duplicated) large-star output:
     # emit (dst, m) for dst != m plus the (src, m) self-arc, in one explode
-    m2 = ls.select("src", "dst", F.min("dst").over(w).alias("_m"))
+    m2 = _group_min(ls, hubs or [], parts).select(
+        "src", "dst", F.col("_mn").alias("_m")
+    )
     pairs = (
         m2.select(
             F.explode(
@@ -308,6 +387,62 @@ def _small_star_noskew(
     )
 
 
+def _two_phase_round_salted_fused(
+    canon: DataFrame, packed: bool
+) -> DataFrame:
+    """Both noskew phases fused into ONE linear plan (no mid-round
+    materialization): the per-phase min tables are broadcast subqueries, so
+    the round's only exchanges are the two map-side-combined min aggregates
+    plus the final whole-edge dedup — every one of them balanced under hub
+    skew (no hash(src) placement of the big table anywhere, no window sort
+    of a hub group). The large-star intermediate is consumed twice (the
+    mins2 aggregate and the small-star rewire) and recomputed rather than
+    checkpointed — both consumers are narrow scans over the working set's
+    cached blocks probing a broadcast hash table, and the mins1 exchange is
+    shared between them via Spark's ReusedExchange. Callers must have
+    verified the broadcast gate (|V'| <= broadcast_max_rows)."""
+    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = canon.unionByName(rev)
+    mins1 = F.broadcast(
+        sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+            "src", F.least(F.col("src"), F.col("_mn")).alias("_m")
+        )
+    )
+    ls = (
+        sym.where(F.col("dst") > F.col("src"))
+        .join(mins1, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    mins2 = F.broadcast(ls.groupBy("src").agg(F.min("dst").alias("_m")))
+    pairs = (
+        ls.join(mins2, "src")
+        .select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("dst") != F.col("_m"),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("_m").alias("dst")
+                        ),
+                    ),
+                    F.struct(F.col("src").alias("src"), F.col("_m").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .where(F.col("e").isNotNull())
+        .select("e.src", "e.dst")
+    )
+    if packed:
+        packed_col = (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("e")
+        deduped = pairs.select(packed_col).dropDuplicates(["e"])
+        return deduped.select(
+            F.shiftright("e", 32).alias("src"),
+            F.col("e").bitwiseAND(F.lit(_PACK_MASK)).alias("dst"),
+        )
+    return pairs.dropDuplicates(["src", "dst"])
+
+
 def _canonical(edges: DataFrame) -> DataFrame:
     """(max, min) orientation, self-loops dropped, distinct."""
     return (
@@ -364,6 +499,7 @@ def connected_components(
     auto_straggler_factor: float = AUTO_STRAGGLER_FACTOR,
     auto_min_hub_frac: float = AUTO_MIN_HUB_FRAC,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    hub_mode: str = "census",
 ) -> CCResult:
     """Compute per-vertex component labels (= min vertex id in component).
 
@@ -395,8 +531,12 @@ def connected_components(
     """
     if algorithm not in ("two_phase", "min_label", "local_contract"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    if materialize not in ("auto", "window", "salted", "persist", "local_checkpoint"):
+    if materialize not in (
+        "auto", "window", "salted", "salted_fused", "persist", "local_checkpoint"
+    ):
         raise ValueError(f"unknown materialize strategy {materialize!r}")
+    if hub_mode not in ("census", "static", "off"):
+        raise ValueError(f"unknown hub_mode {hub_mode!r}")
     if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
         # Identity-stamp the checkpoint so a rerun with the same dir but a
         # different algorithm (different working-set schema) or a different
@@ -420,6 +560,7 @@ def connected_components(
         return _cc_two_phase(
             edges, max_iterations, checkpoint, checkpoint_every, materialize,
             auto_straggler_factor, auto_min_hub_frac, broadcast_max_rows,
+            hub_mode,
         )
     if algorithm == "min_label":
         return _cc_min_label(
@@ -440,25 +581,84 @@ def _resume(checkpoint, default_df: DataFrame) -> tuple[int, DataFrame]:
     return step, df
 
 
-def _degree_census(canon: DataFrame) -> tuple[int, int, int]:
-    """(max src-group rows, total rows, distinct vertices) over the
-    symmetrized view of a canonical edge set — one aggregate job. The
-    Spark-side analogue of the reference's degree-distribution decision
-    input (degreeDistInfo.hpp:92-166), reduced to the three scalars the
-    physical-strategy choice needs."""
+#: hub-split threshold: a src group is split out of the window round when
+#: its symmetric degree exceeds total_rows / (margin × execution width) — a
+#: group that would occupy one core for ≥1/margin of the stage's ideal
+#: parallel wall-clock is a straggler. 4 ⇒ split anything above 25%.
+HUB_SPLIT_MARGIN = 4
+
+#: never split groups smaller than this (WindowExec buffers up to 4096 rows
+#: in memory before spilling — below it the window path has no cliff), and
+#: never carry more than HUB_SPLIT_MAX_HUBS ids as plan literals (a graph
+#: with thousands of simultaneous stragglers belongs to the salted path).
+HUB_SPLIT_MIN_ROWS = 4096
+HUB_SPLIT_MAX_HUBS = 256
+
+
+def _hub_threshold(tot: int, width: int) -> int:
+    return max(tot // (HUB_SPLIT_MARGIN * max(width, 1)), HUB_SPLIT_MIN_ROWS)
+
+
+def _degree_census(canon: DataFrame, width: int = 0) -> tuple[int, int, int, list]:
+    """(max degree, total rows, distinct vertices, hub ids) over the
+    symmetrized view of a canonical edge set. The Spark-side analogue of the
+    reference's degree-distribution decision input
+    (degreeDistInfo.hpp:92-166): the three scalars drive the physical-
+    strategy choice, and the hub id list (symmetric degree above
+    ``_hub_threshold``) seeds the window round's degree-based edge
+    splitting. Two jobs, the second over the cached per-vertex counts."""
     rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    row = (
+    g = (
         canon.unionByName(rev)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(
-            F.max("_c").alias("mx"),
-            F.sum("_c").alias("tot"),
-            F.count(F.lit(1)).alias("nv"),
-        )
-        .collect()[0]
+        .persist()
     )
-    return int(row["mx"] or 0), int(row["tot"] or 0), int(row["nv"] or 0)
+    row = g.agg(
+        F.max("_c").alias("mx"),
+        F.sum("_c").alias("tot"),
+        F.count(F.lit(1)).alias("nv"),
+    ).collect()[0]
+    mx, tot, nv = int(row["mx"] or 0), int(row["tot"] or 0), int(row["nv"] or 0)
+    hubs: list = []
+    if width > 0 and mx > _hub_threshold(tot, width):
+        hubs = [
+            int(r["src"])
+            for r in g.where(F.col("_c") > _hub_threshold(tot, width))
+            .orderBy(F.desc("_c"))
+            .limit(HUB_SPLIT_MAX_HUBS)
+            .collect()
+        ]
+    g.unpersist()
+    return mx, tot, nv, hubs
+
+
+def _dst_census(edges: DataFrame, width: int, tot: int, prev_hubs: list) -> list:
+    """Next superstep's hub list, cheaply: dst-frequency over the NEW
+    working set (one balanced combine-aggregate job over the just-
+    materialized checkpoint blocks — no explode, no hash sums).
+
+    Why dst only: after a two_phase round the working set is (v, m) star
+    rows, so next round's straggler groups are the component minima — which
+    appear as the DST of nearly every row of their star, while src
+    multiplicities stay O(1). A vertex hub on the src side only happens in
+    the INPUT graph, which the run-start degree census already covered.
+    Missing a borderline hub degrades to the pre-split behavior, never to a
+    wrong answer. The fresh list is unioned with the previous one (stale
+    entries are harmless ≤HUB_SPLIT_MAX_HUBS literals; vanished hubs match
+    nothing) so a hub persisting across rounds is never dropped mid-run."""
+    thr = _hub_threshold(tot, width)
+    fresh = [
+        int(r["dst"])
+        for r in edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > thr)
+        .orderBy(F.desc("_c"))
+        .limit(HUB_SPLIT_MAX_HUBS)
+        .collect()
+    ]
+    merged = fresh + [h for h in prev_hubs if h not in fresh]
+    return merged[:HUB_SPLIT_MAX_HUBS]
 
 
 def _execution_width(spark) -> int:
@@ -530,6 +730,7 @@ def _cc_two_phase(
     auto_straggler_factor: float = AUTO_STRAGGLER_FACTOR,
     auto_min_hub_frac: float = AUTO_MIN_HUB_FRAC,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    hub_mode: str = "census",
 ) -> CCResult:
     verts = vertex_table(_both_orientations(edges)).persist()
     verts.count()
@@ -552,8 +753,10 @@ def _cc_two_phase(
     # of the loop — so the round-0 census decides it exactly, for good.
     strategy = materialize
     broadcast_mins = True
-    if materialize in ("auto", "salted"):
-        mx, tot, nv = _degree_census(work)
+    width = _execution_width(edges.sparkSession)
+    hubs: list = []
+    if materialize in ("auto", "window", "salted", "salted_fused"):
+        mx, tot, nv, hubs = _degree_census(work, width)
         broadcast_mins = nv <= broadcast_max_rows
         if materialize == "auto":
             hub_frac = (mx / tot) if tot else 0.0
@@ -562,18 +765,22 @@ def _cc_two_phase(
             # concurrent width than salted's constant overhead costs, and
             # only with the broadcast join-back available (the gate-shut
             # salted round measured ~2x slower than window everywhere).
-            par = _execution_width(edges.sparkSession)
-            threshold = max(auto_min_hub_frac, auto_straggler_factor / par)
+            threshold = max(auto_min_hub_frac, auto_straggler_factor / width)
             strategy = (
                 "salted"
                 if (broadcast_mins and hub_frac >= threshold)
                 else "window"
             )
-    packed = strategy in ("window", "salted") and _ids_fit_packed(work)
+    if strategy == "salted_fused" and not broadcast_mins:
+        # the fused round's join-backs are broadcast by construction; above
+        # the gate fall back to the checkpointed salted path (AQE join-back)
+        strategy = "salted"
+    packed = strategy in ("window", "salted", "salted_fused") and _ids_fit_packed(work)
 
     metrics: list = []
     prev = None
     it = start_step
+    hubs_used = 0
     while it < max_iterations:
         t0 = time.monotonic()
         # The phase boundary must materialize BEFORE small-star consumes its
@@ -596,19 +803,51 @@ def _cc_two_phase(
                 ls, parts, broadcast_mins, packed
             ).localCheckpoint(eager=False)
             cnt, s = _checksum(nxt)
-        elif strategy == "window":
-            # Fastest path, 1 job/superstep: the whole round is a single
-            # linear plan (window-aggregate phases, single-consumer
-            # intermediates), lazily checkpointed so the convergence
-            # checksum materializes it and truncates lineage in one action.
-            # Packed variant (ids < 2^31) shuffles single-long edge rows —
-            # a third less exchange volume per superstep.
+        elif strategy == "salted_fused":
+            # Skew-proof AND single-job: both phases in one linear plan,
+            # min tables as broadcast subqueries, the lazy checkpoint
+            # materialized by the convergence checksum. Only balanced
+            # exchanges (two combined min aggs + whole-edge dedup).
+            nxt = _two_phase_round_salted_fused(work, packed).localCheckpoint(
+                eager=False
+            )
+            cnt, s = _checksum(nxt)
+        elif strategy == "window" and hub_mode == "off":
             round_fn = (
                 _two_phase_round_window_packed if packed
                 else _two_phase_round_window
             )
             nxt = round_fn(work, parts).localCheckpoint(eager=False)
             cnt, s = _checksum(nxt)
+        elif strategy == "window":
+            # Fastest path, 1 main job/superstep: the whole round is a
+            # single linear plan (window-aggregate phases, single-consumer
+            # intermediates), lazily checkpointed so the convergence
+            # checksum materializes it and truncates lineage in one action.
+            # Packed variant (ids < 2^31) shuffles single-long edge rows —
+            # a third less exchange volume per superstep. Hub src groups
+            # (from the census, refreshed each superstep by the checksum
+            # census below) are split out of both windows into combined
+            # aggregates + tiny broadcast join-backs — degree-based edge
+            # splitting, so no task ever buffers a hub group.
+            round_fn = (
+                _two_phase_round_window_packed if packed
+                else _two_phase_round_window
+            )
+            round_caches: list = []
+            hubs_used = len(hubs)
+            nxt = round_fn(work, parts, hubs, round_caches).localCheckpoint(
+                eager=False
+            )
+            cnt, s = _checksum(nxt)
+            if hub_mode == "census":
+                # refresh the hub list from the new working set (hub drift:
+                # the giant component's min vertex becomes the next round's
+                # straggler group — measured 15s single-task stages when the
+                # static list misses it); "static" keeps run-start hubs
+                hubs = _dst_census(nxt, width, cnt, hubs)
+            for c in round_caches:
+                c.unpersist(blocking=False)
         elif strategy == "persist":
             # Fused path, 2 jobs/superstep: LAZY localCheckpoint truncates
             # the logical plan immediately (no nested-cache plan blowup),
@@ -635,6 +874,7 @@ def _cc_two_phase(
             "broadcast_mins": broadcast_mins,
             "edges": cnt,
             "checksum": s,
+            "hubs_split": hubs_used if strategy == "window" else 0,
             "seconds": dt,
         }
         metrics.append(m)

@@ -109,7 +109,7 @@ def test_min_label_opt_levels_same_fixpoint(spark, three_components_small):
     assert actives[-1] == 0
 
 
-@pytest.mark.parametrize("mat", ["auto", "window", "persist", "salted", "local_checkpoint"])
+@pytest.mark.parametrize("mat", ["auto", "window", "persist", "salted", "salted_fused", "local_checkpoint"])
 def test_two_phase_materialize_strategies_same_labels(spark, three_components_small, mat):
     """All four superstep execution strategies (single-job window round,
     fused lazy-checkpoint joins, skew-proof salted two-phase minima, eager
@@ -302,7 +302,7 @@ def test_broadcast_gate_quantity_is_run_invariant(spark, chain_1000):
     work = _canonical(chain_1000).localCheckpoint()
     nvs, edge_counts = [], []
     for _ in range(4):
-        _, _, nv = _degree_census(work)
+        _, _, nv, _ = _degree_census(work)
         nvs.append(nv)
         edge_counts.append(work.count())
         work = _two_phase_round_window(work, 8).localCheckpoint()
@@ -318,3 +318,72 @@ def test_broadcast_gate_quantity_is_run_invariant(spark, chain_1000):
     assert flags == [False] * len(flags)
     assert component_count(res.labels) == 1
     assert set(labels_dict(res).values()) == {0}
+
+
+def test_salted_fused_gate_fallback_and_packed(spark, three_components_small):
+    """salted_fused requires the broadcast join-back; with the gate forced
+    shut it must fall back to the checkpointed salted path, and with it open
+    it must run fused+packed — identical labels either way."""
+    from parconnect_spark.plans.connectivity import connected_components
+    from tests.conftest import expected_membership
+
+    shut = connected_components(
+        three_components_small, materialize="salted_fused", broadcast_max_rows=0
+    )
+    assert shut.metrics[0]["strategy"] == "salted"
+    open_ = connected_components(three_components_small, materialize="salted_fused")
+    assert open_.metrics[0]["strategy"] == "salted_fused"
+    assert open_.metrics[0]["packed"] is True
+    exp = expected_membership(
+        [(r["src"], r["dst"]) for r in three_components_small.collect()]
+    )
+    for res in (shut, open_):
+        got = {r["v"]: r["label"] for r in res.labels.collect()}
+        assert got == exp
+
+
+def test_window_round_hub_split_parity(spark):
+    """Degree-based edge splitting: the window round with hub src groups
+    routed through the aggregate+broadcast path must emit exactly the same
+    edge set as the pure-window round, packed and unpacked."""
+    import pyspark.sql.functions as F
+    from parconnect_spark.plans.connectivity import (
+        _canonical,
+        _two_phase_round_window,
+        _two_phase_round_window_packed,
+    )
+
+    und = [(0, j) for j in range(1, 40)] + [(1, j) for j in range(41, 60)] + [
+        (70, 71), (71, 72),
+    ]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long").orderBy(F.rand(7))
+    work = _canonical(edges).localCheckpoint()
+    for fn in (_two_phase_round_window, _two_phase_round_window_packed):
+        plain = sorted(map(tuple, fn(work, 8).collect()))
+        split = sorted(map(tuple, fn(work, 8, hubs=[0, 1]).collect()))
+        assert split == plain, fn.__name__
+
+
+@pytest.mark.parametrize("hub_mode", ["static", "census", "off"])
+def test_cc_hub_split_end_to_end(spark, monkeypatch, hub_mode):
+    """With the split floor forced down, a hub-dominated graph runs the
+    window strategy with hubs actually split (metrics record it, except in
+    'off' mode) and still converges to the exact labels in every mode."""
+    import parconnect_spark.plans.connectivity as conn
+    from tests.conftest import expected_membership
+
+    monkeypatch.setattr(conn, "HUB_SPLIT_MIN_ROWS", 4)
+    und = [(0, j) for j in range(1, 50)] + [(100, 101)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = conn.connected_components(
+        edges, materialize="window", hub_mode=hub_mode
+    )
+    split_rounds = sum(1 for m in res.metrics if m.get("hubs_split", 0) > 0)
+    if hub_mode == "off":
+        assert split_rounds == 0
+    else:
+        assert split_rounds > 0, res.metrics
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == expected_membership(rows)

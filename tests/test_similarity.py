@@ -167,3 +167,41 @@ def test_lsh_auto_defaults_match_fixed_bits_small_corpus(vecs):
     finally:
         sim.MAX_BROADCAST_QUERY_ROWS = old
     assert unbroadcast == fixed
+
+
+def test_ivf_topk_exact_on_probed_lists(vecs):
+    """With n_probe == n_lists every list is searched, so IVF must equal the
+    brute-force exact top-k."""
+    from parconnect_spark.functions.similarity import ivf_topk
+
+    df, _ = vecs
+    queries = df.where("vec_id < 3")
+    exact = brute_force_topk(df, queries, k=5).collect()
+    ivf = ivf_topk(df, queries, k=5, n_lists=8, n_probe=8).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_topk_partial_probe_subset_and_deterministic(vecs):
+    """n_probe < n_lists: every returned neighbor must appear in the exact
+    scoring (same cosine), ranks are 1..n contiguous per query, and the
+    result is identical at a different parallelism (determinism)."""
+    from parconnect_spark.functions.similarity import ivf_topk
+
+    df, _ = vecs
+    queries = df.where("vec_id < 3")
+    rows = ivf_topk(df, queries, k=5, n_lists=8, n_probe=2).collect()
+    assert rows, "IVF returned nothing"
+    exact = {
+        (r["query_id"], r["neighbor_id"]): round(r["cosine"], 6)
+        for r in cosine_scores(df, queries).collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = ivf_topk(
+        df.repartition(7), queries, k=5, n_lists=8, n_probe=2
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
