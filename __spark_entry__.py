@@ -393,6 +393,21 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive duplicate clusters → canonical doc per
+    cluster: the pair generators composed with the CC engine (the step a
+    training pipeline runs before dropping duplicates)."""
+    from parconnect_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.6)
+    return near_dup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def _q_quality_features(spark, sf_dir):
     from parconnect_spark.functions.text import quality_features
 
@@ -562,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
@@ -712,6 +728,66 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE ROUND(nshared * 1.0 / (sa.n + sb.n - nshared), 6) >= {threshold}
 ORDER BY id_a, id_b"""
+
+
+def _dedup_clusters_oracle(threshold: float = 0.6, k: int = 32, bands: int = 8) -> str:
+    """The minhash pair chain (same CTEs as _minhash_oracle) followed by a
+    recursive min-reach closure over the pair graph — the SQL twin of
+    near_dup_clusters (CC labels = min reachable id; singletons self)."""
+    from parconnect_spark.functions.dedup import _M31, _PERM_P, _minhash_perm_coeffs
+
+    h = _md5int_duck("s") + f" % {_M31}"
+    mins = []
+    for i, (a, b) in enumerate(_minhash_perm_coeffs(k)):
+        mins.append(f"MIN((h * {a} + {b}) % {_PERM_P}) AS m{i}")
+    rows = k // bands
+    band_keys = ",\n    ".join(
+        "(" + str(bnd) + ", "
+        + " || ',' || ".join(f"CAST(m{bnd * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")"
+        for bnd in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+sigs AS (SELECT doc_id, {', '.join(mins)} FROM hashed GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.* FROM sigs, LATERAL (VALUES
+    {band_keys}
+  ) AS b(band, bh)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT cd.id_a, cd.id_b, COUNT(*) AS nshared
+  FROM cands cd
+  JOIN sh a ON a.doc_id = cd.id_a
+  JOIN sh b ON b.doc_id = cd.id_b AND b.s = a.s
+  GROUP BY cd.id_a, cd.id_b
+),
+dpairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(nshared * 1.0 / (sa.n + sb.n - nshared), 6) >= {threshold}
+),
+de AS (
+  SELECT id_a AS src, id_b AS dst FROM dpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM dpairs
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN de e ON e.src = r.v
+)
+SELECT v AS doc_id, MIN(lbl) AS canonical_id
+FROM reach GROUP BY v ORDER BY doc_id"""
 
 
 def _simhash_oracle(max_hamming: int = 3) -> str:
@@ -912,6 +988,7 @@ WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
 ORDER BY id_a, id_b""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_embedding": _embedding_dedup_oracle(),
         "similarity_lsh": _similarity_lsh_oracle(),
         "similarity_ivf": _similarity_ivf_oracle(),

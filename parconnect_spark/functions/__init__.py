@@ -14,6 +14,7 @@ from parconnect_spark.functions.dedup import (
     minhash_near_dup_pairs,
     simhash,
     simhash_near_pairs,
+    near_dup_clusters,
 )
 from parconnect_spark.functions.similarity import (
     cosine_scores,
@@ -39,6 +40,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "simhash",
     "simhash_near_pairs",
+    "near_dup_clusters",
     "cosine_scores",
     "brute_force_topk",
     "lsh_topk",

@@ -346,3 +346,32 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster canonicalization: the step a training-data pipeline
+    runs AFTER near-dup pair generation — connected components over the
+    pair graph (transitively closing A~B~C into one cluster), then every
+    document maps to the minimum id of its cluster (itself when unique).
+    "Keep one per cluster" is then ``WHERE doc_id = canonical_id``.
+
+    ``pairs``: DataFrame[id_a, id_b] from any of the near-dup generators
+    (minhash/simhash/ngram/embedding — they compose). Runs on the same
+    two_phase CC plan as the graph queries (hub-split window round), so a
+    pathological duplicate cluster (e.g. one boilerplate page duplicated
+    millions of times) is exactly the hub case the CC engine already
+    handles. Returns DataFrame[<id_col>, canonical_id]."""
+    from parconnect_spark.plans.connectivity import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges).labels
+    return (
+        docs.select(id_col)
+        .join(labels, docs[id_col] == labels["v"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("canonical_id"),
+        )
+    )

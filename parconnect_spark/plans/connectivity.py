@@ -526,8 +526,24 @@ def connected_components(
     * ``"salted"``: skew-oblivious two-phase minima (map-side combine) +
       size-gated broadcast/AQE join-back; no hash(src) placement of the
       edge table anywhere.
+    * ``"salted_fused"``: both noskew phases in ONE linear plan with
+      broadcast-subquery min tables (requires the gate open; falls back to
+      salted). Measured: the per-superstep |V|-row broadcasts serialize —
+      keep for genuinely small min tables only.
     * ``"persist"`` / ``"local_checkpoint"``: join-based rounds with fused
       lazy / eager per-phase checkpoints (conservative baselines).
+
+    ``hub_mode`` controls the window round's degree-based edge splitting
+    (straggler src groups bypass the hash(src) window for a combined
+    aggregate + tiny broadcast join-back — see _packed_group_min):
+
+    * ``"census"`` (default): hub list seeds from the run-start degree
+      census and refreshes each superstep with a one-aggregate
+      dst-frequency census over the new working set (hub drift: the giant
+      component's min vertex becomes the late-round straggler; measured
+      15s single-task stages without the refresh).
+    * ``"static"``: run-start hubs for the whole run (no per-round job).
+    * ``"off"``: plain window round (pre-split behavior).
     """
     if algorithm not in ("two_phase", "min_label", "local_contract"):
         raise ValueError(f"unknown algorithm {algorithm!r}")

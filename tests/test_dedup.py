@@ -151,3 +151,19 @@ def test_simhash_near_pairs(spark):
     }
     assert pairs.get((0, 3)) == 0
     assert (0, 2) not in pairs
+
+
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    """A~B and B~C (no direct A~C pair) must land in ONE cluster with the
+    min id canonical; docs with no pairs map to themselves."""
+    from parconnect_spark.functions.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 5, 6: 1}
