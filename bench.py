@@ -3,9 +3,9 @@
 
 Main mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), then measures
-connected-components throughput at two parallelism levels (local[8] vs
-local[32] — the sandbox proxy for N vs 4N executor clusters, BASELINE.md
-pass rule) on an identical transcript-derived edge graph, and prints ONE
+connected-components throughput at two parallelism levels (2 vs 8 PINNED
+cores — the sandbox proxy for N vs 4N executor clusters, BASELINE.md pass
+rule) on an identical transcript-derived edge graph, and prints ONE
 JSON line:
 
     {"metric": "...", "value": <total headline sec>, "unit": "sec",
@@ -13,11 +13,12 @@ JSON line:
 
 Scaling methodology mirrors the reference's benchmark hygiene
 (/root/reference/test/benchmark_parconnect_auto.cpp:181-184): graph
-construction is excluded — the worker derives the edge table, materializes
-it to parquet, THEN times CC convergence. Throughput =
-edges × supersteps / cc_seconds (edges processed per superstep per second
-× supersteps ≡ tuple-throughput of the superstep loop); efficiency =
-(throughput@4N / throughput@N) / 4.
+construction is excluded — the worker reads a pre-materialized edge table,
+THEN times CC convergence (2 back-to-back runs per measurement — see
+_cc_worker). Throughput = edges × supersteps / superstep-loop seconds;
+efficiency = median over interleaved (N, 4N) pairs of
+(throughput@4N / throughput@N) / 4 — the paired design cancels host drift;
+the ratio-of-medians is reported alongside.
 """
 
 from __future__ import annotations
