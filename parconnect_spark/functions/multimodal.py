@@ -7,13 +7,18 @@ Real decode kernels, no external libs:
   (``decode_image``), plus a vectorized nearest-neighbor ``resize``.
 * audio — RIFF/WAV PCM16, decoded with the stdlib ``wave`` module +
   numpy (``decode_wav``).
-* video — STUBBED: no codec exists in this container, so ``fake=False``
-  raises NotImplementedError for video rows; the Spark-side plumbing
-  (schema, Arrow batch shape, frame-timestamp explode) is real and tested.
-  On a cluster with ffmpeg bindings, only the marked kernel body changes.
+* video — REAL for the uncompressed YUV4MPEG2 (.y4m) container
+  (``decode_y4m``: header parse, per-FRAME planar reads, vectorized
+  BT.601/JFIF YUV→RGB, C420*/C444 layouts) — the codec-free interchange
+  format of the ffmpeg/x264 toolchain, so frame sampling and per-frame
+  featurization run end-to-end on genuine video frames. COMPRESSED codec
+  containers (mp4/webm/...) remain stubbed: no codec libs exist in this
+  container, so those payloads raise NotImplementedError; on a cluster
+  with ffmpeg bindings only the marked kernel body changes.
 
 ``synth_media`` generates deterministic VALID payloads (real PPM images,
-real WAV audio), so the decode kernels run end-to-end in tests.
+real WAV audio, real Y4M video), so every decode kernel runs end-to-end
+in tests.
 """
 
 from __future__ import annotations
@@ -125,6 +130,114 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return bio.getvalue()
 
 
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized JFIF full-range BT.601 YUV→RGB (uint8 in, uint8 out).
+
+    Gray pixels (U=V=128) round-trip exactly: R=G=B=Y.
+    """
+    yf = y.astype(np.float32)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_yuv(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of _yuv_to_rgb (JFIF full-range BT.601), full-res planes."""
+    f = rgb.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    clip = lambda p: np.clip(p.round(), 0, 255).astype(np.uint8)
+    return clip(y), clip(u), clip(v)
+
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def decode_y4m(buf: bytes) -> tuple[np.ndarray, float]:
+    """((T, H, W, 3) uint8 RGB frames, fps) from a YUV4MPEG2 buffer.
+
+    Pure numpy — Y4M is the UNCOMPRESSED planar-YUV container (mjpegtools
+    spec): one ``YUV4MPEG2 <params>\\n`` stream header, then per frame a
+    ``FRAME<params>\\n`` marker followed by raw planes. Supported
+    colorspaces: C420 / C420jpeg / C420mpeg2 / C420paldv (halved chroma,
+    upsampled 2x2 nearest) and C444 (full-res chroma); the chroma-siting
+    suffix only shifts sub-pixel sample positions, which nearest-neighbor
+    upsampling ignores by design. Conversion is JFIF full-range BT.601
+    (matching what this module's encoder emits); limited-range studio
+    streams would decode with slightly stretched contrast — fine for
+    feature extraction, documented rather than guessed.
+    """
+    if buf[: len(Y4M_MAGIC)] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    hdr_end = buf.index(b"\n")
+    w = h = 0
+    fps = 25.0
+    cspace = "420jpeg"
+    for tok in buf[len(Y4M_MAGIC) : hdr_end].split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = int(num) / max(int(den), 1)
+        elif tag == "C":
+            cspace = val
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cspace.startswith("420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif cspace == "444":
+        cw, ch = w, h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cspace}")
+    ysz, csz = w * h, cw * ch
+    frames = []
+    pos = hdr_end + 1
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: FRAME marker expected")
+        pos = buf.index(b"\n", pos) + 1
+        if pos + ysz + 2 * csz > len(buf):
+            raise ValueError("corrupt Y4M: truncated frame planes")
+        y = np.frombuffer(buf, np.uint8, ysz, pos).reshape(h, w)
+        u = np.frombuffer(buf, np.uint8, csz, pos + ysz).reshape(ch, cw)
+        v = np.frombuffer(buf, np.uint8, csz, pos + ysz + csz).reshape(ch, cw)
+        if csz != ysz:  # 4:2:0 → nearest 2x2 upsample, crop to (h, w)
+            u = u.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            v = v.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        frames.append(_yuv_to_rgb(y, u, v))
+        pos += ysz + 2 * csz
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Inverse of decode_y4m: (T, H, W, 3) uint8 RGB → C420jpeg Y4M bytes
+    (test/synthesis helper; chroma is 2x2 box-averaged)."""
+    t, h, w, _ = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420jpeg\n" % (w, h, fps)]
+    for i in range(t):
+        y, u, v = _rgb_to_yuv(frames[i])
+        # pad odd dims by edge-replication, then 2x2 box-average the chroma
+        if h % 2 or w % 2:
+            u = np.pad(u, ((0, h % 2), (0, w % 2)), mode="edge")
+            v = np.pad(v, ((0, h % 2), (0, w % 2)), mode="edge")
+        sub = lambda p: (
+            p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+            .mean(axis=(1, 3))
+            .round()
+            .astype(np.uint8)
+        )
+        out.append(b"FRAME\n" + y.tobytes() + sub(u).tobytes() + sub(v).tobytes())
+    return b"".join(out)
+
+
 def _image_features(arr: np.ndarray, feat_dim: int) -> np.ndarray:
     """Per-channel mean/std + coarse luma histogram, fixed feat_dim."""
     f = np.zeros(feat_dim, dtype=np.float32)
@@ -165,7 +278,8 @@ def _audio_features(samples: np.ndarray, feat_dim: int) -> np.ndarray:
 
 def synth_media(spark: SparkSession, n: int = 64, payload_bytes: int = 256) -> DataFrame:
     """Deterministic media table with VALID payloads: PPM images, WAV PCM16
-    audio; video rows carry splitmix64 opaque bytes (no in-container codec)."""
+    audio, and 4-frame 16x16 Y4M video (grayscale splitmix64 noise — gray
+    survives the 4:2:0 chroma path exactly)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -173,9 +287,12 @@ def synth_media(spark: SparkSession, n: int = 64, payload_bytes: int = 256) -> D
             kinds = np.where(ids % 3 == 0, "image", np.where(ids % 3 == 1, "audio", "video"))
             payloads = []
             for i, kind in zip(ids, kinds):
+                # splitmix64 seed: wraparound is intended — mask in Python
+                # ints so numpy doesn't warn about uint64 overflow
+                seed = (int(i) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
                 x = (
-                    np.arange(max(payload_bytes, 16 * 16 * 3), dtype=np.uint64)
-                    + np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)
+                    np.arange(max(payload_bytes, 4 * 16 * 16 * 3), dtype=np.uint64)
+                    + np.uint64(seed)
                 )
                 z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
                 noise = (z & np.uint64(0xFF)).astype(np.uint8)
@@ -188,7 +305,12 @@ def synth_media(spark: SparkSession, n: int = 64, payload_bytes: int = 256) -> D
                     wave_f = 0.5 * np.sin(2 * np.pi * freq * t / 16000.0)
                     payloads.append(encode_wav(wave_f, 16000))
                 else:
-                    payloads.append(noise[:payload_bytes].tobytes())
+                    # 4 grayscale frames @ 40 fps = 100 ms, matching
+                    # duration_ms below; gray (U=V=128) is exact through
+                    # the JFIF round-trip and the 4:2:0 subsample
+                    gray = noise[: 4 * 16 * 16].reshape(4, 16, 16)
+                    vid = np.repeat(gray[..., None], 3, axis=-1)
+                    payloads.append(encode_y4m(vid, fps=40))
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -208,10 +330,11 @@ def extract_features(media: DataFrame, fake: bool = False, feat_dim: int = 8) ->
     """Decode + featurize each media row in Arrow batches.
 
     ``fake=False`` (default): REAL decode — PPM/BMP images and WAV audio via
-    the numpy kernels above; video rows raise NotImplementedError (REAL
-    VIDEO DECODE STUB — swap in ffmpeg bindings on a cluster that has them).
-    ``fake=True``: checksum + byte-histogram features over the raw bytes for
-    any kind (plumbing mode, also the only mode that accepts video rows).
+    the numpy kernels above; Y4M video decodes to frames whose per-frame
+    image features are averaged. Video in a COMPRESSED container raises
+    NotImplementedError (codec stub — swap in ffmpeg bindings on a cluster
+    that has them). ``fake=True``: checksum + byte-histogram features over
+    the raw bytes for any kind (plumbing mode; accepts codec payloads).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -231,10 +354,19 @@ def extract_features(media: DataFrame, fake: bool = False, feat_dim: int = 8) ->
                 elif kind == "audio":
                     samples, _ = decode_wav(bytes(buf))
                     feats.append(_audio_features(samples, feat_dim))
+                elif bytes(buf[: len(Y4M_MAGIC)]) == Y4M_MAGIC:
+                    frames, _ = decode_y4m(bytes(buf))
+                    per = [_image_features(fr, feat_dim) for fr in frames]
+                    feats.append(
+                        np.mean(per, axis=0).astype(np.float32)
+                        if per
+                        else np.zeros(feat_dim, dtype=np.float32)
+                    )
                 else:
                     raise NotImplementedError(
-                        "video decode requires codec libs not present in "
-                        "this environment; run with fake=True for plumbing"
+                        "compressed video decode requires codec libs not "
+                        "present in this environment (only uncompressed "
+                        "Y4M decodes here); run with fake=True for plumbing"
                     )
             yield pd.DataFrame(
                 {
@@ -275,15 +407,62 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     )
 
 
-def frame_sample(media: DataFrame, every_ms: int = 250, fake: bool = True) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    timestamp (frame decode itself stubbed — see extract_features)."""
-    if not fake:
-        raise NotImplementedError("real frame decode not available here")
-    frames = media.where(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
-        ).alias("frame_ms"),
-    )
-    return frames
+FRAME_SCHEMA = "media_id long, frame_ms int, payload binary, width int, height int"
+
+
+def frame_sample(media: DataFrame, every_ms: int = 250, fake: bool = False) -> DataFrame:
+    """Sample video frames at a fixed timestamp stride.
+
+    ``fake=False`` (default): REAL sampling — each Y4M payload is decoded
+    in an Arrow batch, the frame nearest each sampled timestamp
+    (floor(t·fps/1000)) is re-encoded as a standalone PPM still, ready for
+    the image half of this module (resize, features). Compressed payloads
+    raise NotImplementedError (codec stub).
+    ``fake=True``: timestamp plumbing only — same schema, null payloads —
+    for codec-container tables where only the row shape matters.
+    """
+    vids = media.where(F.col("kind") == "video")
+    if fake:
+        return vids.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            ).alias("frame_ms"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, pays, ws, hs = [], [], [], [], []
+            for mid, buf, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if bytes(buf[: len(Y4M_MAGIC)]) != Y4M_MAGIC:
+                    raise NotImplementedError(
+                        "compressed video decode requires codec libs; "
+                        "only uncompressed Y4M decodes here (fake=True "
+                        "for plumbing)"
+                    )
+                frames, fps = decode_y4m(bytes(buf))
+                if frames.shape[0] == 0:
+                    continue
+                for t in range(0, int(dur), every_ms):
+                    idx = min(int(t * fps / 1000.0), frames.shape[0] - 1)
+                    ids.append(mid)
+                    ts.append(t)
+                    pays.append(encode_ppm(frames[idx]))
+                    ws.append(frames.shape[2])
+                    hs.append(frames.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_ms": pd.Series(ts, dtype="int32"),
+                    "payload": pays,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return vids.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -1,11 +1,14 @@
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from parconnect_spark.functions.multimodal import (
     decode_image,
     decode_wav,
+    decode_y4m,
     encode_ppm,
     encode_wav,
+    encode_y4m,
     extract_features,
     frame_sample,
     resize_images,
@@ -95,10 +98,71 @@ def test_extract_features_real_decode(spark):
     assert abs(sum(aud["feature"][2:]) - 1.0) < 1e-3
 
 
-def test_video_decode_is_stubbed(spark):
+def test_y4m_gray_roundtrip():
+    """Gray pixels (U=V=128) survive encode→decode bit-exactly, including
+    the 4:2:0 chroma subsample."""
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(3, 6, 8), dtype=np.uint8)
+    vid = np.repeat(gray[..., None], 3, axis=-1)
+    back, fps = decode_y4m(encode_y4m(vid, fps=30))
+    assert fps == 30.0
+    assert back.shape == vid.shape
+    assert (back == vid).all()
+
+
+def test_y4m_color_roundtrip_close():
+    """Color frames round-trip within chroma-subsampling tolerance on
+    2x2-constant blocks (where 4:2:0 loses nothing but rounding)."""
+    rng = np.random.default_rng(11)
+    small = rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    vid = small.repeat(2, axis=1).repeat(2, axis=2)  # 2x2-constant chroma blocks
+    back, _ = decode_y4m(encode_y4m(vid))
+    assert back.shape == vid.shape
+    assert np.abs(back.astype(int) - vid.astype(int)).max() <= 3  # rounding only
+
+
+def test_y4m_c444_decode():
+    """C444 branch: hand-built full-res-chroma stream decodes exactly."""
+    h, w = 4, 6
+    y = np.full((h, w), 90, np.uint8)
+    u = np.full((h, w), 128, np.uint8)
+    v = np.full((h, w), 128, np.uint8)
+    buf = (
+        b"YUV4MPEG2 W6 H4 F25:1 C444\nFRAME\n"
+        + y.tobytes() + u.tobytes() + v.tobytes()
+    )
+    frames, fps = decode_y4m(buf)
+    assert fps == 25.0 and frames.shape == (1, 4, 6, 3)
+    assert (frames == 90).all()
+
+
+def test_extract_features_video_real(spark):
+    """Video rows decode for real: per-frame image features, averaged."""
+    media = synth_media(spark, n=9).where("kind = 'video'")
+    feats = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    assert len(feats) == 3  # ids 2, 5, 8
+    for r in feats.values():
+        assert len(r["feature"]) == 8
+        # grayscale splitmix noise: channel means sit near 0.5, std > 0
+        assert 0.3 < r["feature"][0] < 0.7
+        assert r["feature"][3] > 0.05
+    # grayscale frames ⇒ R/G/B channel means identical
+    r2 = feats[2]
+    assert abs(r2["feature"][0] - r2["feature"][1]) < 1e-5
+    assert abs(r2["feature"][1] - r2["feature"][2]) < 1e-5
+
+
+def test_compressed_video_is_stubbed(spark):
+    """Non-Y4M (codec container) video payloads still raise loudly."""
     media = synth_media(spark, n=3).where("kind = 'video'")
+    fake_mp4 = media.withColumn(
+        # overwrite with bytes that are NOT a YUV4MPEG2 stream
+        "payload", F.lit(b"\x00\x00\x00\x18ftypmp42")
+    )
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
-        extract_features(media, fake=False).collect()
+        extract_features(fake_mp4, fake=False).collect()
+    with pytest.raises(Exception):
+        frame_sample(fake_mp4, every_ms=25).collect()
 
 
 def test_resize_images_spark(spark):
@@ -110,10 +174,34 @@ def test_resize_images_spark(spark):
         assert img.shape == (8, 8, 3)
 
 
-def test_frame_sample(spark):
+def test_frame_sample_real(spark):
+    """Default path decodes Y4M and emits one real PPM still per sample."""
     media = synth_media(spark, n=30)
-    frames = frame_sample(media, every_ms=25)
+    frames = frame_sample(media, every_ms=25).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) == 4 for v in by_id.values())  # 100ms / 25ms @ 40fps
+    assert set(by_id) == {i for i in range(30) if i % 3 == 2}  # only video rows
+    # each sampled still is a decodable 16x16 PPM equal to the source frame
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'video'").collect()
+    }
+    for mid, rows in by_id.items():
+        vid, fps = decode_y4m(src[mid])
+        assert fps == 40.0
+        for r in sorted(rows, key=lambda x: x["frame_ms"]):
+            still = decode_image(bytes(r["payload"]))
+            assert still.shape == (16, 16, 3)
+            idx = min(int(r["frame_ms"] * fps / 1000.0), vid.shape[0] - 1)
+            assert (still == vid[idx]).all()
+
+
+def test_frame_sample_fake_plumbing(spark):
+    """fake=True keeps the row shape without decoding (codec tables)."""
+    media = synth_media(spark, n=30)
+    frames = frame_sample(media, every_ms=25, fake=True)
     got = frames.groupBy("media_id").count().collect()
-    assert all(r["count"] == 4 for r in got)  # 100ms / 25ms
-    kinds = {r["media_id"] % 3 for r in frames.select("media_id").distinct().collect()}
-    assert kinds == {2}  # only video rows
+    assert all(r["count"] == 4 for r in got)
+    assert frames.where("payload is not null").count() == 0
