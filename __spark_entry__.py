@@ -424,6 +424,46 @@ def _q_language_id(spark, sf_dir):
     return language_id(docs).select("doc_id", "lang_guess").orderBy("doc_id")
 
 
+def _q_contamination(spark, sf_dir):
+    """Eval-set leakage check: benchmark = every 20th doc, train = the
+    rest; flags train docs containing >=30% of a benchmark doc's 4-gram
+    shingles (catches the planted duplicates at this SF)."""
+    from parconnect_spark.functions.dedup import contamination_check
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return contamination_check(
+        train, bench, min_overlap_frac=0.3, max_shingle_df=1000
+    ).orderBy("train_id", "bench_id")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic exact-quota per-language sample (25 docs per lang,
+    md5-hash selection rule — reproducible across engines)."""
+    from parconnect_spark.functions.sampling import stratified_sample
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return stratified_sample(docs, "lang", quota=25).orderBy("lang", "sample_rank")
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal real-decode pipeline (rows-only driver check: payload
+    synthesis + decode aren't SQL-expressible): deterministic media table
+    -> PPM/WAV/Y4M decode in Arrow batches -> per-row features, projected
+    to the stable integer columns."""
+    from parconnect_spark.functions.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=120)
+    return (
+        extract_features(media, fake=False)
+        .select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")
+    )
+
+
 def _q_similarity_topk(spark, sf_dir):
     from parconnect_spark.functions.similarity import brute_force_topk
 
@@ -581,6 +621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "media_features": _q_media_features,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
@@ -1029,6 +1072,38 @@ SELECT doc_id,
             WHEN h_de > 0 THEN 'de'
             ELSE 'und' END AS lang_guess
 FROM hits ORDER BY doc_id""",
+        "contamination": f"""
+WITH {_DUCK_SHINGLES},
+tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+be AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+hot AS (SELECT s FROM tr GROUP BY s HAVING COUNT(*) > 1000),
+trf AS (SELECT doc_id, s FROM tr ANTI JOIN hot USING (s)),
+bef AS (SELECT doc_id, s FROM be ANTI JOIN hot USING (s)),
+bs AS (SELECT doc_id, COUNT(*) AS nb FROM bef GROUP BY doc_id),
+shared AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS shared
+  FROM trf t JOIN bef b ON t.s = b.s GROUP BY 1, 2
+)
+SELECT train_id, bench_id, shared,
+       ROUND(shared * 1.0 / bs.nb, 6) AS overlap_frac
+FROM shared JOIN bs ON bs.doc_id = bench_id
+WHERE ROUND(shared * 1.0 / bs.nb, 6) >= 0.3
+ORDER BY train_id, bench_id""",
+        "stratified_sample": f"""
+WITH u AS (
+  SELECT *, {_md5int_duck("CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS _u
+  FROM documents
+),
+rates AS (
+  SELECT lang, LEAST(1.0, 100.0 / COUNT(*)) AS tau FROM documents GROUP BY lang
+),
+surv AS (SELECT u.* FROM u JOIN rates USING (lang) WHERE _u < tau),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY _u ASC, doc_id ASC) AS rk
+  FROM surv
+)
+SELECT doc_id, text, lang, source, n_chars, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 25 ORDER BY lang, sample_rank""",
         "similarity_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -15,6 +15,12 @@ from parconnect_spark.functions.dedup import (
     simhash,
     simhash_near_pairs,
     near_dup_clusters,
+    contamination_check,
+)
+from parconnect_spark.functions.sampling import (
+    stratified_sample,
+    hash_split,
+    uniform_hash,
 )
 from parconnect_spark.functions.similarity import (
     cosine_scores,
@@ -41,6 +47,10 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "near_dup_clusters",
+    "contamination_check",
+    "stratified_sample",
+    "hash_split",
+    "uniform_hash",
     "cosine_scores",
     "brute_force_topk",
     "lsh_topk",

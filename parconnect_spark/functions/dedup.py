@@ -375,3 +375,66 @@ def near_dup_clusters(
             F.coalesce(F.col("label"), F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_overlap_frac: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each (train doc, benchmark
+    doc) pair sharing n-gram shingles, the fraction of the BENCHMARK doc's
+    shingles that also appear in the train doc — the standard direction
+    for eval-set leakage ("how much of this eval item is in my training
+    corpus"). Returns DataFrame[train_id, bench_id, shared, overlap_frac]
+    for pairs with overlap_frac >= ``min_overlap_frac``.
+
+    Scale shape (the 100-TB case is a huge train corpus vs a small, fixed
+    benchmark suite): the train shingle table is never shuffled by doc —
+    candidates come from the shingle-key join against the benchmark side,
+    which ``broadcast_benchmark=True`` (default) ships map-side, so the
+    whole check is one scan of the train shingles plus a partial-agg on
+    (train_id, bench_id). ``max_shingle_df`` drops shingles shared by more
+    than that many TRAIN docs (boilerplate) from BOTH sides, so numerator
+    and denominator count over the same filtered universe and the ratio
+    stays an exact set-overlap of the post-filter shingle sets.
+    """
+    tr = shingles(train, id_col, text_col, n)
+    be = shingles(benchmark, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        hot = scoped_persist(hot)
+        tr = tr.join(hot, "shingle", "left_anti")
+        be = be.join(hot, "shingle", "left_anti")
+    be = scoped_persist(be)
+    bench_sizes = be.groupBy("id").agg(F.count(F.lit(1)).alias("_nb"))
+    be_side = be.select(F.col("id").alias("bench_id"), "shingle")
+    if broadcast_benchmark:
+        be_side = F.broadcast(be_side)
+        bench_sizes = F.broadcast(bench_sizes)
+    shared = (
+        tr.select(F.col("id").alias("train_id"), "shingle")
+        .join(be_side, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(bench_sizes, shared["bench_id"] == bench_sizes["id"])
+        .select(
+            "train_id",
+            "bench_id",
+            "shared",
+            F.round(F.col("shared") / F.col("_nb"), 6).alias("overlap_frac"),
+        )
+        .where(F.col("overlap_frac") >= min_overlap_frac)
+    )

@@ -1,0 +1,100 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100-TB corpus is never trained on wholesale: pipelines draw per-stratum
+quotas (per language, per source domain, per quality bucket) with a
+deterministic, reproducible rule — re-running the job, or running it on a
+differently-partitioned copy of the data, must select the SAME rows. These
+operators key every random choice off a portable md5-derived hash of the
+row id (the same ``md5int`` family the dedup operators use), so a DuckDB
+oracle can replicate the selection bit-for-bit.
+
+Scale shape of ``stratified_sample``: the only full-data operations are a
+map-side-combined per-stratum count (tiny result) and a hash-threshold
+FILTER (pure map, no shuffle of the big table). The exact-quota rank runs
+only on pre-filtered survivors — bounded at ~``oversample``·quota rows per
+stratum regardless of corpus size — so the per-stratum window never sees a
+giant stratum. No collect()s; the rates table is a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parconnect_spark.functions.dedup import md5int
+
+# md5int with the default 8 hex chars is uniform on [0, 2^32)
+_HASH_SPAN = float(2**32)
+
+
+def uniform_hash(col: F.Column) -> F.Column:
+    """Deterministic uniform in [0, 1) from any column (cast to string —
+    int ids stringify identically in Spark and DuckDB)."""
+    return (md5int(col.cast("string")) / F.lit(_HASH_SPAN)).alias("u")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exact per-stratum quota sample, deterministic and order-invariant.
+
+    Selection rule: within each stratum, keep the ``quota`` rows with the
+    smallest md5-derived uniform hash of ``id_col`` (ties broken by id).
+    Equivalent to a seeded uniform draw, but reproducible across runs,
+    partitionings, and engines.
+
+    Two-phase plan: (1) per-stratum counts (one map-side-combined agg on a
+    tiny key space), giving each stratum a prefilter threshold
+    tau = min(1, oversample*quota/n) on the hash value; (2) the big table
+    is FILTERED map-side to u < tau — at most ~oversample*quota expected
+    survivors per stratum — and only the survivors enter the per-stratum
+    rank window. The prefilter is part of the operator's definition (the
+    oracle applies the same tau), so results are exact-by-construction;
+    with the default oversample=4 the probability that a stratum with
+    n >= quota yields fewer than quota survivors is negligible
+    (Chernoff: < exp(-quota) for quota >= 10).
+
+    Returns the sampled rows: all input columns plus ``sample_rank``
+    (1..quota within the stratum).
+    """
+    u = uniform_hash(F.col(id_col))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.select(
+        strata_col,
+        F.least(F.lit(1.0), F.lit(float(oversample * quota)) / F.col("_n")).alias(
+            "_tau"
+        ),
+    )
+    survivors = (
+        df.withColumn("_u", u)
+        .join(F.broadcast(rates), strata_col)
+        .where(F.col("_u") < F.col("_tau"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(F.col("_u").asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+        .drop("_u", "_tau")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    holdout_frac: float = 0.05,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, holdout) split by salted id hash — the
+    standard leakage-safe corpus split (a document lands on the same side
+    on every run and every machine; duplicate ids land together). Returns
+    (train_df, holdout_df). Pure map-side filters, no shuffle."""
+    u = md5int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) / F.lit(
+        _HASH_SPAN
+    )
+    return (
+        df.where(u >= F.lit(holdout_frac)),
+        df.where(u < F.lit(holdout_frac)),
+    )

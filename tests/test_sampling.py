@@ -1,0 +1,103 @@
+import pytest
+from pyspark.sql import functions as F
+
+from parconnect_spark.functions.dedup import contamination_check
+from parconnect_spark.functions.sampling import (
+    hash_split,
+    stratified_sample,
+    uniform_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    header = [f"h{j}" for j in range(8)]  # boilerplate shared by ALL docs
+    for i in range(200):
+        lang = ["en", "es", "fr"][i % 3]
+        # every 10th doc (>=10) verbatim-copies doc (i-5)'s text — the
+        # planted contamination positive (i-5 is never itself a copy)
+        base = i - 5 if (i % 10 == 0 and i >= 10) else i
+        body = [f"b{base}_{j}" for j in range(22)]
+        rows.append((i, " ".join(header + body), lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_exact_quota(spark, docs):
+    out = stratified_sample(docs, "lang", quota=15, id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 15, "es": 15, "fr": 15}
+    ranks = [r["sample_rank"] for r in out.where("lang = 'en'").orderBy("sample_rank").collect()]
+    assert ranks == list(range(1, 16))
+
+
+def test_stratified_sample_order_invariance(spark, docs):
+    a = stratified_sample(docs, "lang", quota=15).select("doc_id", "sample_rank")
+    b = stratified_sample(docs.repartition(7), "lang", quota=15).select(
+        "doc_id", "sample_rank"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    tiny = spark.createDataFrame(
+        [(i, "x", "en") for i in range(5)] + [(10 + i, "y", "de") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(tiny, "lang", quota=10)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 5, "de": 10}  # quota > n keeps the whole stratum
+
+
+def test_hash_split_deterministic_partition(spark, docs):
+    train, hold = hash_split(docs, holdout_frac=0.2)
+    nt, nh = train.count(), hold.count()
+    assert nt + nh == 200
+    assert 10 <= nh <= 70  # ~40 expected; loose deterministic band
+    # disjoint and reproducible
+    assert train.join(hold, "doc_id").count() == 0
+    t2, h2 = hash_split(docs.repartition(5), holdout_frac=0.2)
+    assert h2.exceptAll(hold).count() == 0 and hold.exceptAll(h2).count() == 0
+    # different salt gives a different (still deterministic) split
+    _, h3 = hash_split(docs, holdout_frac=0.2, salt="other")
+    assert h3.select("doc_id").exceptAll(hold.select("doc_id")).count() > 0
+
+
+def test_uniform_hash_range(spark, docs):
+    us = docs.select(uniform_hash(F.col("doc_id")).alias("u")).collect()
+    assert all(0.0 <= r["u"] < 1.0 for r in us)
+    assert len({round(r["u"], 9) for r in us}) > 190  # essentially all distinct
+
+
+def test_contamination_finds_planted_copies(spark, docs):
+    # benchmark = every 10th doc (>=10); each verbatim-copies train doc k-5
+    bench = docs.where("doc_id % 10 = 0 and doc_id >= 10")
+    train = docs.where("doc_id % 10 <> 0 or doc_id < 10")
+    out = contamination_check(
+        train, bench, n=4, min_overlap_frac=0.9, max_shingle_df=None
+    ).collect()
+    got = {(r["train_id"], r["bench_id"]) for r in out}
+    expected = {(k - 5, k) for k in range(10, 200, 10)}
+    assert expected <= got
+    for r in out:
+        if (r["train_id"], r["bench_id"]) in expected:
+            assert r["overlap_frac"] == 1.0
+    # boilerplate-only pairs (5 shared header shingles of ~27) stay below 0.9
+    assert all(pair in expected for pair in got)
+
+
+def test_contamination_df_cap_drops_boilerplate(spark, docs):
+    """The df cap drops the all-docs header shingles from BOTH sides:
+    boilerplate-only pairs vanish while planted copies stay at 1.0."""
+    bench = docs.where("doc_id % 10 = 0 and doc_id >= 10")
+    train = docs.where("doc_id % 10 <> 0 or doc_id < 10")
+    out = contamination_check(
+        train, bench, n=4, min_overlap_frac=0.05, max_shingle_df=3
+    ).collect()
+    assert all(0.0 <= r["overlap_frac"] <= 1.0 for r in out)
+    expected = {(k - 5, k) for k in range(10, 200, 10)}
+    got = {(r["train_id"], r["bench_id"]) for r in out}
+    # pure-header shingles (df=181 train docs) are gone, so only pairs
+    # sharing doc-specific body/boundary shingles remain: the planted ones
+    assert got == expected
+    assert all(r["overlap_frac"] == 1.0 for r in out)
