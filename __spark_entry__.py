@@ -581,6 +581,73 @@ FROM cand WHERE list_cosine_similarity(va, vb) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def _q_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex segmentation) and
+    document fingerprinting (md5 of the normalized full text) — the
+    SURVEY §2.11 text-analysis row, previously pytest-only, now against an
+    exact DuckDB oracle. All built-in column expressions (functions/text.py)."""
+    from parconnect_spark.functions.text import fingerprint, token_count
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return (
+        fingerprint(docs)
+        .select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+            token_count(F.col("text"), bpe_ish=True)
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.col("fp").alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_streaming_edges(spark, sf_dir):
+    """Structured-Streaming derivation of the SAME canonical string edge
+    set as derived_edges: transcripts snapshot → file-source readStream →
+    stateless E2 membership edges + stateful E1 sequential edges
+    (applyInPandasWithState keyed by conv_id, streaming/stream.py) → memory
+    sinks, deduped at read-back. The oracle is the batch derived_edges SQL,
+    so the stream≡batch equality contract is hash-checked by the driver,
+    not just pytest. Two separate streaming queries (a stateful and a
+    stateless stream cannot be unioned into one query plan)."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.streaming.stream import (
+        membership_edge_stream,
+        sequential_edge_stream,
+        stream_transcripts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_edges_")
+    try:
+        _transcripts(spark, sf_dir).write.parquet(f"{tmp}/transcripts")
+        st = stream_transcripts(spark, f"{tmp}/transcripts")
+        for df, name in (
+            (membership_edge_stream(st), "stream_e2"),
+            (sequential_edge_stream(st), "stream_e1"),
+        ):
+            q = (
+                df.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        # the memory sinks hold the rows driver-side — safe to drop the dir
+        return spark.sql(
+            "SELECT DISTINCT a, b FROM "
+            "(SELECT a, b FROM stream_e1 UNION ALL SELECT a, b FROM stream_e2) u "
+            "ORDER BY a, b"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -624,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "media_features": _q_media_features,
+        "token_stats": _q_token_stats,
+        "streaming_edges": _q_streaming_edges,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
@@ -1104,6 +1173,18 @@ r AS (
 )
 SELECT doc_id, text, lang, source, n_chars, CAST(rk AS INT) AS sample_rank
 FROM r WHERE rk <= 25 ORDER BY lang, sample_rank""",
+        # token_stats: DuckDB's RE2 and Spark's Java regex agree on this
+        # ASCII-class pattern (verified row-exact at sf0.01); the 'g' flag
+        # makes DuckDB's regexp_replace global like Spark's.
+        "token_stats": r"""
+SELECT doc_id,
+       CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id""",
+        # streaming_edges: identical to derived_edges by design — the
+        # streaming path must reproduce the batch edge set exactly.
+        "streaming_edges": _GRAPH_PREFIX + "\nSELECT a, b FROM und ORDER BY a, b",
         "similarity_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
