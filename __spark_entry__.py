@@ -408,6 +408,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(docs, pairs).orderBy("doc_id")
 
 
+def _q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/holdout assignment: minhash near-dup pairs →
+    CC clusters → whole-cluster side assignment by salted hash of the
+    canonical id (functions/sampling.cluster_split) — near-duplicates can
+    never straddle the split boundary."""
+    from parconnect_spark.functions.dedup import minhash_near_dup_pairs
+    from parconnect_spark.functions.sampling import cluster_split
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.6)
+    return cluster_split(docs, pairs, holdout_frac=0.2).orderBy("doc_id")
+
+
 def _q_quality_features(spark, sf_dir):
     from parconnect_spark.functions.text import quality_features
 
@@ -690,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "leakage_split": _q_leakage_split,
         "media_features": _q_media_features,
         "token_stats": _q_token_stats,
         "streaming_edges": _q_streaming_edges,
@@ -842,10 +857,13 @@ WHERE ROUND(nshared * 1.0 / (sa.n + sb.n - nshared), 6) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
-def _dedup_clusters_oracle(threshold: float = 0.6, k: int = 32, bands: int = 8) -> str:
-    """The minhash pair chain (same CTEs as _minhash_oracle) followed by a
-    recursive min-reach closure over the pair graph — the SQL twin of
-    near_dup_clusters (CC labels = min reachable id; singletons self)."""
+def _minhash_cluster_prefix(threshold: float = 0.6, k: int = 32, bands: int = 8) -> str:
+    """Shared CTE chain: minhash pairs (same CTEs as _minhash_oracle)
+    followed by a recursive min-reach closure over the pair graph — the SQL
+    twin of near_dup_clusters (CC labels = min reachable id; singletons
+    self). Ends with the ``reach`` CTE; callers append their final SELECT
+    (dedup_clusters reads the canonical map, leakage_split hashes it into
+    train/holdout sides)."""
     from parconnect_spark.functions.dedup import _M31, _PERM_P, _minhash_perm_coeffs
 
     h = _md5int_duck("s") + f" % {_M31}"
@@ -897,9 +915,28 @@ reach(v, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN de e ON e.src = r.v
-)
+)"""
+
+
+def _dedup_clusters_oracle(threshold: float = 0.6, k: int = 32, bands: int = 8) -> str:
+    return _minhash_cluster_prefix(threshold, k, bands) + """
 SELECT v AS doc_id, MIN(lbl) AS canonical_id
 FROM reach GROUP BY v ORDER BY doc_id"""
+
+
+def _leakage_split_oracle(
+    holdout_frac: float = 0.2, threshold: float = 0.6, k: int = 32, bands: int = 8
+) -> str:
+    """cluster_split's SQL twin: the cluster canonical map, then the salted
+    md5 hash of the canonical id picks the side — whole clusters move as
+    one unit (functions/sampling.cluster_split)."""
+    u = _md5int_duck("'split:' || CAST(canonical_id AS VARCHAR)")
+    return _minhash_cluster_prefix(threshold, k, bands) + f""",
+canon AS (SELECT v AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY v)
+SELECT doc_id, canonical_id,
+       CASE WHEN {u} / 4294967296.0 < {holdout_frac}
+            THEN 'holdout' ELSE 'train' END AS side
+FROM canon ORDER BY doc_id"""
 
 
 def _simhash_oracle(max_hamming: int = 3) -> str:
@@ -1101,6 +1138,7 @@ ORDER BY id_a, id_b""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "leakage_split": _leakage_split_oracle(),
         "dedup_embedding": _embedding_dedup_oracle(),
         "similarity_lsh": _similarity_lsh_oracle(),
         "similarity_ivf": _similarity_ivf_oracle(),

@@ -20,6 +20,7 @@ from parconnect_spark.functions.dedup import (
 from parconnect_spark.functions.sampling import (
     stratified_sample,
     hash_split,
+    cluster_split,
     uniform_hash,
 )
 from parconnect_spark.functions.similarity import (

@@ -98,3 +98,43 @@ def hash_split(
         df.where(u >= F.lit(holdout_frac)),
         df.where(u < F.lit(holdout_frac)),
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    holdout_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/holdout ASSIGNMENT: near-duplicate clusters land
+    wholesale on one side.
+
+    ``hash_split`` keeps equal ids together but lets two near-duplicate
+    documents with different ids straddle the boundary — the classic
+    train/test leakage mode. Here each document is assigned by the salted
+    hash of its CLUSTER's canonical id (connected components over the
+    near-dup pair graph, functions/dedup.near_dup_clusters), so an entire
+    duplicate cluster moves as one unit and no near-dup of a holdout doc
+    can appear in train.
+
+    Scale shape: the clustering is the CC engine (hub-split two_phase —
+    a boilerplate page duplicated millions of times is exactly the hub
+    case it handles); the assignment itself is a pure map over the
+    |docs|-row canonical table — no extra shuffle.
+
+    Returns DataFrame[<id_col>, canonical_id, side: 'train'|'holdout'].
+    """
+    from parconnect_spark.functions.dedup import near_dup_clusters
+
+    canon = near_dup_clusters(docs, pairs, id_col)
+    u = md5int(
+        F.concat(F.lit(salt + ":"), F.col("canonical_id").cast("string"))
+    ) / F.lit(_HASH_SPAN)
+    return canon.select(
+        id_col,
+        "canonical_id",
+        F.when(u < F.lit(holdout_frac), F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("side"),
+    )

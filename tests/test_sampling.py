@@ -3,6 +3,7 @@ from pyspark.sql import functions as F
 
 from parconnect_spark.functions.dedup import contamination_check
 from parconnect_spark.functions.sampling import (
+    cluster_split,
     hash_split,
     stratified_sample,
     uniform_hash,
@@ -61,6 +62,33 @@ def test_hash_split_deterministic_partition(spark, docs):
     # different salt gives a different (still deterministic) split
     _, h3 = hash_split(docs, holdout_frac=0.2, salt="other")
     assert h3.select("doc_id").exceptAll(hold.select("doc_id")).count() > 0
+
+
+def test_cluster_split_no_cluster_straddles(spark, docs):
+    # near-dup pairs: chain 0~1~2 (one cluster) plus 10~11; everything else
+    # singleton. The WHOLE chain must land on one side.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = cluster_split(docs, pairs, holdout_frac=0.3)
+    assert out.count() == 200
+    rows = {r["doc_id"]: (r["canonical_id"], r["side"]) for r in out.collect()}
+    assert rows[0][0] == rows[1][0] == rows[2][0] == 0
+    assert rows[10][0] == rows[11][0] == 10
+    # cluster integrity: one side per canonical id
+    sides = (
+        out.groupBy("canonical_id")
+        .agg(F.countDistinct("side").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert sides == 0
+    # deterministic under repartition
+    out2 = cluster_split(docs.repartition(7), pairs, holdout_frac=0.3)
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+    # both sides populated at this frac on 200 docs
+    ns = {r["side"]: r["n"] for r in out.groupBy("side").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert ns.get("holdout", 0) > 0 and ns.get("train", 0) > 0
 
 
 def test_uniform_hash_range(spark, docs):
