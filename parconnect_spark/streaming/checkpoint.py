@@ -49,6 +49,33 @@ class SuperstepCheckpoint:
     def _step_dir(self, step: int) -> str:
         return os.path.join(self.dir, f"step={step}")
 
+    @staticmethod
+    def _partition_lineage(data_dir: str) -> list[dict]:
+        """Per-partition lineage of a committed working set: one record per
+        parquet part-file (file name, row count, bytes). Row counts come
+        from the parquet FOOTER — a few-KB metadata read per file, no data
+        scan — so the lineage costs O(#partitions) tiny reads, not a job.
+        This is the per-partition half of the rule "every superstep
+        checkpoints per-partition lineage and frontier/shuffle metrics"
+        (the per-superstep frontier/edge/strategy metrics ride in
+        ``metrics``); it also gives a resume-time skew fingerprint: a
+        straggler superstep shows up as one fat partition record."""
+        import pyarrow.parquet as pq
+
+        records = []
+        for name in sorted(os.listdir(data_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(data_dir, name)
+            records.append(
+                {
+                    "file": name,
+                    "rows": pq.ParquetFile(path).metadata.num_rows,
+                    "bytes": os.path.getsize(path),
+                }
+            )
+        return records
+
     def save(self, step: int, df: DataFrame, metrics: dict | None = None) -> DataFrame:
         """Persist the superstep working set; returns a re-read DataFrame
         (lineage truncated to the checkpoint — cheaper than recomputing the
@@ -65,6 +92,7 @@ class SuperstepCheckpoint:
             "step": step,
             "committed_at": time.time(),
             "metrics": metrics or {},
+            "partitions": self._partition_lineage(os.path.join(step_dir, "data")),
             "identity": self.identity,
         }
         with open(os.path.join(step_dir, "meta.json"), "w") as f:

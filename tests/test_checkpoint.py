@@ -21,6 +21,12 @@ def test_superstep_roundtrip(spark, tmp_path):
     assert latest.count() == 2
     log = ckpt.metrics_log()
     assert log and log[-1]["step"] == 1 and log[-1]["metrics"]["edges"] == 2
+    # per-partition lineage: one record per part-file; row counts sum to
+    # the working set, byte sizes are real
+    parts = log[-1]["partitions"]
+    assert parts and sum(p["rows"] for p in parts) == 2
+    assert all(p["bytes"] > 0 and p["file"].endswith(".parquet") for p in parts)
+    assert ckpt.latest_meta()["partitions"] == parts
 
 
 def test_torn_write_ignored(spark, tmp_path):
