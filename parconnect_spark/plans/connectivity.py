@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.operators.graph import vertices as vertex_table
+from parconnect_spark.streaming.metrics import shuffle_totals
 
 
 @dataclass
@@ -797,6 +798,7 @@ def _cc_two_phase(
     prev = None
     it = start_step
     hubs_used = 0
+    sh_prev = shuffle_totals(edges.sparkSession)
     while it < max_iterations:
         t0 = time.monotonic()
         # The phase boundary must materialize BEFORE small-star consumes its
@@ -893,6 +895,13 @@ def _cc_two_phase(
             "hubs_split": hubs_used if strategy == "window" else 0,
             "seconds": dt,
         }
+        # per-superstep shuffle volume (delta of session-cumulative totals;
+        # the frontier/shuffle half of the telemetry rule)
+        sh_now = shuffle_totals(edges.sparkSession)
+        if sh_prev is not None and sh_now is not None:
+            m["shuffle_read_bytes"] = sh_now[0] - sh_prev[0]
+            m["shuffle_write_bytes"] = sh_now[1] - sh_prev[1]
+        sh_prev = sh_now
         metrics.append(m)
         # No per-round broadcast-gate re-check — it is PROVABLY dead code,
         # not an omission (NOTES.md round-4): the gated quantity is the
@@ -955,6 +964,7 @@ def _cc_min_label(
     changed = labels  # superset on fresh start and on resume — always sound
     metrics: list = []
     it = start_step
+    sh_prev = shuffle_totals(edges.sparkSession)
     while it < max_iterations:
         t0 = time.monotonic()
         # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min —
@@ -991,6 +1001,11 @@ def _cc_min_label(
             "active": n_changed,
             "seconds": dt,
         }
+        sh_now = shuffle_totals(edges.sparkSession)
+        if sh_prev is not None and sh_now is not None:
+            m["shuffle_read_bytes"] = sh_now[0] - sh_prev[0]
+            m["shuffle_write_bytes"] = sh_now[1] - sh_prev[1]
+        sh_prev = sh_now
         metrics.append(m)
         labels = new.select("v", "label")
         if checkpoint is not None and it % checkpoint_every == 0:

@@ -1,4 +1,4 @@
 from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
-from parconnect_spark.streaming.metrics import SuperstepMetrics
+from parconnect_spark.streaming.metrics import SuperstepMetrics, shuffle_totals
 
-__all__ = ["SuperstepCheckpoint", "SuperstepMetrics"]
+__all__ = ["SuperstepCheckpoint", "SuperstepMetrics", "shuffle_totals"]

@@ -15,6 +15,26 @@ import time
 from pyspark.sql import DataFrame, Observation, functions as F
 
 
+def shuffle_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) summed across
+    executors, read from the JVM AppStatusStore — works with the web UI
+    disabled, costs no Spark job. Callers diff consecutive snapshots to get
+    per-superstep shuffle volume (the "shuffle metrics" half of the
+    per-superstep telemetry rule). Totals are session-cumulative, so deltas
+    are only attributable when supersteps run sequentially — true for every
+    plan loop here. Best-effort: returns None if the internal accessor
+    shape changes across Spark versions (telemetry is never worth a
+    crash)."""
+    try:
+        ex = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+        n = ex.size()
+        read = sum(ex.apply(i).totalShuffleRead() for i in range(n))
+        write = sum(ex.apply(i).totalShuffleWrite() for i in range(n))
+        return int(read), int(write)
+    except Exception:
+        return None
+
+
 class SuperstepMetrics:
     """Collects one dict per superstep; attach() wraps a DataFrame with an
     Observation whose results are harvested after the caller's action."""

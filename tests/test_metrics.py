@@ -18,3 +18,22 @@ def test_observe_metrics_piggyback(spark):
     rows = m.harvest()
     assert [r["superstep"] for r in rows] == [1, 2]
     assert rows[-1]["rows"] == 50
+
+
+def test_cc_superstep_shuffle_metrics(spark):
+    """Every two_phase superstep records its shuffle read/write delta (the
+    shuffle half of the per-superstep telemetry rule); a multi-superstep
+    chain CC must move bytes through at least one shuffle."""
+    from parconnect_spark.plans.connectivity import connected_components
+    from parconnect_spark.sources.generators import chain_edges
+    from parconnect_spark.streaming.metrics import shuffle_totals
+
+    if shuffle_totals(spark) is None:
+        import pytest
+
+        pytest.skip("AppStatusStore accessor unavailable on this Spark")
+    res = connected_components(chain_edges(spark, 200))
+    assert res.metrics
+    for m in res.metrics:
+        assert m["shuffle_read_bytes"] >= 0 and m["shuffle_write_bytes"] >= 0
+    assert sum(m["shuffle_write_bytes"] for m in res.metrics) > 0
