@@ -618,6 +618,29 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Repetition-based quality features (functions/text.repetition_features):
+    the Gopher-family duplicate-word / most-common-n-gram fractions used to
+    screen boilerplate and degenerate text from a training corpus. Max-count
+    only (never the argmax gram), so the DuckDB oracle replicates it
+    bit-for-bit with no tie-break ambiguity."""
+    from parconnect_spark.functions.text import repetition_features
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return (
+        repetition_features(docs)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "dup_word_frac",
+            "top_bigram_frac",
+            "top_trigram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_streaming_edges(spark, sf_dir):
     """Structured-Streaming derivation of the SAME canonical string edge
     set as derived_edges: transcripts snapshot → file-source readStream →
@@ -707,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "media_features": _q_media_features,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
         "streaming_edges": _q_streaming_edges,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
@@ -1220,6 +1244,42 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
        md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id""",
+        # repetition_stats: max n-gram COUNT only (no argmax gram), so
+        # Spark and DuckDB agree exactly; DuckDB lists are 1-indexed and
+        # range(1, n) is end-exclusive, hence the bounds below.
+        "repetition_stats": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         round((len(words) - len(list_distinct(words))) * 1.0
+               / greatest(len(words), 1), 6) AS dup_word_frac
+  FROM w
+), g2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS g
+      FROM w WHERE len(words) >= 2
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, max(c) AS top3 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+                                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+      FROM w WHERE len(words) >= 3
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.dup_word_frac,
+       round(coalesce(top2, 0) * 2.0 / greatest(b.n_words, 1), 6) AS top_bigram_frac,
+       round(coalesce(top3, 0) * 3.0 / greatest(b.n_words, 1), 6) AS top_trigram_frac
+FROM base b LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+ORDER BY doc_id""",
         # streaming_edges: identical to derived_edges by design — the
         # streaming path must reproduce the batch edge set exactly.
         "streaming_edges": _GRAPH_PREFIX + "\nSELECT a, b FROM und ORDER BY a, b",

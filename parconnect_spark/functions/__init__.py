@@ -4,6 +4,7 @@ from parconnect_spark.functions.text import (
     quality_score,
     language_id,
     fingerprint,
+    repetition_features,
     token_count,
 )
 from parconnect_spark.functions.dedup import (
@@ -39,6 +40,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "repetition_features",
     "token_count",
     "exact_dup_groups",
     "ngram_jaccard_pairs",
@@ -51,6 +53,7 @@ __all__ = [
     "contamination_check",
     "stratified_sample",
     "hash_split",
+    "cluster_split",
     "uniform_hash",
     "cosine_scores",
     "brute_force_topk",

@@ -101,6 +101,74 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition features — the Gopher-family quality filters
+    (Rae et al. 2021, "Scaling Language Models", appendix A: fraction of
+    tokens in duplicated/most-common n-grams), the standard screen for
+    boilerplate and degenerate generations in a training corpus:
+
+    * ``dup_word_frac``       1 − distinct_words / words (0 for empty docs)
+    * ``top_bigram_frac``     2 · count(most frequent word bigram) / words
+    * ``top_trigram_frac``    3 · count(most frequent word trigram) / words
+
+    Only the max count is used (never the argmax gram), so results carry no
+    tie-breaking ambiguity and replicate exactly in ANSI SQL. Scale shape:
+    dup_word_frac is a pure row-local expression; each n-gram needs one
+    explode + two map-side-combinable aggregations keyed by
+    (doc, gram) / (doc) — no skew concentration, since grouping is always
+    per-document."""
+    t, did = F.col(text_col), F.col(id_col)
+    toks = tokens_col(t)
+    n_words = F.size(toks)
+    base = docs.select(
+        did,
+        toks.alias("_w"),
+        n_words.alias("n_words"),
+        F.round(
+            (n_words - F.size(F.array_distinct(toks)))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+    )
+
+    def top_gram_count(n: int) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("_w") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_w", (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        )
+        return (
+            base.where(F.size("_w") >= n)
+            .select(did, F.explode(grams).alias("_g"))
+            .groupBy(id_col, "_g")
+            .count()
+            .groupBy(id_col)
+            .agg(F.max("count").alias(f"_top{n}"))
+        )
+
+    out = (
+        base.drop("_w")
+        .join(top_gram_count(2), id_col, "left")
+        .join(top_gram_count(3), id_col, "left")
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.round(
+            F.coalesce(F.col("_top2"), F.lit(0)) * 2 / F.greatest("n_words", F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("_top3"), F.lit(0)) * 3 / F.greatest("n_words", F.lit(1)),
+            6,
+        ).alias("top_trigram_frac"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, text_col: str = "text", prefix: int | None = None
 ) -> DataFrame:

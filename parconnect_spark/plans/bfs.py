@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.operators.graph import degrees, vertices as vertex_table
-from parconnect_spark.streaming.metrics import shuffle_totals
+from parconnect_spark.streaming.metrics import IoTelemetry
 
 _STATE_SCHEMA = "v long, parent long, is_frontier boolean"
 
@@ -130,7 +130,7 @@ def bfs(
 
     t0 = time.monotonic()
     levels_this_call = 0
-    sh_prev = shuffle_totals(edges.sparkSession)
+    io_tel = IoTelemetry(edges.sparkSession)
     while levels_this_call < max_levels:
         if frontier is None:
             # between runs: pick the next source (min unvisited id)
@@ -172,11 +172,7 @@ def bfs(
         levels_this_call += 1
         step += 1
         m = {"run": runs_done, "level": total_levels, "frontier": n}
-        sh_now = shuffle_totals(edges.sparkSession)
-        if sh_prev is not None and sh_now is not None:
-            m["shuffle_read_bytes"] = sh_now[0] - sh_prev[0]
-            m["shuffle_write_bytes"] = sh_now[1] - sh_prev[1]
-        sh_prev = sh_now
+        io_tel.record(m)
         metrics.append(m)
         if n == 0:
             frontier = None  # run converged; next loop picks a new source

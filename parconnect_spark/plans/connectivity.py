@@ -47,7 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.operators.graph import vertices as vertex_table
-from parconnect_spark.streaming.metrics import shuffle_totals
+from parconnect_spark.streaming.metrics import IoTelemetry
 
 
 @dataclass
@@ -798,7 +798,7 @@ def _cc_two_phase(
     prev = None
     it = start_step
     hubs_used = 0
-    sh_prev = shuffle_totals(edges.sparkSession)
+    io_tel = IoTelemetry(edges.sparkSession)
     while it < max_iterations:
         t0 = time.monotonic()
         # The phase boundary must materialize BEFORE small-star consumes its
@@ -897,11 +897,7 @@ def _cc_two_phase(
         }
         # per-superstep shuffle volume (delta of session-cumulative totals;
         # the frontier/shuffle half of the telemetry rule)
-        sh_now = shuffle_totals(edges.sparkSession)
-        if sh_prev is not None and sh_now is not None:
-            m["shuffle_read_bytes"] = sh_now[0] - sh_prev[0]
-            m["shuffle_write_bytes"] = sh_now[1] - sh_prev[1]
-        sh_prev = sh_now
+        io_tel.record(m)
         metrics.append(m)
         # No per-round broadcast-gate re-check — it is PROVABLY dead code,
         # not an omission (NOTES.md round-4): the gated quantity is the
@@ -964,7 +960,7 @@ def _cc_min_label(
     changed = labels  # superset on fresh start and on resume — always sound
     metrics: list = []
     it = start_step
-    sh_prev = shuffle_totals(edges.sparkSession)
+    io_tel = IoTelemetry(edges.sparkSession)
     while it < max_iterations:
         t0 = time.monotonic()
         # updatePn/updatePc (labelProp.hpp:358-521): neighborhood min —
@@ -1001,11 +997,7 @@ def _cc_min_label(
             "active": n_changed,
             "seconds": dt,
         }
-        sh_now = shuffle_totals(edges.sparkSession)
-        if sh_prev is not None and sh_now is not None:
-            m["shuffle_read_bytes"] = sh_now[0] - sh_prev[0]
-            m["shuffle_write_bytes"] = sh_now[1] - sh_prev[1]
-        sh_prev = sh_now
+        io_tel.record(m)
         metrics.append(m)
         labels = new.select("v", "label")
         if checkpoint is not None and it % checkpoint_every == 0:

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from parconnect_spark.operators.graph import vertices as vertex_table
 from parconnect_spark.plans.connectivity import CCResult, _canonical, _checksum, _resume
-from parconnect_spark.streaming.metrics import shuffle_totals
+from parconnect_spark.streaming.metrics import IoTelemetry
 
 
 def adjacency_blocks(
@@ -202,7 +202,7 @@ def local_contract_cc(
     start_step, work = _resume(checkpoint, work)
     work = work.localCheckpoint()
     metrics: list = []
-    sh_prev = shuffle_totals(edges.sparkSession)
+    io_tel = IoTelemetry(edges.sparkSession)
     prev = None
     it = start_step
     while it < max_iterations:
@@ -232,11 +232,7 @@ def local_contract_cc(
             "checksum": s,
             "seconds": dt,
         }
-        sh_now = shuffle_totals(edges.sparkSession)
-        if sh_prev is not None and sh_now is not None:
-            m["shuffle_read_bytes"] = sh_now[0] - sh_prev[0]
-            m["shuffle_write_bytes"] = sh_now[1] - sh_prev[1]
-        sh_prev = sh_now
+        io_tel.record(m)
         metrics.append(m)
         if checkpoint is not None and it % checkpoint_every == 0:
             nxt = checkpoint.save(it, nxt, m)

@@ -1,4 +1,15 @@
 from parconnect_spark.streaming.checkpoint import SuperstepCheckpoint
-from parconnect_spark.streaming.metrics import SuperstepMetrics, shuffle_totals
+from parconnect_spark.streaming.metrics import (
+    IoTelemetry,
+    SuperstepMetrics,
+    shuffle_totals,
+    spill_totals,
+)
 
-__all__ = ["SuperstepCheckpoint", "SuperstepMetrics", "shuffle_totals"]
+__all__ = [
+    "IoTelemetry",
+    "SuperstepCheckpoint",
+    "SuperstepMetrics",
+    "shuffle_totals",
+    "spill_totals",
+]

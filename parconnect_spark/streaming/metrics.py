@@ -35,6 +35,61 @@ def shuffle_totals(spark) -> tuple[int, int] | None:
         return None
 
 
+def spill_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (memory_spill_bytes, disk_spill_bytes) summed across all
+    retained stages, read from the JVM AppStatusStore's stage list (the
+    executor summary does not carry spill counters). Same contract as
+    ``shuffle_totals``: no Spark job, UI-independent, diff consecutive
+    snapshots for per-superstep spill volume, best-effort None on accessor
+    drift. Spill deltas separate "the superstep got slower" from "the
+    superstep started spilling" — the distinction that matters when sizing
+    partitions for executor memory at scale. Cost is O(retained stages)
+    py4j calls (capped by spark.ui.retainedStages, default 1000); totals
+    under-count once early stages are evicted from the store, which only
+    deflates deltas of long-past supersteps, never current ones."""
+    try:
+        sc = spark.sparkContext
+        jvm, gw = sc._jvm, sc._gateway
+        statuses = jvm.java.util.ArrayList()
+        for s in ("COMPLETE", "ACTIVE", "FAILED", "PENDING", "SKIPPED"):
+            statuses.add(jvm.org.apache.spark.status.api.v1.StageStatus.valueOf(s))
+        stages = sc._jsc.sc().statusStore().stageList(
+            statuses, False, False, gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        n = stages.size()
+        mem = sum(stages.apply(i).memoryBytesSpilled() for i in range(n))
+        disk = sum(stages.apply(i).diskBytesSpilled() for i in range(n))
+        return int(mem), int(disk)
+    except Exception:
+        return None
+
+
+class IoTelemetry:
+    """Per-superstep shuffle + spill byte deltas for iterative plan loops.
+
+    Construct once before the loop (snapshots the session-cumulative
+    counters), call ``record(m)`` after each superstep's action to add
+    ``shuffle_read/write_bytes`` and ``memory/disk_spill_bytes`` deltas to
+    that superstep's metrics dict. Inherits both accessors' best-effort
+    contract: keys are simply absent if the JVM internals drift."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._sh = shuffle_totals(spark)
+        self._sp = spill_totals(spark)
+
+    def record(self, m: dict) -> None:
+        sh, sp = shuffle_totals(self._spark), spill_totals(self._spark)
+        if self._sh is not None and sh is not None:
+            m["shuffle_read_bytes"] = sh[0] - self._sh[0]
+            m["shuffle_write_bytes"] = sh[1] - self._sh[1]
+        if self._sp is not None and sp is not None:
+            m["memory_spill_bytes"] = sp[0] - self._sp[0]
+            m["disk_spill_bytes"] = sp[1] - self._sp[1]
+        self._sh, self._sp = sh, sp
+
+
 class SuperstepMetrics:
     """Collects one dict per superstep; attach() wraps a DataFrame with an
     Observation whose results are harvested after the caller's action."""

@@ -37,3 +37,22 @@ def test_cc_superstep_shuffle_metrics(spark):
     for m in res.metrics:
         assert m["shuffle_read_bytes"] >= 0 and m["shuffle_write_bytes"] >= 0
     assert sum(m["shuffle_write_bytes"] for m in res.metrics) > 0
+
+
+def test_cc_superstep_spill_metrics(spark):
+    """Every superstep also records its memory/disk spill delta — zero on a
+    tiny graph, but present and non-negative (spill is how partition-sizing
+    failures show up at scale; the telemetry must distinguish 'slower' from
+    'started spilling')."""
+    from parconnect_spark.plans.connectivity import connected_components
+    from parconnect_spark.sources.generators import chain_edges
+    from parconnect_spark.streaming.metrics import spill_totals
+
+    if spill_totals(spark) is None:
+        import pytest
+
+        pytest.skip("AppStatusStore stage accessor unavailable on this Spark")
+    res = connected_components(chain_edges(spark, 200))
+    assert res.metrics
+    for m in res.metrics:
+        assert m["memory_spill_bytes"] >= 0 and m["disk_spill_bytes"] >= 0

@@ -59,3 +59,25 @@ def test_fingerprint_normalizes_whitespace(spark):
     )
     out = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_repetition_features_hand_values(spark):
+    from parconnect_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # "a b" x3 overlapping: 6/6; dup 4/6
+            (2, "x y z"),        # no repeats; top bigram 2/3, trigram 3/3
+            (3, "w"),            # too short for any gram
+            (4, "p p p p"),      # "p p" x3 -> 6/4: overlap pushes past 1.0
+            (5, ""),             # empty doc: all zeros, no division blowup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert (out[1]["dup_word_frac"], out[1]["top_bigram_frac"]) == (0.666667, 1.0)
+    assert out[1]["top_trigram_frac"] == 1.0  # "a b a" twice -> 2*3/6
+    assert (out[2]["dup_word_frac"], out[2]["top_bigram_frac"]) == (0.0, 0.666667)
+    assert (out[3]["top_bigram_frac"], out[3]["top_trigram_frac"]) == (0.0, 0.0)
+    assert (out[4]["dup_word_frac"], out[4]["top_bigram_frac"]) == (0.75, 1.5)
+    assert (out[5]["n_words"], out[5]["dup_word_frac"]) == (0, 0.0)
