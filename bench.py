@@ -150,6 +150,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     total_superstep_sec = 0.0
     total_iters = 0
     run_superstep_secs = []
+    superstep_metrics = []  # opt-in dump: shuffle/spill deltas per superstep
     for _ in range(cc_runs):
         res = connected_components(
             edges, algorithm=algo, materialize=mat, hub_mode=hub_mode
@@ -159,6 +160,8 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
         run_superstep_secs.append(round(sec, 3))
         total_superstep_sec += sec
         total_iters += res.iterations
+        if os.environ.get("SPARK_GRAFT_CC_DUMP_METRICS") == "1":
+            superstep_metrics.extend(res.metrics)
     dt = time.monotonic() - t0
     tot1, steal1 = _cpu_stat()
     # fraction of all host-visible cpu time the hypervisor stole during the
@@ -193,6 +196,11 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
                 # iterative loop the metric describes)
                 "throughput_edges_per_sec_per_superstep": round(
                     n_edges * total_iters / superstep_sec, 1
+                ),
+                **(
+                    {"superstep_metrics": superstep_metrics}
+                    if superstep_metrics
+                    else {}
                 ),
             }
         )
