@@ -170,6 +170,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     multiprobe: bool = True,
     target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -180,12 +181,16 @@ def embedding_near_dup_pairs(
     all-pairs cross join: candidate volume is Σ bucket² instead of n².
 
     ``bits=None`` (default) derives the bucket count from the corpus size
-    (one count job; see ``auto_bits``) so the mean bucket — and with it the
-    candidate volume — stays bounded as the corpus grows. Pass explicit
-    ``bits`` to pin codes (the driver oracle does, to replicate them in
-    SQL)."""
+    so the mean bucket — and with it the candidate volume — stays bounded
+    as the corpus grows (see ``auto_bits``); pass ``corpus_rows`` (e.g. a
+    catalog row count or an already-computed total) to avoid the count job
+    — at 100 TB that count is a full scan. Pass explicit ``bits`` to pin
+    codes (the driver oracle does, to replicate them in SQL)."""
     if bits is None:
-        bits = auto_bits(corpus.count(), target_bucket_rows)
+        bits = auto_bits(
+            corpus_rows if corpus_rows is not None else corpus.count(),
+            target_bucket_rows,
+        )
     cb = lsh_bucket(corpus, bits, dim, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -233,6 +238,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     multiprobe: bool = True,
     target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
+    corpus_rows: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket (± Hamming-1 when
     multiprobe) candidates. Equi-join on bucket — no cross join.
@@ -241,12 +248,22 @@ def lsh_topk(
     The query side is broadcast only while it is actually small
     (≤ MAX_BROADCAST_QUERY_ROWS including multiprobe fan-out); a large
     query set falls back to an AQE-planned shuffle join instead of an
-    executor-memory OOM."""
+    executor-memory OOM.
+
+    ``corpus_rows`` / ``n_queries`` are optional row-count hints: when
+    provided, no count job runs before the search itself — at 100 TB the
+    corpus count is otherwise a full scan per call. The hints only size
+    the bucket count and gate the broadcast, so an approximate (catalog /
+    cached) figure is fine."""
     from pyspark.sql import Window
 
-    n_queries = queries.count()
+    if n_queries is None:
+        n_queries = queries.count()
     if bits is None:
-        bits = auto_bits(corpus.count(), target_bucket_rows)
+        bits = auto_bits(
+            corpus_rows if corpus_rows is not None else corpus.count(),
+            target_bucket_rows,
+        )
     cb = lsh_bucket(corpus, bits, dim, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -295,6 +312,67 @@ def lsh_topk(
 #: oracle's argmin CTE stays cheap.
 DEFAULT_IVF_LISTS = 16
 
+#: above this many lists, ``assignment="auto"`` switches from the literal-
+#: projection plan to the Arrow kernel: the literal path builds one
+#: struct(cosine, negcid) expression PER centroid (each embedding the
+#: centroid as dim ``lit``s), so at the √n sizing the docstring prescribes
+#: (10^4 lists × 64 dims ≈ 10^6 literals in one projection) Catalyst's
+#: expression tree / codegen dies long before data size matters.
+LITERAL_ASSIGN_MAX_LISTS = 64
+
+
+def _assign_lists_kernel(
+    df: DataFrame,
+    cents: list,
+    n_top: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Centroid assignment as ONE numpy matmul per Arrow batch
+    (mapInPandas): rows → (row, list) for the row's ``n_top`` best lists,
+    cosine DESC then centroid id ASC — identical tie order to the literal
+    path (centroids arrive sorted by id, so column index order IS id
+    order and numpy's first-max / stable argsort break ties the same way).
+
+    Per-batch work is a (batch × dim) @ (dim × n_lists) product — no
+    per-centroid expressions, so n_lists scales to the √n regime (10⁴
+    lists is a 64×10⁴ broadcast matrix, ~5 MB per task). Ranking uses
+    dot/‖centroid‖, dropping the query-norm factor the literal path
+    carries: it is a positive per-row scalar, so the per-row ranking —
+    the only thing assignment consumes — is unchanged."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cent_ids = np.array([int(r[id_col]) for r in cents], dtype=np.int64)
+    mat = np.array(
+        [[float(x) for x in r[vec_col]] for r in cents], dtype=np.float64
+    )
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    mat_t = (mat / np.maximum(norms, 1e-300)[:, None]).T  # (dim, n_lists)
+    src = df.select(id_col, vec_col)
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("list", LongType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cos = v @ mat_t  # (batch, n_lists)
+            if n_top == 1:
+                # argmax returns the FIRST max → smallest centroid id
+                out = pdf.copy()
+                out["list"] = cent_ids[np.argmax(cos, axis=1)]
+                yield out
+            else:
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :n_top]
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), top.shape[1])]
+                out = out.reset_index(drop=True)
+                out["list"] = cent_ids[top.reshape(-1)]
+                yield out
+
+    return src.mapInPandas(gen, schema=out_schema)
+
 
 def ivf_topk(
     corpus: DataFrame,
@@ -304,6 +382,8 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "auto",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the third ANN strategy next to
     ``brute_force_topk`` (exact baseline) and ``lsh_topk`` (hyperplane
@@ -316,25 +396,41 @@ def ivf_topk(
     query probes its ``n_probe`` best lists and scores ONLY vectors in
     those lists exactly.
 
-    Physical plan: centroids are collected once (n_lists rows — tiny) and
-    embedded as column literals, so list assignment is a NARROW map over
-    the corpus (no shuffle, no UDF — the same literal-projection trick as
-    ``lsh_bucket``); the probe→list lookup is an equi-join on the list id
-    with the (small, exploded) query side broadcast under the same
-    MAX_BROADCAST_QUERY_ROWS gate as lsh_topk. Candidate volume is
-    n_probe/n_lists of the corpus per query instead of all of it."""
+    Physical plan: centroids are collected once (n_lists rows — tiny;
+    ~5 MB even at the 10⁴-list √n sizing) and the assignment is a NARROW
+    map over the corpus — no shuffle either way — with two physical
+    strategies behind the same semantics:
+
+    * ``literal`` (and ``auto`` at n_lists ≤ LITERAL_ASSIGN_MAX_LISTS):
+      per-centroid column literals, pure Catalyst — zero Python, and the
+      exact plan the driver's SQL oracle replicates.
+    * ``kernel`` (and ``auto`` above the threshold): one numpy matmul per
+      Arrow batch via mapInPandas (_assign_lists_kernel) — the scale path,
+      since the literal plan is one expression per centroid and Catalyst
+      codegen dies at ~10⁶ literals.
+
+    The probe→list lookup is an equi-join on the list id with the (small,
+    exploded) query side broadcast under the same MAX_BROADCAST_QUERY_ROWS
+    gate as lsh_topk; pass ``n_queries`` to skip the gate's count job.
+    Candidate volume is n_probe/n_lists of the corpus per query instead
+    of all of it."""
     from pyspark.sql import Window
 
-    cents = (
-        corpus.where(F.col(id_col) < n_lists)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
+    # driver-side sort: ≤ n_lists rows, so ordering here instead of an
+    # orderBy saves the range-partitioner's sampling job
+    cents = sorted(
+        corpus.where(F.col(id_col) < n_lists).select(id_col, vec_col).collect(),
+        key=lambda r: int(r[id_col]),
     )
     if not cents:
         raise ValueError(
             f"IVF needs at least one centroid seed: no corpus {id_col} < {n_lists}"
         )
+    if assignment not in ("auto", "literal", "kernel"):
+        raise ValueError(f"unknown assignment strategy: {assignment!r}")
+    use_kernel = assignment == "kernel" or (
+        assignment == "auto" and len(cents) > LITERAL_ASSIGN_MAX_LISTS
+    )
 
     def _scored_lists(vcol: str) -> F.Column:
         """array<struct<cosine,negcid>> sorted best-first: cosine DESC,
@@ -354,23 +450,40 @@ def ivf_topk(
             entries.append(F.struct(cos.alias("cosine"), F.lit(-cid).alias("negcid")))
         return F.sort_array(F.array(*entries), asc=False)
 
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _norm(vec_col).alias("_cn"),
-        (-F.element_at(_scored_lists(vec_col), 1)["negcid"]).alias("list"),
-    )
-    n_queries = queries.count()
-    probed = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _norm(vec_col).alias("_qn"),
-        F.explode(
-            F.transform(
-                F.slice(_scored_lists(vec_col), 1, n_probe), lambda s: -s["negcid"]
-            )
-        ).alias("list"),
-    )
+    if use_kernel:
+        assigned = _assign_lists_kernel(corpus, cents, 1, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _norm(vec_col).alias("_cn"),
+            F.col("list"),
+        )
+        probed = _assign_lists_kernel(
+            queries, cents, min(n_probe, len(cents)), id_col, vec_col
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _norm(vec_col).alias("_qn"),
+            F.col("list"),
+        )
+    else:
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _norm(vec_col).alias("_cn"),
+            (-F.element_at(_scored_lists(vec_col), 1)["negcid"]).alias("list"),
+        )
+        probed = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _norm(vec_col).alias("_qn"),
+            F.explode(
+                F.transform(
+                    F.slice(_scored_lists(vec_col), 1, n_probe), lambda s: -s["negcid"]
+                )
+            ).alias("list"),
+        )
+    if n_queries is None:
+        n_queries = queries.count()
     if n_queries * n_probe <= MAX_BROADCAST_QUERY_ROWS:
         probed = F.broadcast(probed)
     scored = (

