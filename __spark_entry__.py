@@ -1163,6 +1163,19 @@ ORDER BY id_a, id_b""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "leakage_split": _leakage_split_oracle(),
+        # media_features: the decode itself (PPM/BMP/WAV/Y4M byte parsing)
+        # is not expressible in SQL, so the oracle is a GOLDEN FIXTURE — a
+        # parquet committed from a pinned run (tests/fixtures/, regenerated
+        # + hash-compared by tests/test_multimodal.py::
+        # test_media_features_golden_fixture_current), which DuckDB reads
+        # like any other table. synth_media + the decoders are fully
+        # deterministic (splitmix64 payloads, integer features), so the
+        # comparison is exact, independent of sf: the query ignores sf_dir
+        # by construction.
+        "media_features": """
+SELECT media_id, kind, n_bytes, checksum
+FROM read_parquet('/root/repo/tests/fixtures/media_features_golden.parquet')
+ORDER BY media_id""",
         "dedup_embedding": _embedding_dedup_oracle(),
         "similarity_lsh": _similarity_lsh_oracle(),
         "similarity_ivf": _similarity_ivf_oracle(),
