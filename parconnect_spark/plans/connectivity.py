@@ -490,6 +490,19 @@ AUTO_MIN_HUB_FRAC = 0.02
 #: limit and typical executor memory; raise it on fat-executor clusters.
 BROADCAST_MAX_ROWS = 8_000_000
 
+#: hub-census refresh cadence (supersteps per _dst_census job). The refresh
+#: exists to catch NEWLY-emerged stragglers (the giant component's min
+#: vertex, whose star doubles per round under pointer halving); the merged
+#: list never drops previously-seen hubs, so staleness only delays a NEW
+#: hub's split by at most census_every-1 rounds, during which its group is
+#: at most 2^(census_every-1)× the 25%-of-stage threshold in ONE window
+#: partition — bounded extra straggle on bounded rounds, vs one aggregate
+#: job per superstep forever. Labels are unaffected either way (the split
+#: is a physical rewrite). 2 halves the census cost for ≤2× one-round
+#: threshold overshoot; fusion into the checksum was measured-rejected
+#: (NOTES.md round-4), amortization is the surviving lever.
+CENSUS_EVERY = 2
+
 
 def connected_components(
     edges: DataFrame,
@@ -504,6 +517,7 @@ def connected_components(
     auto_min_hub_frac: float = AUTO_MIN_HUB_FRAC,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     hub_mode: str = "census",
+    census_every: int = CENSUS_EVERY,
 ) -> CCResult:
     """Compute per-vertex component labels (= min vertex id in component).
 
@@ -542,12 +556,17 @@ def connected_components(
     aggregate + tiny broadcast join-back — see _packed_group_min):
 
     * ``"census"`` (default): hub list seeds from the run-start degree
-      census and refreshes each superstep with a one-aggregate
-      dst-frequency census over the new working set (hub drift: the giant
-      component's min vertex becomes the late-round straggler; measured
-      15s single-task stages without the refresh).
+      census and refreshes every ``census_every`` supersteps with a
+      one-aggregate dst-frequency census over the new working set (hub
+      drift: the giant component's min vertex becomes the late-round
+      straggler; measured 15s single-task stages without the refresh).
     * ``"static"``: run-start hubs for the whole run (no per-round job).
     * ``"off"``: plain window round (pre-split behavior).
+
+    ``census_every`` amortizes the refresh job (see CENSUS_EVERY for the
+    staleness-cost argument); 1 restores the refresh-every-superstep
+    behavior. Labels are identical for any value — the hub list only
+    steers the physical split.
     """
     if algorithm not in ("two_phase", "min_label", "local_contract"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -557,6 +576,8 @@ def connected_components(
         raise ValueError(f"unknown materialize strategy {materialize!r}")
     if hub_mode not in ("census", "static", "off"):
         raise ValueError(f"unknown hub_mode {hub_mode!r}")
+    if census_every < 1:
+        raise ValueError(f"census_every must be >= 1, got {census_every}")
     if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
         # Identity-stamp the checkpoint so a rerun with the same dir but a
         # different algorithm (different working-set schema) or a different
@@ -580,7 +601,7 @@ def connected_components(
         return _cc_two_phase(
             edges, max_iterations, checkpoint, checkpoint_every, materialize,
             auto_straggler_factor, auto_min_hub_frac, broadcast_max_rows,
-            hub_mode,
+            hub_mode, census_every,
         )
     if algorithm == "min_label":
         return _cc_min_label(
@@ -761,6 +782,7 @@ def _cc_two_phase(
     auto_min_hub_frac: float = AUTO_MIN_HUB_FRAC,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     hub_mode: str = "census",
+    census_every: int = CENSUS_EVERY,
 ) -> CCResult:
     verts = vertex_table(_both_orientations(edges)).persist()
     verts.count()
@@ -811,6 +833,8 @@ def _cc_two_phase(
     prev = None
     it = start_step
     hubs_used = 0
+    since_census = 0  # supersteps since the last hub-census refresh
+    census_ran = False
     io_tel = IoTelemetry(edges.sparkSession)
     while it < max_iterations:
         t0 = time.monotonic()
@@ -871,12 +895,16 @@ def _cc_two_phase(
                 eager=False
             )
             cnt, s = _checksum(nxt)
-            if hub_mode == "census":
+            since_census += 1
+            census_ran = hub_mode == "census" and since_census >= census_every
+            if census_ran:
                 # refresh the hub list from the new working set (hub drift:
                 # the giant component's min vertex becomes the next round's
                 # straggler group — measured 15s single-task stages when the
-                # static list misses it); "static" keeps run-start hubs
+                # static list misses it); "static" keeps run-start hubs.
+                # Every census_every supersteps only: see CENSUS_EVERY.
                 hubs = _dst_census(nxt, width, cnt, hubs)
+                since_census = 0
             for c in round_caches:
                 c.unpersist(blocking=False)
         elif strategy == "persist":
@@ -906,6 +934,7 @@ def _cc_two_phase(
             "edges": cnt,
             "checksum": s,
             "hubs_split": hubs_used if strategy == "window" else 0,
+            "census_ran": census_ran if strategy == "window" else False,
             "seconds": dt,
         }
         # per-superstep shuffle volume (delta of session-cumulative totals;

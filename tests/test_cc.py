@@ -387,3 +387,33 @@ def test_cc_hub_split_end_to_end(spark, monkeypatch, hub_mode):
         assert split_rounds > 0, res.metrics
     got = {r["v"]: r["label"] for r in res.labels.collect()}
     assert got == expected_membership(rows)
+
+@pytest.mark.parametrize("census_every", [1, 3])
+def test_census_cadence_amortized(spark, monkeypatch, census_every):
+    """The hub-census refresh runs every census_every supersteps (metrics
+    record which rounds ran it), and labels are identical for any cadence —
+    the hub list only steers the physical split, never the answer."""
+    import parconnect_spark.plans.connectivity as conn
+    from tests.conftest import expected_membership
+
+    monkeypatch.setattr(conn, "HUB_SPLIT_MIN_ROWS", 4)
+    und = [(0, j) for j in range(1, 50)] + [(100, 101)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = conn.connected_components(
+        edges, materialize="window", hub_mode="census",
+        census_every=census_every,
+    )
+    flags = [bool(m["census_ran"]) for m in res.metrics]
+    # cadence: the i-th superstep (1-based) censuses iff i % census_every == 0
+    assert flags == [(i + 1) % census_every == 0 for i in range(len(flags))]
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == expected_membership(rows)
+
+
+def test_census_every_validated(spark, three_components_small):
+    import pytest as _pytest
+    from parconnect_spark.plans.connectivity import connected_components
+
+    with _pytest.raises(ValueError, match="census_every"):
+        connected_components(three_components_small, census_every=0)
