@@ -478,6 +478,25 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_frames(spark, sf_dir):
+    """Video frame sampling (real Y4M decode): deterministic media table ->
+    frame nearest each 250ms stride re-encoded as a standalone PPM still;
+    the still is projected to its md5 so the driver's value hash covers the
+    decoded bytes. Oracle = committed golden fixture (decode isn't
+    SQL-expressible), same discipline as media_features."""
+    from parconnect_spark.functions.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, n=120)
+    frames = frame_sample(media, every_ms=250)
+    return frames.select(
+        "media_id",
+        "frame_ms",
+        "width",
+        "height",
+        F.md5("payload").alias("frame_md5"),
+    ).orderBy("media_id", "frame_ms")
+
+
 def _q_similarity_topk(spark, sf_dir):
     from parconnect_spark.functions.similarity import brute_force_topk
 
@@ -729,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "leakage_split": _q_leakage_split,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
         "streaming_edges": _q_streaming_edges,
@@ -1176,6 +1196,13 @@ ORDER BY id_a, id_b""",
 SELECT media_id, kind, n_bytes, checksum
 FROM read_parquet('/root/repo/tests/fixtures/media_features_golden.parquet')
 ORDER BY media_id""",
+        # media_frames: same golden-fixture discipline (Y4M decode + PPM
+        # re-encode is not SQL); the md5 column pins the decoded frame
+        # BYTES, not just the row shape.
+        "media_frames": """
+SELECT media_id, frame_ms, width, height, frame_md5
+FROM read_parquet('/root/repo/tests/fixtures/media_frames_golden.parquet')
+ORDER BY media_id, frame_ms""",
         "dedup_embedding": _embedding_dedup_oracle(),
         "similarity_lsh": _similarity_lsh_oracle(),
         "similarity_ivf": _similarity_ivf_oracle(),

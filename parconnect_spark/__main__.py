@@ -34,15 +34,20 @@ def main(argv=None) -> int:
                    choices=["two_phase", "min_label", "local_contract"],
                    default="two_phase")
     p.add_argument("--cc-materialize",
-                   choices=["auto", "window", "salted", "persist",
-                            "local_checkpoint"],
+                   choices=["auto", "window", "salted", "salted_fused",
+                            "persist", "local_checkpoint"],
                    default="auto",
                    help="two_phase superstep strategy: auto = pick "
                         "window-vs-salted from a degree census of the input "
                         "(default); window = single-job round; salted = "
                         "skew-proof two-phase minima + size-gated broadcast "
-                        "join-back (hub-heavy graphs); "
+                        "join-back (hub-heavy graphs); salted_fused = both "
+                        "noskew phases in one linear plan (broadcast gate "
+                        "required, falls back to salted); "
                         "persist/local_checkpoint = fused/eager checkpoints")
+    p.add_argument("--census-every", type=int, default=None,
+                   help="window-strategy hub-census refresh cadence in "
+                        "supersteps (default: connectivity.CENSUS_EVERY)")
     p.add_argument("--permute-ids", action="store_true",
                    help="apply the invertible-hash id permutation first")
     p.add_argument("--checkpoint-dir", default=None)
@@ -104,6 +109,7 @@ def main(argv=None) -> int:
         pointer_doubling=not args.no_pointer_doubling,
         checkpoint=checkpoint,
         checkpoint_every=args.checkpoint_every,
+        census_every=args.census_every,
     )
     if args.output:
         res.labels.write.mode("overwrite").parquet(args.output)

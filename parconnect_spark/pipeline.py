@@ -47,6 +47,7 @@ def parconnect_pipeline(
     checkpoint=None,
     checkpoint_every: int = 5,
     cc_materialize: str = "auto",
+    census_every: int | None = None,
 ) -> PipelineResult:
     """Run the hybrid BFS + coloring pipeline on a symmetric edge table.
 
@@ -82,6 +83,7 @@ def parconnect_pipeline(
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         materialize=cc_materialize,
+        **({} if census_every is None else {"census_every": census_every}),
     )
     metrics.extend(cc.metrics)
 

@@ -207,13 +207,14 @@ def test_frame_sample_fake_plumbing(spark):
     assert frames.where("payload is not null").count() == 0
 
 
-def test_media_features_golden_fixture_current(spark):
-    """The driver's media_features oracle is a committed golden parquet
-    (binary decode is not SQL-expressible — VERDICT r4 missing #2). This
-    guards the fixture against drift: a fresh run of the exact driver
-    query must reproduce the committed rows bit-for-bit. If an intentional
-    decoder/synth change lands, regenerate the fixture (see the oracle
-    note in __spark_entry__.oracle_sql) in the same commit."""
+@pytest.mark.parametrize("query", ["media_features", "media_frames"])
+def test_media_golden_fixture_current(spark, query):
+    """The driver's media oracles are committed golden parquets (binary
+    decode is not SQL-expressible — VERDICT r4 missing #2). This guards
+    the fixtures against drift: a fresh run of the exact driver query must
+    reproduce the committed rows bit-for-bit. If an intentional
+    decoder/synth change lands, regenerate the fixtures
+    (tools/regen_golden_fixtures.py) in the same commit."""
     import pandas as pd
     import sys
 
@@ -221,11 +222,11 @@ def test_media_features_golden_fixture_current(spark):
     import __spark_entry__ as entry_mod
 
     fresh = (
-        entry_mod.queries()["media_features"](spark, "/root/testdata/sf0.01")
+        entry_mod.queries()[query](spark, "/root/testdata/sf0.01")
         .toPandas()
         .reset_index(drop=True)
     )
     golden = pd.read_parquet(
-        "/root/repo/tests/fixtures/media_features_golden.parquet"
+        f"/root/repo/tests/fixtures/{query}_golden.parquet"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(fresh, golden)

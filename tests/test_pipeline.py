@@ -125,3 +125,20 @@ def test_pipeline_hybrid_decision_fires_and_labels_exact(spark):
     # the peel did real work: the residual coloring saw fewer components
     # than the whole graph has
     assert res.component_count > 1
+
+def test_cli_census_every_flag(spark, capsys):
+    """--census-every reaches the CC loop through the pipeline (exact
+    labels regardless of cadence; smoke for the new CLI plumbing)."""
+    import json
+
+    from parconnect_spark.__main__ import main
+
+    rc = main(
+        [
+            "--input", "chain", "--n", "120",
+            "--cc-materialize", "window", "--census-every", "3",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["components"] == 1
