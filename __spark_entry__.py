@@ -200,6 +200,21 @@ def _q_cc_labels_local_contract(spark, sf_dir):
     return _with_names(res.labels, id_map, "label")
 
 
+def _q_cc_labels_salted_fused(spark, sf_dir):
+    """Same fixpoint as cc_labels via the salted_fused physical strategy —
+    both noskew two-phase minima folded into one linear plan behind the
+    size-gated broadcast join-back — verified against the identical
+    recursive-CTE oracle (cf. reference coloring path,
+    /root/reference/src/coloring/labelProp.hpp)."""
+    from parconnect_spark.plans.connectivity import connected_components
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    res = connected_components(
+        edges, algorithm="two_phase", materialize="salted_fused"
+    )
+    return _with_names(res.labels, id_map, "label")
+
+
 def _q_cc_stats(spark, sf_dir):
     from parconnect_spark.plans.connectivity import connected_components
 
@@ -725,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "cc_labels": _q_cc_labels,
         "cc_labels_local_contract": _q_cc_labels_local_contract,
+        "cc_labels_salted_fused": _q_cc_labels_salted_fused,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
@@ -1106,6 +1122,11 @@ GROUP BY deg ORDER BY degree""",
 SELECT i.name AS name, l.label AS label
 FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
         "cc_labels_local_contract": _GRAPH_PREFIX
+        + _CC_REACH
+        + """
+SELECT i.name AS name, l.label AS label
+FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
+        "cc_labels_salted_fused": _GRAPH_PREFIX
         + _CC_REACH
         + """
 SELECT i.name AS name, l.label AS label
