@@ -30,29 +30,69 @@ def get_spark(
     so the bench harness can pin parallelism levels for the N-vs-4N scaling
     measurement (BASELINE.md pass rule).
     """
+    # Under spark-submit the gateway JVM already exists (PYSPARK_GATEWAY_PORT
+    # is how pyspark finds it) and carries the submitted --master/--conf.
+    # Builder settings OVERRIDE submitted conf, so everything below is
+    # applied as a DEFAULT there: an explicit caller/env choice still wins,
+    # but ``spark-submit --master yarn --conf k=v launch.py`` must not be
+    # silently rewritten into a local[...] session by this factory.
+    submitted: dict = {}
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        try:
+            from pyspark import SparkConf
+            from pyspark.context import SparkContext
+
+            # connect to the already-running submit JVM so SparkConf can
+            # read the submitted system properties (a bare SparkConf()
+            # before the gateway handshake reads nothing)
+            SparkContext._ensure_initialized()
+            submitted = dict(SparkConf().getAll())
+        except Exception:
+            submitted = {}
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        if cpus:
+            master = f"local[{cpus}]"
+        elif "spark.master" not in submitted:
+            master = "local[*]"
+    explicit_shuffle = (
+        shuffle_partitions is not None or "SPARK_GRAFT_SHUFFLE" in os.environ
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Iterative algorithms checkpoint every few supersteps to truncate
-        # lineage; local dir keeps that off the driver heap.
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+
+    def _default(b, key, value):
+        """Apply ``value`` unless spark-submit already carries ``key``."""
+        return b if key in submitted else b.config(key, value)
+
+    if explicit_shuffle or "spark.sql.shuffle.partitions" not in submitted:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        ).config("spark.default.parallelism", str(shuffle_partitions))
+    builder = _default(builder, "spark.sql.adaptive.enabled", "true")
+    builder = _default(
+        builder, "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    builder = _default(builder, "spark.sql.adaptive.skewJoin.enabled", "true")
+    builder = _default(builder, "spark.sql.session.timeZone", "UTC")
+    builder = _default(builder, "spark.sql.execution.arrow.pyspark.enabled", "true")
+    builder = _default(
+        builder, "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    # Iterative algorithms checkpoint every few supersteps to truncate
+    # lineage; local dir keeps that off the driver heap.
+    builder = _default(builder, "spark.ui.enabled", "false")
+    builder = _default(
+        builder,
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     )
     if extra_conf:
         for k, v in extra_conf.items():
