@@ -2,6 +2,7 @@
 50-node chains; 1 run visits exactly 50 vertices and leaves 98*(p-1)
 directed edge rows; p runs leave nothing."""
 
+import pytest
 from parconnect_spark.plans.bfs import bfs, bfs_peel
 
 
@@ -14,6 +15,7 @@ def disjoint_chains(spark, p=4, n=50):
     return spark.createDataFrame(rows, "src long, dst long"), und
 
 
+@pytest.mark.slow
 def test_single_run_visits_one_chain(spark):
     p = 4
     edges, _ = disjoint_chains(spark, p=p)
@@ -28,6 +30,7 @@ def test_single_run_visits_one_chain(spark):
     assert res.mteps > 0
 
 
+@pytest.mark.slow
 def test_all_runs_visit_everything(spark):
     p = 3
     edges, _ = disjoint_chains(spark, p=p)
@@ -37,6 +40,7 @@ def test_all_runs_visit_everything(spark):
     assert res.residual_edges.count() == 0
 
 
+@pytest.mark.slow
 def test_extra_runs_noop(spark):
     edges, _ = disjoint_chains(spark, p=2)
     res = bfs(edges, num_runs=5)
@@ -44,6 +48,7 @@ def test_extra_runs_noop(spark):
     assert res.visited_count == 100
 
 
+@pytest.mark.slow
 def test_bfs_peel_labels(spark):
     edges, und = disjoint_chains(spark, p=2)
     labels, residual, ncomp = bfs_peel(edges, num_runs=1)
@@ -63,6 +68,7 @@ def test_label_parent_forest_pointer_jumping(spark):
     assert labels == {i: 0 for i in range(200)}
 
 
+@pytest.mark.slow
 def test_bfs_resume_equivalence(spark, tmp_path):
     """Kill after k levels, resume with the same checkpoint dir: identical
     parents/residual to an uninterrupted run (test_bfsRunner.cpp:150-200
@@ -85,6 +91,7 @@ def test_bfs_resume_equivalence(spark, tmp_path):
     assert resumed.residual_edges.count() == 0
 
 
+@pytest.mark.slow
 def test_bfs_one_iteration_per_call(spark, tmp_path):
     """The reference's per-iteration protocol: max_levels=1 per call, state
     carries across calls until convergence."""
@@ -104,6 +111,7 @@ def test_bfs_one_iteration_per_call(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bfs_csr_blocks_equivalent(spark):
     """use_csr expands frontiers against the cached CSR block table —
     identical parents/residual to the raw-edge path."""

@@ -41,6 +41,7 @@ def test_torn_write_ignored(spark, tmp_path):
     assert step == 1
 
 
+@pytest.mark.slow
 def test_cc_resume_equivalence(spark, tmp_path):
     edges = chain_edges(spark, 200)
 
@@ -86,6 +87,7 @@ def test_resume_rejects_foreign_input(spark, tmp_path):
         connected_components(chain_edges(spark, 60), algorithm="two_phase", checkpoint=ck2)
 
 
+@pytest.mark.slow
 def test_cc_min_label_resume(spark, tmp_path):
     edges = chain_edges(spark, 120)
     full = connected_components(edges, algorithm="min_label")

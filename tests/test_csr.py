@@ -1,3 +1,4 @@
+import pytest
 import pandas as pd
 
 from parconnect_spark.plans.csr import (
@@ -58,6 +59,7 @@ def test_adjacency_blocks(spark):
     assert blocks == {1: [2, 3], 2: [1], 3: [1]}
 
 
+@pytest.mark.slow
 def test_local_contract_hub_safe_partition_cap(spark):
     """VERDICT r3 wrong-list #2: a dominant hub's full incident set must NOT
     be forced into one kernel task. With a forced tiny cap on a ~50%-hub

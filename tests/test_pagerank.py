@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 
 from parconnect_spark.plans.pagerank import pagerank
@@ -28,6 +30,7 @@ def pagerank_numpy(pairs, n, damping=0.85, iters=200, tol=1e-12):
     return r
 
 
+@pytest.mark.slow
 def test_pagerank_matches_oracle_undirected(spark):
     und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
     pairs = und + [(b, a) for a, b in und]
@@ -63,6 +66,7 @@ def test_pagerank_salted_equals_plain(spark):
         assert abs(plain[v] - salted[v]) < 1e-12
 
 
+@pytest.mark.slow
 def test_pagerank_partitioned_path_equals_broadcast(spark):
     """broadcast_max_rows=0 forces the above-the-gate physical plan (edge
     cache pre-hashed on src, shuffle-hash rank join) — identical ranks."""

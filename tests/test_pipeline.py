@@ -1,6 +1,7 @@
 """End-to-end hybrid pipeline parity with the reference driver
 (/root/reference/test/benchmark_parconnect_auto.cpp)."""
 
+import pytest
 from parconnect_spark.pipeline import parconnect_pipeline
 from parconnect_spark.sources.generators import chain_edges, kronecker_edges
 from tests.conftest import expected_membership
@@ -14,6 +15,7 @@ def test_pipeline_chain_no_bfs(spark):
     assert set(got.values()) == {0}
 
 
+@pytest.mark.slow
 def test_pipeline_forced_bfs_disjoint_chains(spark):
     und = []
     for k in range(3):
@@ -27,6 +29,7 @@ def test_pipeline_forced_bfs_disjoint_chains(spark):
     assert got == expected_membership(und)
 
 
+@pytest.mark.slow
 def test_pipeline_kronecker_matches_oracle(spark):
     edges = kronecker_edges(spark, scale=8, edgefactor=8)
     pairs = [(r["src"], r["dst"]) for r in edges.collect()]
@@ -57,6 +60,7 @@ def test_cli_main(spark, tmp_path, capsys):
     assert back.count() == 200
 
 
+@pytest.mark.slow
 def test_cli_resume_through_checkpoint(spark, tmp_path, capsys):
     """CLI path with --checkpoint-dir: a killed run's committed supersteps
     are resumed by a rerun with the same dir/job-id, converging to the same
@@ -100,6 +104,7 @@ def test_cli_resume_through_checkpoint(spark, tmp_path, capsys):
     assert payload["components"] == len(set(want.values()))
 
 
+@pytest.mark.slow
 def test_pipeline_hybrid_decision_fires_and_labels_exact(spark):
     """The driver-contract cc_hybrid graph (deterministic power-law star
     forest with a chained giant component at vertex 0) must actually take

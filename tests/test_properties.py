@@ -112,6 +112,7 @@ def test_wav_roundtrip(n, seed):
 
 
 @pytest.mark.parametrize("algorithm", ["two_phase", "min_label", "local_contract"])
+@pytest.mark.slow
 def test_cc_matches_networkx_on_random_graphs(spark, algorithm):
     """Every CC algorithm reproduces networkx per-vertex min-id membership
     on arbitrary small graphs — duplicates, self-loops, any orientation,

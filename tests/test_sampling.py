@@ -64,6 +64,7 @@ def test_hash_split_deterministic_partition(spark, docs):
     assert h3.select("doc_id").exceptAll(hold.select("doc_id")).count() > 0
 
 
+@pytest.mark.slow
 def test_cluster_split_no_cluster_straddles(spark, docs):
     # near-dup pairs: chain 0~1~2 (one cluster) plus 10~11; everything else
     # singleton. The WHOLE chain must land on one side.

@@ -219,6 +219,7 @@ def big_vecs(spark):
 
 
 @pytest.mark.parametrize("n_lists", [16, 256])
+@pytest.mark.slow
 def test_ivf_kernel_matches_literal_assignment(big_vecs, n_lists):
     """The Arrow-kernel centroid assignment (the scale path: one numpy
     matmul per batch, no per-centroid Catalyst literals) must produce the
