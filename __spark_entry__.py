@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PR_ITERS = 8
+HITS_ITERS = 8
 LP_MIN_ITERS = 4
 LP_MAJ_ITERS = 2
 
@@ -267,6 +268,26 @@ def _q_pagerank(spark, sf_dir):
     ranks = pagerank(edges, damping=0.85, tol=None, num_iters=PR_ITERS, salt_buckets=1)
     named = ranks.select("v", F.round("rank", 6).alias("rank"))
     return _with_names(named, id_map, "rank")
+
+
+def _q_hits(spark, sf_dir):
+    from parconnect_spark.operators.derive import derive_directed_string_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.hits import hits
+
+    t = _transcripts(spark, sf_dir)
+    directed = derive_directed_string_edges(t)
+    edges, id_map = relabel_edges(directed, "a", "b")
+    scores = hits(edges, num_iters=HITS_ITERS)
+    return (
+        scores.join(id_map, scores["v"] == id_map["id"])
+        .select(
+            "name",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy("name")
+    )
 
 
 def _q_labelprop_min(spark, sf_dir):
@@ -748,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain": _q_bfs_chain,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
         "triangle_count": _q_triangle_count,
@@ -798,6 +820,55 @@ r{k} AS (
     sql += (
         f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
         f" FROM r{iters} r JOIN ids i ON i.id = r.v ORDER BY name"
+    )
+    return sql
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    """Unrolled HITS power iteration (plans/hits.py semantics, exactly):
+    a_k from h_{k-1}, h_k from a_k, L1-normalized by the sum over receiving
+    vertices each half-step; vertices with no in-(out-)edges score 0."""
+    sql = _GRAPH_PREFIX + """,
+dedges AS (
+  SELECT DISTINCT s.id AS src, d.id AS dst
+  FROM pairs p JOIN ids s ON p.a = s.name JOIN ids d ON p.b = d.name
+  WHERE p.a <> p.b
+),
+nv AS (SELECT COUNT(*) AS n FROM ids),
+h0 AS (SELECT id AS v, 1.0 / nv.n AS hub FROM ids CROSS JOIN nv)"""
+    # Every CTE below is referenced exactly ONCE by its successor: DuckDB
+    # inlines CTEs, so a half-step that referenced its predecessor twice
+    # (join + scalar-subquery normalizer) would expand 4^iters times and
+    # exhaust file handles re-opening events.parquet. The normalizer is a
+    # SUM() OVER () on the raw half-step instead — same quantity (sum over
+    # receiving vertices), linear expansion.
+    for k in range(1, iters + 1):
+        sql += f""",
+an{k} AS (
+  SELECT v, s / SUM(s) OVER () AS authority FROM (
+    SELECT e.dst AS v, SUM(h.hub) AS s
+    FROM dedges e JOIN h{k - 1} h ON e.src = h.v GROUP BY e.dst
+  ) r
+),
+a{k} AS (
+  SELECT i.id AS v, COALESCE(x.authority, 0.0) AS authority
+  FROM ids i LEFT JOIN an{k} x ON x.v = i.id
+),
+hn{k} AS (
+  SELECT v, s / SUM(s) OVER () AS hub FROM (
+    SELECT e.src AS v, SUM(a.authority) AS s
+    FROM dedges e JOIN a{k} a ON e.dst = a.v GROUP BY e.src
+  ) r
+),
+h{k} AS (
+  SELECT i.id AS v, COALESCE(x.hub, 0.0) AS hub
+  FROM ids i LEFT JOIN hn{k} x ON x.v = i.id
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, ROUND(h.hub, 6) AS hub,"
+        f" ROUND(a.authority, 6) AS authority"
+        f"\nFROM ids i JOIN h{iters} h ON h.v = i.id"
+        f" JOIN a{iters} a ON a.v = i.id ORDER BY name"
     )
     return sql
 
@@ -1163,6 +1234,7 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "cc_kronecker": _cc_kronecker_oracle(),
         "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
+        "hits": _hits_oracle(),
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
         "triangle_count": _GRAPH_PREFIX

@@ -77,6 +77,31 @@ def derive_string_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def derive_directed_string_edges(transcripts: DataFrame) -> DataFrame:
+    """Distinct DIRECTED string-keyed edges DataFrame[a, b].
+
+    Same pair sources as :func:`derive_string_edges` (E1 sequential,
+    E2 membership) but keeping the natural direction — turn i → turn i+1,
+    conversation → member entity — instead of least/greatest folding.
+    This is the input shape for direction-sensitive link analysis
+    (plans/hits.py); the reference's CC engine only ever symmetrizes, so
+    this operator has no C++ counterpart.
+    """
+    turns = transcripts_to_entity_turns(transcripts)
+    seq = turns.where(F.col("next_entity").isNotNull()).select(
+        F.col("entity").alias("a"), F.col("next_entity").alias("b")
+    )
+    member = turns.select(
+        F.concat(F.lit("c:"), F.col("conv_id")).alias("a"),
+        F.col("entity").alias("b"),
+    )
+    return (
+        seq.unionByName(member)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full derivation: transcripts → (symmetric long edges, id_map).
 
