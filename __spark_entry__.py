@@ -24,6 +24,14 @@ PR_ITERS = 8
 HITS_ITERS = 8
 LP_MIN_ITERS = 4
 LP_MAJ_ITERS = 2
+KCORE_K = 3
+# Fixed unroll depth for the k-core oracle: peeling is a no-op after the
+# fixpoint, so any depth >= the actual peel depth is exact. The sf0.01
+# transcript graph peels in ~3 rounds; 16 is asserted-ample headroom.
+KCORE_ORACLE_ROUNDS = 16
+LINKPRED_WEDGE_CAP = 64
+LINKPRED_TOPK = 50
+WALK_LEN = 4
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (ANSI subset valid in BOTH Spark and DuckDB)
@@ -287,6 +295,73 @@ def _q_hits(spark, sf_dir):
             F.round("authority", 6).alias("authority"),
         )
         .orderBy("name")
+    )
+
+
+def _q_link_prediction(spark, sf_dir):
+    """Bipartite membership graph (c:conv — entity): the collaborative-
+    filtering setting. On the FULL transcript graph the sequential edges
+    make every co-occurring entity pair directly adjacent, so the
+    candidate set is empty at contract scale; on the bipartite graph
+    entity—entity pairs are non-adjacent by construction and score via
+    conversation middles (whose degree is conversation length, safely
+    under the wedge cap), while the hub entities are capped out as
+    middles — so conv—conv pairs don't explode."""
+    from parconnect_spark.operators.derive import transcripts_to_entity_turns
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.linkpred import link_prediction
+
+    t = _transcripts(spark, sf_dir)
+    turns = transcripts_to_entity_turns(t)
+    member = turns.select(
+        F.concat(F.lit("c:"), F.col("conv_id")).alias("a"),
+        F.col("entity").alias("b"),
+    ).distinct()
+    long_edges, id_map = relabel_edges(member, "a", "b")
+    edges = symmetrize(long_edges)
+    scored = link_prediction(edges, max_wedge_degree=LINKPRED_WEDGE_CAP)
+    u_names = id_map.select(F.col("id").alias("_uid"), F.col("name").alias("u_name"))
+    v_names = id_map.select(F.col("id").alias("_vid"), F.col("name").alias("v_name"))
+    out = (
+        scored.join(u_names, scored["u"] == F.col("_uid"))
+        .join(v_names, scored["v"] == F.col("_vid"))
+        .select("u_name", "v_name", "cn", F.round("aa", 6).alias("aa"))
+    )
+    # Total deterministic order: ties in the ROUNDED score (which both
+    # engines sort on) fall through to cn, then the name pair.
+    return out.orderBy(
+        F.desc("aa"), F.desc("cn"), "u_name", "v_name"
+    ).limit(LINKPRED_TOPK)
+
+
+def _q_kcore(spark, sf_dir):
+    from parconnect_spark.plans.kcore import kcore
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    core, _rounds = kcore(edges, k=KCORE_K)
+    return (
+        core.join(id_map, core["v"] == id_map["id"])
+        .select("name", "core_deg")
+        .orderBy("name")
+    )
+
+
+def _q_graph_walks(spark, sf_dir):
+    from parconnect_spark.plans.walks import random_walks
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    seeds = id_map.where(F.col("name").startswith("c:")).select(
+        F.col("id").alias("v")
+    )
+    walks = random_walks(edges, seeds, length=WALK_LEN)
+    iw = id_map.select(F.col("id").alias("_wid"), F.col("name").alias("walk_name"))
+    iv = id_map.select(F.col("id").alias("_vid"), F.col("name").alias("v_name"))
+    return (
+        walks.join(iw, walks["walk_id"] == F.col("_wid"))
+        .join(iv, walks["v"] == F.col("_vid"))
+        .select("walk_name", "step", "v_name")
+        .orderBy("walk_name", "step")
     )
 
 
@@ -770,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
+        "link_prediction": _q_link_prediction,
+        "kcore": _q_kcore,
+        "graph_walks": _q_graph_walks,
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
         "triangle_count": _q_triangle_count,
@@ -870,6 +948,117 @@ h{k} AS (
         f"\nFROM ids i JOIN h{iters} h ON h.v = i.id"
         f" JOIN a{iters} a ON a.v = i.id ORDER BY name"
     )
+    return sql
+
+
+def _linkpred_oracle(
+    cap: int = LINKPRED_WEDGE_CAP, top_k: int = LINKPRED_TOPK
+) -> str:
+    """Wedge self-join through capped-degree middles (plans/linkpred.py
+    semantics, exactly) over the bipartite MEMBERSHIP graph — see
+    _q_link_prediction for why. The id space is dense-rank over the
+    membership-graph names (matching the Spark side's relabel_edges on the
+    same edge set) so u < v resolves identically. ``mnb`` is MATERIALIZED:
+    it is referenced twice by the self-join and DuckDB inlines CTEs."""
+    return _GRAPH_PREFIX + f""",
+mpairs AS (
+  SELECT DISTINCT 'c:' || conv_id AS a, entity AS b FROM turns
+),
+mnames AS (
+  SELECT DISTINCT name
+  FROM (SELECT a AS name FROM mpairs UNION ALL SELECT b AS name FROM mpairs) nn
+),
+mids AS MATERIALIZED (
+  SELECT name, CAST(DENSE_RANK() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM mnames
+),
+medges AS MATERIALIZED (
+  SELECT s.id AS src, d.id AS dst
+  FROM mpairs JOIN mids s ON mpairs.a = s.name JOIN mids d ON mpairs.b = d.name
+  UNION ALL
+  SELECT d.id AS src, s.id AS dst
+  FROM mpairs JOIN mids s ON mpairs.a = s.name JOIN mids d ON mpairs.b = d.name
+),
+mdeg AS (SELECT src AS w, COUNT(*) AS d FROM medges GROUP BY src),
+mnb AS MATERIALIZED (
+  SELECT e.src AS w, e.dst AS n, d.d
+  FROM medges e JOIN mdeg d ON d.w = e.src WHERE d.d <= {cap}
+),
+cand AS (
+  SELECT l.n AS u, r.n AS v, COUNT(*) AS cn, SUM(1.0 / LN(l.d)) AS aa
+  FROM mnb l JOIN mnb r ON l.w = r.w AND l.n < r.n
+  GROUP BY l.n, r.n
+),
+fresh AS (
+  SELECT c.u, c.v, c.cn, c.aa
+  FROM cand c LEFT JOIN medges e ON e.src = c.u AND e.dst = c.v
+  WHERE e.src IS NULL
+)
+SELECT iu.name AS u_name, iv.name AS v_name, f.cn AS cn, ROUND(f.aa, 6) AS aa
+FROM fresh f JOIN mids iu ON iu.id = f.u JOIN mids iv ON iv.id = f.v
+ORDER BY aa DESC, cn DESC, u_name, v_name LIMIT {top_k}"""
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled synchronous peel: s_i = vertices of s_{i-1}-subgraph with
+    degree >= k; a no-op after the fixpoint, so a fixed unroll >= the real
+    peel depth is exact (plans/kcore.py runs the same peel to fixpoint).
+    Every s_i is MATERIALIZED — each round references its predecessor twice
+    (both endpoints), which would inline 2^rounds times otherwise; medges
+    pins the derived edge table to one expansion total."""
+    sql = _GRAPH_PREFIX + """,
+medges AS MATERIALIZED (SELECT src, dst FROM edges),
+s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM medges)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+s{i} AS MATERIALIZED (
+  SELECT e.src AS v
+  FROM medges e
+  JOIN s{i - 1} a ON e.src = a.v
+  JOIN s{i - 1} b ON e.dst = b.v
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+)"""
+    sql += f"""
+SELECT i.name AS name, d.core_deg AS core_deg
+FROM (
+  SELECT e.src AS v, COUNT(*) AS core_deg
+  FROM medges e
+  JOIN s{rounds} a ON e.src = a.v
+  JOIN s{rounds} b ON e.dst = b.v
+  GROUP BY e.src
+) d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _walks_oracle(length: int = WALK_LEN, salt: str = "w") -> str:
+    """Replays plans/walks.py exactly: at step i the walk moves to the
+    neighbor minimizing md5('walk:step:dst:salt'). MATERIALIZED CTEs —
+    each step is referenced by the next step AND the final union."""
+    sql = _GRAPH_PREFIX + """,
+medges AS MATERIALIZED (SELECT src, dst FROM edges),
+mids AS MATERIALIZED (SELECT name, id FROM ids),
+w0 AS MATERIALIZED (
+  SELECT id AS walk_id, 0 AS step, id AS v FROM mids WHERE name LIKE 'c:%'
+)"""
+    for i in range(1, length + 1):
+        sql += f""",
+w{i} AS MATERIALIZED (
+  SELECT w.walk_id, {i} AS step,
+         MIN_BY(e.dst, MD5(CONCAT_WS(':',
+           CAST(w.walk_id AS VARCHAR), CAST({i} AS VARCHAR),
+           CAST(e.dst AS VARCHAR), '{salt}'))) AS v
+  FROM w{i - 1} w JOIN medges e ON e.src = w.v
+  GROUP BY w.walk_id
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, v FROM w{i}" for i in range(length + 1)
+    )
+    sql += f"""
+SELECT iw.name AS walk_name, u.step AS step, iv.name AS v_name
+FROM ({union}) u
+JOIN mids iw ON iw.id = u.walk_id
+JOIN mids iv ON iv.id = u.v
+ORDER BY walk_name, step"""
     return sql
 
 
@@ -1235,6 +1424,9 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
         "hits": _hits_oracle(),
+        "link_prediction": _linkpred_oracle(),
+        "kcore": _kcore_oracle(),
+        "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
         "triangle_count": _GRAPH_PREFIX

@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "cc_labels",
     "pagerank",
+    "hits",
+    "link_prediction",
+    "kcore",
+    "graph_walks",
     "labelprop_min",
     "triangle_count",
     "dedup_ngram",
@@ -110,6 +114,7 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     mat = os.environ.get("SPARK_GRAFT_CC_MATERIALIZE", "window")
     algo = os.environ.get("SPARK_GRAFT_CC_ALGORITHM", "two_phase")
     hub_mode = os.environ.get("SPARK_GRAFT_CC_HUB_MODE", "census")
+    census_every = int(os.environ.get("SPARK_GRAFT_CC_CENSUS_EVERY", "0")) or None
     shm = "/dev/shm/spark-bench-tmp"
     os.makedirs(shm, exist_ok=True)
     spark = get_spark(
@@ -154,8 +159,9 @@ def _cc_worker(cpus: int, edges_path: str) -> None:
     run_superstep_secs = []
     superstep_metrics = []  # opt-in dump: shuffle/spill deltas per superstep
     for _ in range(cc_runs):
+        kw = {"census_every": census_every} if census_every else {}
         res = connected_components(
-            edges, algorithm=algo, materialize=mat, hub_mode=hub_mode
+            edges, algorithm=algo, materialize=mat, hub_mode=hub_mode, **kw
         )
         n_labels = res.labels.count()  # force the final plan
         sec = sum(m["seconds"] for m in res.metrics)

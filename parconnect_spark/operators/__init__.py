@@ -11,6 +11,7 @@ from parconnect_spark.operators.relabel import dense_rank_relabel, relabel_edges
 from parconnect_spark.operators.derive import (
     transcripts_to_entity_turns,
     derive_edges,
+    derive_directed_string_edges,
     verify_text_invariant,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "relabel_edges",
     "transcripts_to_entity_turns",
     "derive_edges",
+    "derive_directed_string_edges",
     "verify_text_invariant",
 ]

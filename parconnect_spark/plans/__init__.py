@@ -13,6 +13,10 @@ from parconnect_spark.plans.triangles import (
 )
 from parconnect_spark.plans.bfs import bfs, bfs_peel
 from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
+from parconnect_spark.plans.hits import hits
+from parconnect_spark.plans.kcore import kcore
+from parconnect_spark.plans.linkpred import link_prediction
+from parconnect_spark.plans.walks import random_walks
 
 __all__ = [
     "connected_components",
@@ -28,4 +32,8 @@ __all__ = [
     "bfs_peel",
     "should_run_bfs",
     "powerlaw_ks_distance",
+    "hits",
+    "kcore",
+    "link_prediction",
+    "random_walks",
 ]
