@@ -494,14 +494,18 @@ BROADCAST_MAX_ROWS = 8_000_000
 #: exists to catch NEWLY-emerged stragglers (the giant component's min
 #: vertex, whose star doubles per round under pointer halving); the merged
 #: list never drops previously-seen hubs, so staleness only delays a NEW
-#: hub's split by at most census_every-1 rounds, during which its group is
-#: at most 2^(census_every-1)× the 25%-of-stage threshold in ONE window
-#: partition — bounded extra straggle on bounded rounds, vs one aggregate
-#: job per superstep forever. Labels are unaffected either way (the split
-#: is a physical rewrite). 2 halves the census cost for ≤2× one-round
-#: threshold overshoot; fusion into the checksum was measured-rejected
-#: (NOTES.md round-4), amortization is the surviving lever.
-CENSUS_EVERY = 2
+#: hub's split by census_every-1 rounds. DEFAULT 1 — amortization (=2) was
+#: tried in round 5 and MEASURED-REJECTED at cluster-realistic superstep
+#: sizes: on the 180.5M-edge scaling graph (2 supersteps) K=2 never
+#: refreshes mid-run, the superstep-2 giant-component hub goes unsplit,
+#: and one serialized WindowExec partition drags 8-core throughput
+#: 3.81M→2.99M edges/s/superstep while the skipped census job flatters the
+#: 2-core level (1.15M→1.24M) — N→4N efficiency 0.83→0.60, a double
+#: distortion. The 240k-conv A/B that motivated K=2 (8.65s vs 9.19s) was
+#: measuring the census job's fixed cost, which amortizes to noise exactly
+#: where the missing refresh becomes catastrophic. Keep 1 unless supersteps
+#: are short AND plentiful; the knob stays for experiments.
+CENSUS_EVERY = 1
 
 
 def connected_components(
