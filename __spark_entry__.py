@@ -396,6 +396,37 @@ def _q_triangles_per_vertex(spark, sf_dir):
     return _with_names(tri, id_map, "triangles")
 
 
+def _q_vertex_features(spark, sf_dir):
+    """Per-vertex structural features: degree, triangle participation,
+    local clustering coefficient, mean neighbor degree — the per-vertex
+    feature block a graph-ML training pipeline exports."""
+    from parconnect_spark.operators.graph import avg_neighbor_degree
+    from parconnect_spark.plans.triangles import clustering_coefficients
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    feats = clustering_coefficients(edges).join(avg_neighbor_degree(edges), "v")
+    return (
+        feats.join(id_map, feats["v"] == id_map["id"])
+        .select(
+            "name",
+            "degree",
+            "triangles",
+            F.round("lcc", 6).alias("lcc"),
+            F.round("avg_nbr_deg", 6).alias("avg_nbr_deg"),
+        )
+        .orderBy("name")
+    )
+
+
+def _q_assortativity(spark, sf_dir):
+    from parconnect_spark.operators.graph import degree_assortativity
+
+    _, edges, _ = _graph(spark, sf_dir)
+    return degree_assortativity(edges).select(
+        F.round("assortativity", 6).alias("assortativity"), "n_edges"
+    )
+
+
 KRON_SCALE = 8
 KRON_EF = 16
 
@@ -852,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_majority": _q_labelprop_majority,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "vertex_features": _q_vertex_features,
+        "assortativity": _q_assortativity,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
@@ -1440,6 +1473,36 @@ longf AS (
 )
 SELECT i.name AS name, CAST(COUNT(*) AS BIGINT) AS triangles
 FROM longf l JOIN ids i ON i.id = l.v GROUP BY i.name ORDER BY name""",
+        "vertex_features": _GRAPH_PREFIX
+        + _TRI_CTE
+        + """,
+deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+tpv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) t GROUP BY v
+),
+annd AS (
+  SELECT e.src AS v, AVG(CAST(d.degree AS DOUBLE)) AS avg_nbr_deg
+  FROM edges e JOIN deg d ON d.v = e.dst GROUP BY e.src
+)
+SELECT i.name AS name, g.degree AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN g.degree >= 2
+                  THEN 2.0 * COALESCE(t.triangles, 0)
+                       / (CAST(g.degree AS DOUBLE) * (g.degree - 1.0))
+                  ELSE 0.0 END, 6) AS lcc,
+       ROUND(a.avg_nbr_deg, 6) AS avg_nbr_deg
+FROM deg g JOIN ids i ON i.id = g.v
+LEFT JOIN tpv t ON t.v = g.v
+JOIN annd a ON a.v = g.v
+ORDER BY name""",
+        "assortativity": _GRAPH_PREFIX
+        + """,
+deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src)
+SELECT ROUND(CORR(s.d, t.d), 6) AS assortativity,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM edges e JOIN deg s ON s.v = e.src JOIN deg t ON t.v = e.dst""",
         "dedup_exact": """
 WITH fps AS (
   SELECT doc_id AS id,

@@ -79,6 +79,48 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Per-vertex mean neighbor degree DataFrame[v, avg_nbr_deg] — the
+    standard k_nn(v) structural feature (and the per-vertex view of the
+    assortativity measurement below).
+
+    One degree aggregate + one hash join keyed on the edge dst + one
+    map-side-combined avg; the degree table is |V|-sized so AQE broadcasts
+    it when small and hash-joins otherwise. ``edges`` must be symmetric
+    deduplicated (degree == row count per src)."""
+    deg = degrees(edges)
+    return (
+        edges.join(deg, edges["dst"] == deg["v"])
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.avg(F.col("degree").cast("double")).alias("avg_nbr_deg"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): Pearson correlation
+    of (deg(src), deg(dst)) over the directed occurrences of every
+    undirected edge — which is exactly one pass over the symmetric edge
+    table, so each undirected edge contributes both orientations as the
+    definition requires.
+
+    Returns a single row DataFrame[assortativity: double, n_edges: long]
+    (n_edges = directed row count = 2x undirected). Two joins against the
+    |V|-sized degree table + one global corr aggregate (map-side partial
+    moments, one scalar shuffle) — no windows, no collect."""
+    deg = degrees(edges)
+    ds = deg.select(F.col("v").alias("_sv"), F.col("degree").alias("_sd"))
+    dd = deg.select(F.col("v").alias("_dv"), F.col("degree").alias("_dd"))
+    joined = edges.join(ds, edges["src"] == F.col("_sv")).join(
+        dd, edges["dst"] == F.col("_dv")
+    )
+    return joined.agg(
+        F.corr(F.col("_sd").cast("double"), F.col("_dd").cast("double")).alias(
+            "assortativity"
+        ),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
 def filter_visited_edges(edges: DataFrame, visited: DataFrame) -> DataFrame:
     """Drop every edge whose SRC was visited (post-BFS residual edges).
 

@@ -92,3 +92,33 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
 def triangle_count(edges: DataFrame) -> int:
     """Exact global triangle count."""
     return int(enumerate_triangles(edges).count())
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over a symmetric edge table:
+
+        lcc(v) = 2 * T(v) / (deg(v) * (deg(v) - 1))     (0.0 when deg < 2)
+
+    where T(v) is the triangle participation count from the degree-ordered
+    node-iterator above — so the hub guard (wedge fan-out bounded by the
+    SMALLER endpoint degree) carries over unchanged; the only additions are
+    one |V|-sized hash aggregate for degrees and one left join to attach the
+    (sparse) triangle counts to every vertex.
+
+    Returns DataFrame[v, degree, triangles, lcc]. ``edges`` must be the
+    symmetric deduplicated shape operators/graph.symmetrize emits (degree ==
+    row count per src)."""
+    deg = degrees(edges)
+    tri = triangles_per_vertex(edges)
+    d = F.col("degree").cast("double")
+    return deg.join(tri, "v", "left").select(
+        "v",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.coalesce("triangles", F.lit(0)) / (d * (d - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -97,3 +97,49 @@ def test_wang_hash_udf_roundtrip(spark):
 def test_vertices(spark):
     e = symmetrize(spark.createDataFrame([(10, 20), (20, 30)], "src long, dst long"))
     assert {r["v"] for r in vertices(e).collect()} == {10, 20, 30}
+
+
+def test_avg_neighbor_degree_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import avg_neighbor_degree, symmetrize
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    exp = nx.average_neighbor_degree(g)
+    got = {r["v"]: r["avg_nbr_deg"] for r in avg_neighbor_degree(edges).collect()}
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9
+
+
+def test_degree_assortativity_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import degree_assortativity, symmetrize
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    exp = nx.degree_assortativity_coefficient(g)
+    row = degree_assortativity(edges).collect()[0]
+    assert abs(row["assortativity"] - exp) < 1e-9
+    assert row["n_edges"] == 2 * g.number_of_edges()
+
+
+def test_degree_assortativity_star_is_negative_one(spark):
+    from parconnect_spark.operators.graph import degree_assortativity, symmetrize
+
+    # a star plus one pendant chain gives degree variance on both sides;
+    # pure star corr is undefined (zero variance on one side) in the
+    # per-edge Pearson formulation only when all leaf degrees are equal
+    # AND the hub appears on exactly one side — the symmetric table uses
+    # both orientations, so a star yields exactly -1.
+    e = symmetrize(
+        spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    )
+    row = degree_assortativity(e).collect()[0]
+    assert abs(row["assortativity"] - (-1.0)) < 1e-12

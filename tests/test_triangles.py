@@ -53,3 +53,34 @@ def test_vs_bruteforce_on_rmat(spark):
     got_pv = {r["v"]: r["triangles"] for r in triangles_per_vertex(edges).collect()}
     exp_pv_nonzero = {v: c for v, c in exp_pv.items() if c > 0}
     assert got_pv == exp_pv_nonzero
+
+
+def test_clustering_coefficients_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import clustering_coefficients
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    exp = nx.clustering(g)
+    got = {
+        r["v"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert set(got) == set(exp)
+    exp_tri = nx.triangles(g)
+    for v, (deg, tri, lcc) in got.items():
+        assert deg == g.degree[v]
+        assert tri == exp_tri[v]
+        assert abs(lcc - exp[v]) < 1e-12
+
+
+def test_clustering_coefficients_degree_one_is_zero(spark):
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import clustering_coefficients
+
+    e = symmetrize(spark.createDataFrame([(0, 1)], "src long, dst long"))
+    rows = {r["v"]: r["lcc"] for r in clustering_coefficients(e).collect()}
+    assert rows == {0: 0.0, 1: 0.0}
