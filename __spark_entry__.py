@@ -278,6 +278,26 @@ def _q_pagerank(spark, sf_dir):
     return _with_names(named, id_map, "rank")
 
 
+def _q_pagerank_seeded(spark, sf_dir):
+    """Personalized PageRank: restart to the two lexicographically-smallest
+    tool entities — random-walk-with-restart proximity to a seed set, the
+    recommendation/expansion primitive. Fixed iterations for the unrolled
+    SQL oracle, like pagerank."""
+    from parconnect_spark.plans.pagerank import pagerank
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    seeds = [
+        int(r["id"])
+        for r in id_map.where(F.col("name").startswith("t:"))
+        .orderBy("name")
+        .limit(2)
+        .collect()
+    ]
+    ranks = pagerank(edges, damping=0.85, tol=None, num_iters=PR_ITERS, seeds=seeds)
+    named = ranks.select("v", F.round("rank", 6).alias("rank"))
+    return _with_names(named, id_map, "rank")
+
+
 def _q_hits(spark, sf_dir):
     from parconnect_spark.operators.derive import derive_directed_string_edges
     from parconnect_spark.operators.relabel import relabel_edges
@@ -875,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain": _q_bfs_chain,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
+        "pagerank_seeded": _q_pagerank_seeded,
         "hits": _q_hits,
         "link_prediction": _q_link_prediction,
         "kcore": _q_kcore,
@@ -927,6 +948,37 @@ r{k} AS (
     FROM edges e JOIN r{k-1} r ON e.src = r.v JOIN deg d ON d.v = e.src
     GROUP BY e.dst
   ) c ON c.v = i.id
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
+        f" FROM r{iters} r JOIN ids i ON i.id = r.v ORDER BY name"
+    )
+    return sql
+
+
+def _ppr_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled personalized PageRank: restart vector p = uniform over the
+    two lexicographically-smallest t: entities, rank_0 = p, teleport AND
+    (vacuously, on the symmetric graph) dangling mass weighted by p. Same
+    linear CTE-expansion discipline as _pagerank_oracle."""
+    sql = _GRAPH_PREFIX + """,
+deg AS (SELECT src AS v, 1.0 / COUNT(*) AS w FROM edges GROUP BY src),
+seeds AS (SELECT id FROM ids WHERE name LIKE 't:%' ORDER BY name LIMIT 2),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+pv AS (
+  SELECT i.id AS v, CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS p
+  FROM ids i CROSS JOIN ns LEFT JOIN seeds s ON s.id = i.id
+),
+r0 AS (SELECT v, p AS rank FROM pv)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS (
+  SELECT pv.v AS v, (1.0 - 0.85) * pv.p + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM pv LEFT JOIN (
+    SELECT e.dst AS v, SUM(r.rank * d.w) AS s
+    FROM edges e JOIN r{k-1} r ON e.src = r.v JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) c ON c.v = pv.v
 )"""
     sql += (
         f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
@@ -1456,6 +1508,7 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "cc_kronecker": _cc_kronecker_oracle(),
         "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
+        "pagerank_seeded": _ppr_oracle(),
         "hits": _hits_oracle(),
         "link_prediction": _linkpred_oracle(),
         "kcore": _kcore_oracle(),

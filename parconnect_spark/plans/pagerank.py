@@ -2,10 +2,13 @@
 absent from the reference, built on the same join+agg substrate —
 SURVEY.md §2.10).
 
-rank_{k+1}(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} rank_k(u)/outdeg(u)
-                                + dangling_mass_k / N )
+rank_{k+1}(v) = (1-d)·p(v) + d * ( Σ_{(u,v)∈E} rank_k(u)/outdeg(u)
+                                   + dangling_mass_k · p(v) )
 
-Dangling mass is redistributed uniformly so Σ rank = 1 at every step even on
+with p(v) = 1/N (classic) or, with ``seeds`` given, the personalized
+restart vector p(v) = 1/|S| on the seed set and 0 elsewhere (personalized
+PageRank — random walk with restart to the seeds). Dangling mass is
+redistributed by the same p so Σ rank = 1 at every step even on
 non-symmetric graphs. Convergence: L1 delta < tol (allclose 1e-6 parity per
 BASELINE.json), or exactly ``num_iters`` fixed iterations when ``tol`` is
 None (used by the DuckDB oracle comparison, which unrolls the same fixed
@@ -44,6 +47,14 @@ from parconnect_spark.operators.graph import vertices as vertex_table
 #: executor-memory calculus as plans/connectivity.BROADCAST_MAX_ROWS.
 BROADCAST_MAX_ROWS = 8_000_000
 
+#: seed-set cap for personalized PageRank: p(v) is evaluated as a literal
+#: isin() so the restart vector never needs a join; a seed LIST beyond this
+#: would bloat the expression tree (same calculus as the hub literal caps in
+#: plans/connectivity.py). Practical PPR seed sets are a handful of vertices;
+#: a full personalization DISTRIBUTION belongs in a joined table, which is a
+#: different operator.
+MAX_SEEDS = 4096
+
 
 def _directed_checksum(edges: DataFrame) -> tuple[int, int]:
     """Order-insensitive (count, hash-sum) fingerprint of the DIRECTED edge
@@ -67,9 +78,14 @@ def pagerank(
     checkpoint_every: int = 1,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     materialize_every: int = 8,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]. ``edges`` are directed
     (u→v); pass a symmetrized table for undirected semantics.
+
+    ``seeds``: personalized PageRank restart set (≤ MAX_SEEDS vertex ids) —
+    teleport and dangling mass go only to the seeds, uniformly; ranks start
+    at the restart vector. None keeps the classic uniform teleport.
 
     Skew: ``salt_buckets > 1`` salts the contribution sum into a two-phase
     aggregation. With ``hub_degree_threshold`` set, only edges whose dst
@@ -124,16 +140,39 @@ def pagerank(
                 "input_edges": cnt,
                 "input_checksum": str(s),
                 "damping": damping,
+                # seeds change the fixpoint: a resume under a different
+                # restart vector must be rejected as foreign state.
+                "seeds": "uniform"
+                if seeds is None
+                else ",".join(str(int(s)) for s in sorted({int(x) for x in seeds})),
             }
         )
 
-    ranks = verts.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # Restart vector p as a pure expression on "v" — a literal isin for
+    # seeds, a constant otherwise — so personalization never adds a join to
+    # the per-iteration plan.
+    if seeds is None:
+        pcol = F.lit(1.0 / n)
+    else:
+        svals = sorted({int(s) for s in seeds})
+        if not svals:
+            raise ValueError("seeds must be a non-empty list of vertex ids")
+        if len(svals) > MAX_SEEDS:
+            raise ValueError(
+                f"{len(svals)} seeds exceeds MAX_SEEDS={MAX_SEEDS}; a "
+                "personalization distribution that large should be a joined "
+                "table, not a literal restart set"
+            )
+        pcol = (
+            F.when(F.col("v").isin(svals), F.lit(1.0 / len(svals)))
+            .otherwise(F.lit(0.0))
+        )
+    ranks = verts.select("v", pcol.alias("rank")).localCheckpoint()
     it = 0
     if checkpoint is not None:
         step, df = checkpoint.latest()
         if step is not None:
             it, ranks = step, df.localCheckpoint()
-    teleport = (1.0 - damping) / n
 
     # The dangling SET is fixed; compute it once. On symmetric graphs it is
     # empty and the per-iteration dangling-mass job disappears entirely.
@@ -169,9 +208,9 @@ def pagerank(
         new = verts.join(summed, verts["v"] == summed["dst"], "left").select(
             "v",
             (
-                F.lit(teleport)
+                F.lit(1.0 - damping) * pcol
                 + F.lit(damping)
-                * (F.coalesce("_s", F.lit(0.0)) + F.lit(dangling / n))
+                * (F.coalesce("_s", F.lit(0.0)) + F.lit(dangling) * pcol)
             ).alias("rank"),
         )
         # Lazy checkpoint: the logical plan truncates now; the blocks

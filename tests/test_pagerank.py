@@ -122,3 +122,80 @@ def test_pagerank_checkpoint_rejects_foreign_graph(spark, tmp_path):
     ck2 = SuperstepCheckpoint(spark, str(tmp_path), "prx")
     with _pytest.raises(CheckpointIdentityError):
         pagerank(e2, tol=None, num_iters=2, checkpoint=ck2).collect()
+
+
+def ppr_numpy(pairs, n, seeds, damping=0.85, iters=400, tol=1e-14):
+    """Dense personalized-PageRank oracle: teleport AND dangling mass go to
+    the seed set uniformly; ranks start at the restart vector."""
+    p = np.zeros(n)
+    p[list(seeds)] = 1.0 / len(seeds)
+    out = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    r = p.copy()
+    for _ in range(iters):
+        nxt = (1 - damping) * p
+        dangling = 0.0
+        for v in range(n):
+            targets = out.get(v)
+            if targets:
+                share = damping * r[v] / len(targets)
+                for t in targets:
+                    nxt[t] += share
+            else:
+                dangling += r[v]
+        nxt += damping * dangling * p
+        if np.abs(nxt - r).sum() < tol:
+            return nxt
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_directed_with_dangling(spark):
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]  # 4 is dangling
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = [0, 3]
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(edges, tol=1e-12, num_iters=500, seeds=seeds).collect()
+    }
+    exp = ppr_numpy(pairs, 5, seeds)
+    for v in range(5):
+        assert abs(got[v] - exp[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_vs_networkx(spark):
+    nx = pytest.importorskip("networkx")
+    pytest.importorskip("scipy")  # nx.pagerank needs it
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (4, 5)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(edges, tol=1e-12, num_iters=500, seeds=[2]).collect()
+    }
+    g = nx.DiGraph(pairs)
+    exp = nx.pagerank(g, alpha=0.85, personalization={2: 1.0}, tol=1e-12, max_iter=500)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-8
+
+
+def test_personalized_pagerank_seed_guards(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=[])
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=list(range(5000)))
+
+
+def test_pagerank_uniform_unchanged_by_seeds_param(spark):
+    """seeds=None is byte-for-byte the classic teleport path."""
+    und = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["v"]: r["rank"] for r in pagerank(edges, tol=1e-10).collect()}
+    exp = pagerank_numpy(pairs, 4)
+    for v in range(4):
+        assert abs(got[v] - exp[v]) < 1e-6
