@@ -278,6 +278,26 @@ def _q_pagerank(spark, sf_dir):
     return _with_names(named, id_map, "rank")
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED entity graph (turn →
+    next-turn, conversation → member): mutual-reachability clusters, the
+    direction-sensitive refinement of cc_labels. Same id space as hits
+    (the directed and undirected derivations share one name set)."""
+    from parconnect_spark.operators.derive import derive_directed_string_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.scc import strongly_connected_components
+
+    t = _transcripts(spark, sf_dir)
+    directed = derive_directed_string_edges(t)
+    edges, id_map = relabel_edges(directed, "a", "b")
+    labels = strongly_connected_components(edges)
+    return (
+        labels.join(id_map, labels["v"] == id_map["id"])
+        .select("name", "scc")
+        .orderBy("name")
+    )
+
+
 def _q_pagerank_seeded(spark, sf_dir):
     """Personalized PageRank: restart to the two lexicographically-smallest
     tool entities — random-walk-with-restart proximity to a seed set, the
@@ -896,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
         "pagerank_seeded": _q_pagerank_seeded,
+        "scc": _q_scc,
         "hits": _q_hits,
         "link_prediction": _q_link_prediction,
         "kcore": _q_kcore,
@@ -1509,6 +1530,25 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
         "pagerank_seeded": _ppr_oracle(),
+        "scc": _GRAPH_PREFIX
+        + """,
+dedges AS (
+  SELECT DISTINCT s.id AS src, d.id AS dst
+  FROM pairs p JOIN ids s ON p.a = s.name JOIN ids d ON p.b = d.name
+  WHERE p.a <> p.b
+),
+dreach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM dreach r JOIN dedges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM dreach r1 JOIN dreach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT i.name AS name, CAST(LEAST(i.id, COALESCE(MIN(m.u), i.id)) AS BIGINT) AS scc
+FROM ids i LEFT JOIN mutual m ON m.v = i.id
+GROUP BY i.name, i.id ORDER BY name""",
         "hits": _hits_oracle(),
         "link_prediction": _linkpred_oracle(),
         "kcore": _kcore_oracle(),
