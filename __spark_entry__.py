@@ -691,6 +691,25 @@ def _q_similarity_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_neighbor_agg(spark, sf_dir):
+    """kNN-graph neighborhood mean-embedding (GraphSAGE aggregation step)
+    over the exact top-10 cosine graph of the first five query vectors —
+    long form (query, dim, mean) so the oracle compares scalar cells."""
+    from parconnect_spark.functions.similarity import (
+        brute_force_topk,
+        neighbor_mean_embedding,
+    )
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5")
+    nn = brute_force_topk(emb, queries, k=10)
+    out = neighbor_mean_embedding(emb, nn)
+    return out.select(
+        "query_id", "dim", F.round("mean_val", 6).alias("mean_val"), "n_neighbors"
+    ).orderBy("query_id", "dim")
+
+
 def _q_similarity_lsh(spark, sf_dir):
     from parconnect_spark.functions.similarity import lsh_topk
 
@@ -944,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "streaming_edges": _q_streaming_edges,
         "similarity_topk": _q_similarity_topk,
+        "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "events_rollup": _q_events_rollup,
@@ -1781,6 +1801,31 @@ r AS (
 )
 SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 10 ORDER BY query_id, rank""",
+        "neighbor_agg": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM s
+),
+nn AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 10),
+ex AS (
+  SELECT n.query_id AS query_id,
+         generate_subscripts(e.embedding, 1) - 1 AS dim,
+         UNNEST(CAST(e.embedding AS DOUBLE[])) AS val
+  FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+)
+SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         "events_rollup": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type""",

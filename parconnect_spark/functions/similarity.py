@@ -503,3 +503,61 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def neighbor_mean_embedding(
+    corpus: DataFrame,
+    neighbors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assemble: bool = False,
+) -> DataFrame:
+    """GraphSAGE-style neighborhood aggregation: per query, the elementwise
+    MEAN of its neighbors' embedding vectors — the feature-smoothing /
+    message-passing step a graph-embedding training pipeline runs over a
+    kNN graph.
+
+    ``neighbors`` is any (query_id, neighbor_id) edge table — the output of
+    brute_force_topk / lsh_topk / ivf_topk or a near-dup pair list — so the
+    aggregation composes with whichever ANN backend produced the graph; it
+    never recomputes similarity.
+
+    Physical plan: one equi-join neighbors ⨝ corpus on the neighbor id
+    (corpus side carries only id + vector after pruning), posexplode to
+    (query, dim, val) long form, one map-side-combined avg keyed on
+    (query_id, dim). The explode multiplies rows by the dimension, but the
+    shuffled BYTES equal the joined vectors' size — Tungsten packs the long
+    rows — and the aggregate collapses them immediately; no collect_list of
+    whole vectors builds up per group.
+
+    Returns long form DataFrame[query_id, dim: int, mean_val: double,
+    n_neighbors: long] (dim 0-based); with ``assemble=True``, re-assembles
+    DataFrame[query_id, n_neighbors, agg_embedding: array<double>] via a
+    sorted struct collect (bounded: dim elements per group).
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")
+    )
+    joined = neighbors.select("query_id", "neighbor_id").join(
+        vecs, F.col("neighbor_id") == F.col("_nid")
+    )
+    longf = joined.select(
+        "query_id",
+        F.posexplode(F.col("_nv")).alias("dim", "_val"),
+    )
+    agg = longf.groupBy("query_id", "dim").agg(
+        F.avg(F.col("_val").cast("double")).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+    out = agg.select(
+        "query_id", F.col("dim").cast("int").alias("dim"), "mean_val", "n_neighbors"
+    )
+    if not assemble:
+        return out
+    return out.groupBy("query_id").agg(
+        F.max("n_neighbors").alias("n_neighbors"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("agg_embedding"),
+    )

@@ -287,3 +287,57 @@ def test_ann_count_hints_skip_the_count_jobs(spark, big_vecs):
     # depending on how AQE stages the count)
     assert len(hinted) == 1
     assert len(unhinted) > len(hinted)
+
+
+def test_neighbor_mean_embedding_exact(spark):
+    import numpy as np
+
+    from parconnect_spark.functions.similarity import neighbor_mean_embedding
+
+    vecs = {
+        0: [1.0, 0.0, 2.0],
+        1: [0.0, 1.0, 4.0],
+        2: [3.0, 3.0, 0.0],
+        3: [1.0, 1.0, 1.0],
+    }
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    nn = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 0)], "query_id long, neighbor_id long"
+    )
+    out = neighbor_mean_embedding(corpus, nn).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], {})[r["dim"]] = (r["mean_val"], r["n_neighbors"])
+    exp0 = np.mean([vecs[1], vecs[2]], axis=0)
+    for d in range(3):
+        assert abs(got[0][d][0] - exp0[d]) < 1e-9
+        assert got[0][d][1] == 2
+        assert abs(got[3][d][0] - vecs[0][d]) < 1e-9
+        assert got[3][d][1] == 1
+
+
+def test_neighbor_mean_embedding_assemble_roundtrip(spark):
+    from parconnect_spark.functions.similarity import (
+        brute_force_topk,
+        neighbor_mean_embedding,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randn(40, 8).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in arr[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    nn = brute_force_topk(corpus, corpus.where("vec_id < 3"), k=5)
+    longf = neighbor_mean_embedding(corpus, nn)
+    asm = neighbor_mean_embedding(corpus, nn, assemble=True)
+    by_q = {
+        r["query_id"]: (r["agg_embedding"], r["n_neighbors"]) for r in asm.collect()
+    }
+    for r in longf.collect():
+        vec, n = by_q[r["query_id"]]
+        assert abs(vec[r["dim"]] - r["mean_val"]) < 1e-12
+        assert n == r["n_neighbors"]
+    assert all(len(v[0]) == 8 for v in by_q.values())
