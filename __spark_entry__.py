@@ -318,6 +318,26 @@ def _q_pagerank_seeded(spark, sf_dir):
     return _with_names(named, id_map, "rank")
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the DIRECTED co-occurrence graph: rank flows
+    out proportionally to co-occurrence counts (weight / Σ out-weights).
+    Runs on the directed derivation, so the dangling-redistribution path is
+    live (entities with no outgoing transition) — the oracle replicates it
+    via a mass-balance subquery per unrolled iteration."""
+    from parconnect_spark.operators.derive import derive_weighted_directed_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.pagerank import pagerank
+
+    t = _transcripts(spark, sf_dir)
+    wd = derive_weighted_directed_edges(t)
+    edges, id_map = relabel_edges(wd, "a", "b", keep_cols=("weight",))
+    ranks = pagerank(
+        edges, damping=0.85, tol=None, num_iters=PR_ITERS, weight_col="weight"
+    )
+    named = ranks.select("v", F.round("rank", 6).alias("rank"))
+    return _with_names(named, id_map, "rank")
+
+
 def _q_hits(spark, sf_dir):
     from parconnect_spark.operators.derive import derive_directed_string_edges
     from parconnect_spark.operators.relabel import relabel_edges
@@ -366,7 +386,14 @@ def _q_link_prediction(spark, sf_dir):
     out = (
         scored.join(u_names, scored["u"] == F.col("_uid"))
         .join(v_names, scored["v"] == F.col("_vid"))
-        .select("u_name", "v_name", "cn", F.round("aa", 6).alias("aa"))
+        .select(
+            "u_name",
+            "v_name",
+            "cn",
+            F.round("aa", 6).alias("aa"),
+            F.round("jaccard", 6).alias("jaccard"),
+            "pa",
+        )
     )
     # Total deterministic order: ties in the ROUNDED score (which both
     # engines sort on) fall through to cn, then the name pair.
@@ -935,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
         "pagerank_seeded": _q_pagerank_seeded,
+        "pagerank_weighted": _q_pagerank_weighted,
         "scc": _q_scc,
         "hits": _q_hits,
         "link_prediction": _q_link_prediction,
@@ -1020,6 +1048,43 @@ r{k} AS (
     FROM edges e JOIN r{k-1} r ON e.src = r.v JOIN deg d ON d.v = e.src
     GROUP BY e.dst
   ) c ON c.v = pv.v
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
+        f" FROM r{iters} r JOIN ids i ON i.id = r.v ORDER BY name"
+    )
+    return sql
+
+
+def _wpr_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled WEIGHTED PageRank on the directed multiplicity graph.
+    Every r{k} references r{k-1} TWICE (dangling-mass subquery + weighted
+    contribution sum), so all iteration CTEs are AS MATERIALIZED — the
+    kcore-oracle discipline; plain CTEs would inline 2^iters times."""
+    sql = _GRAPH_PREFIX + """,
+wd AS MATERIALIZED (
+  SELECT s.id AS src, d.id AS dst, CAST(COUNT(*) AS DOUBLE) AS wt
+  FROM pairs p JOIN ids s ON p.a = s.name JOIN ids d ON p.b = d.name
+  WHERE p.a <> p.b GROUP BY s.id, d.id
+),
+wdeg AS MATERIALIZED (SELECT src AS v, SUM(wt) AS tw FROM wd GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM ids),
+r0 AS MATERIALIZED (SELECT id AS v, 1.0 / nv.n AS rank FROM ids CROSS JOIN nv)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS MATERIALIZED (
+  SELECT i.id AS v,
+         (1.0 - 0.85) / nv.n + 0.85 * (COALESCE(c.s, 0.0) + dg.m / nv.n) AS rank
+  FROM ids i CROSS JOIN nv
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0.0) AS m
+    FROM r{k - 1} r LEFT JOIN wdeg w ON w.v = r.v WHERE w.v IS NULL
+  ) dg
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(r.rank * e.wt / w.tw) AS s
+    FROM wd e JOIN r{k - 1} r ON e.src = r.v JOIN wdeg w ON w.v = e.src
+    GROUP BY e.dst
+  ) c ON c.v = i.id
 )"""
     sql += (
         f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
@@ -1119,9 +1184,13 @@ fresh AS (
   SELECT c.u, c.v, c.cn, c.aa
   FROM cand c LEFT JOIN medges e ON e.src = c.u AND e.dst = c.v
   WHERE e.src IS NULL
-)
-SELECT iu.name AS u_name, iv.name AS v_name, f.cn AS cn, ROUND(f.aa, 6) AS aa
+),
+fdeg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM medges GROUP BY src)
+SELECT iu.name AS u_name, iv.name AS v_name, f.cn AS cn, ROUND(f.aa, 6) AS aa,
+       ROUND(CAST(f.cn AS DOUBLE) / CAST(du.d + dv.d - f.cn AS DOUBLE), 6) AS jaccard,
+       CAST(du.d * dv.d AS BIGINT) AS pa
 FROM fresh f JOIN mids iu ON iu.id = f.u JOIN mids iv ON iv.id = f.v
+     JOIN fdeg du ON du.v = f.u JOIN fdeg dv ON dv.v = f.v
 ORDER BY aa DESC, cn DESC, u_name, v_name LIMIT {top_k}"""
 
 
@@ -1550,6 +1619,7 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
         "pagerank_seeded": _ppr_oracle(),
+        "pagerank_weighted": _wpr_oracle(),
         "scc": _GRAPH_PREFIX
         + """,
 dedges AS (

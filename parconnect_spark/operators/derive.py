@@ -102,6 +102,31 @@ def derive_directed_string_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def derive_weighted_directed_edges(transcripts: DataFrame) -> DataFrame:
+    """DIRECTED co-occurrence-weighted edges DataFrame[a, b, weight].
+
+    Same pair sources as :func:`derive_directed_string_edges` but keeping
+    MULTIPLICITY as the edge weight — weight(a→b) = number of times entity
+    a's turn was immediately followed by b's (E1) or member b took a turn
+    in conversation a (E2). The natural input for weighted link analysis
+    (weighted PageRank rank flow ∝ co-occurrence strength); one grouped
+    count, no windows beyond the turn-ordering lead."""
+    turns = transcripts_to_entity_turns(transcripts)
+    seq = turns.where(F.col("next_entity").isNotNull()).select(
+        F.col("entity").alias("a"), F.col("next_entity").alias("b")
+    )
+    member = turns.select(
+        F.concat(F.lit("c:"), F.col("conv_id")).alias("a"),
+        F.col("entity").alias("b"),
+    )
+    return (
+        seq.unionByName(member)
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full derivation: transcripts → (symmetric long edges, id_map).
 

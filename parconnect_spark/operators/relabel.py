@@ -71,13 +71,17 @@ def dense_rank_relabel(keys: DataFrame, key_col: str = "name") -> DataFrame:
 
 
 def relabel_edges(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    keep_cols: tuple = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Rewrite an edge table over arbitrary keys to dense long ids.
 
-    Returns (edges[src,dst] :: long, id_map[name,id]). Equivalent of running
-    reduceVertexIds over DEST then SRC (reduceIds.hpp:241-259), as two joins.
-    """
+    Returns (edges[src,dst,*keep_cols] :: long, id_map[name,id]). Equivalent
+    of running reduceVertexIds over DEST then SRC (reduceIds.hpp:241-259),
+    as two joins; ``keep_cols`` carries edge payloads (e.g. weights) through
+    the rewrite."""
     keys = (
         edges.select(F.col(src_col).alias("name"))
         .unionByName(edges.select(F.col(dst_col).alias("name")))
@@ -89,7 +93,11 @@ def relabel_edges(
     out = (
         edges.join(s, edges[src_col] == s["_sname"])
         .join(d, edges[dst_col] == d["_dname"])
-        .select(F.col("_sid").alias("src"), F.col("_did").alias("dst"))
+        .select(
+            F.col("_sid").alias("src"),
+            F.col("_did").alias("dst"),
+            *[F.col(c) for c in keep_cols],
+        )
     )
     return out, id_map
 

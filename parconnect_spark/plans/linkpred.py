@@ -39,11 +39,19 @@ def link_prediction(
     ``edges``: distinct symmetric (src, dst) long pairs, both directions
     present, no self-loops (the shape derive_edges/symmetrize emit).
 
-    Returns DataFrame[u: long, v: long, cn: long, aa: double] with u < v;
-    pairs whose every shared neighbor exceeds ``max_wedge_degree`` (or with
-    no shared neighbor at all) do not appear. ``max_wedge_degree=None``
-    disables the cap (small graphs / tests only — the self-join through an
-    uncapped hub is quadratic in its degree).
+    Returns DataFrame[u: long, v: long, cn: long, aa: double,
+    jaccard: double, pa: long] with u < v; pairs whose every shared
+    neighbor exceeds ``max_wedge_degree`` (or with no shared neighbor at
+    all) do not appear. ``max_wedge_degree=None`` disables the cap (small
+    graphs / tests only — the self-join through an uncapped hub is
+    quadratic in its degree).
+
+    Scores: cn = |N(u) ∩ N(v)| over capped middles, aa = Adamic-Adar over
+    the same middles, jaccard = cn / (deg(u) + deg(v) - cn) — capped
+    intersection over TRUE union (consistent: the cap is the declared
+    contract for which middles carry signal, while endpoint degrees are
+    cheap exact facts), pa = deg(u)·deg(v) preferential attachment with
+    true degrees.
     """
     deg = edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("_d"))
     if max_wedge_degree is not None:
@@ -63,4 +71,26 @@ def link_prediction(
         F.sum(F.lit(1.0) / F.log(F.col("_d").cast("double"))).alias("aa"),
     )
     existing = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    return scored.join(existing, ["u", "v"], "left_anti")
+    fresh = scored.join(existing, ["u", "v"], "left_anti")
+    # true (uncapped) endpoint degrees for jaccard / preferential
+    # attachment — two more joins against the |V|-sized degree table.
+    full_deg = edges.groupBy(F.col("src").alias("_fv")).agg(
+        F.count("*").alias("_fd")
+    )
+    du = full_deg.select(F.col("_fv").alias("u"), F.col("_fd").alias("_du"))
+    dv = full_deg.select(F.col("_fv").alias("v"), F.col("_fd").alias("_dv"))
+    return (
+        fresh.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "aa",
+            (
+                F.col("cn").cast("double")
+                / (F.col("_du") + F.col("_dv") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+            (F.col("_du") * F.col("_dv")).alias("pa"),
+        )
+    )

@@ -56,13 +56,17 @@ BROADCAST_MAX_ROWS = 8_000_000
 MAX_SEEDS = 4096
 
 
-def _directed_checksum(edges: DataFrame) -> tuple[int, int]:
+def _directed_checksum(
+    edges: DataFrame, weight_col: str | None = None
+) -> tuple[int, int]:
     """Order-insensitive (count, hash-sum) fingerprint of the DIRECTED edge
     set (orientation matters for PageRank, unlike connectivity's canonical
-    form)."""
+    form); weighted runs fold the weight in, so a resume against the same
+    topology with different weights is rejected."""
+    cols = ["src", "dst"] if weight_col is None else ["src", "dst", weight_col]
     row = edges.agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("s"),
+        F.sum(F.xxhash64(*cols).cast("decimal(20,0)")).alias("s"),
     ).collect()[0]
     return int(row["cnt"]), int(row["s"] or 0)
 
@@ -79,6 +83,7 @@ def pagerank(
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     materialize_every: int = 8,
     seeds: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]. ``edges`` are directed
     (u→v); pass a symmetrized table for undirected semantics.
@@ -86,6 +91,12 @@ def pagerank(
     ``seeds``: personalized PageRank restart set (≤ MAX_SEEDS vertex ids) —
     teleport and dangling mass go only to the seeds, uniformly; ranks start
     at the restart vector. None keeps the classic uniform teleport.
+
+    ``weight_col``: name of a POSITIVE edge-weight column — a vertex's rank
+    flows out proportionally to weight / Σ out-weights instead of 1/outdeg
+    (weighted PageRank, e.g. co-occurrence counts). The plan shape is
+    unchanged: the normalized weight is folded into the same pre-joined
+    ``_w`` column, so iterations cost exactly what the unweighted run costs.
 
     Skew: ``salt_buckets > 1`` salts the contribution sum into a two-phase
     aggregation. With ``hub_degree_threshold`` set, only edges whose dst
@@ -104,13 +115,23 @@ def pagerank(
         verts.unpersist()
         return spark.createDataFrame([], "v long, rank double")
     bcast_ranks = n <= broadcast_max_rows
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
+    out_mass = (
+        F.sum(F.col(weight_col).cast("double"))
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("double")
+    )
+    out_deg = edges.groupBy("src").agg(out_mass.alias("_deg")).persist()
 
     # Pre-join degree onto edges once; reused every iteration. Above the
     # broadcast gate the cache is pre-hashed on the join key so the big side
     # never re-exchanges (the rank side is the only per-iteration shuffle).
+    share = (
+        F.col(weight_col).cast("double") / F.col("_deg")
+        if weight_col is not None
+        else F.lit(1.0) / F.col("_deg")
+    )
     contrib_edges = edges.join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w")
+        "src", "dst", share.alias("_w")
     )
     if salt_buckets > 1:
         if hub_degree_threshold is not None:
@@ -132,7 +153,7 @@ def pagerank(
     contrib_edges.count()
 
     if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
-        cnt, s = _directed_checksum(edges)
+        cnt, s = _directed_checksum(edges, weight_col)
         checkpoint.bind_identity(
             {
                 "algorithm": "pagerank",
@@ -140,6 +161,7 @@ def pagerank(
                 "input_edges": cnt,
                 "input_checksum": str(s),
                 "damping": damping,
+                "weight_col": weight_col or "none",
                 # seeds change the fixpoint: a resume under a different
                 # restart vector must be rejected as foreign state.
                 "seeds": "uniform"

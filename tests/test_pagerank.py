@@ -199,3 +199,51 @@ def test_pagerank_uniform_unchanged_by_seeds_param(spark):
     exp = pagerank_numpy(pairs, 4)
     for v in range(4):
         assert abs(got[v] - exp[v]) < 1e-6
+
+
+def test_weighted_pagerank_matches_dense_oracle(spark):
+    # weighted digraph with a dangling vertex (4)
+    wpairs = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (3, 2, 5.0), (2, 4, 1.0)]
+    edges = spark.createDataFrame(wpairs, "src long, dst long, w double")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(
+            edges, tol=1e-13, num_iters=500, weight_col="w"
+        ).collect()
+    }
+    n, d = 5, 0.85
+    out = {}
+    for a, b, w in wpairs:
+        out.setdefault(a, []).append((b, w))
+    r = np.full(n, 1.0 / n)
+    for _ in range(2000):
+        nxt = np.full(n, (1 - d) / n)
+        dang = 0.0
+        for v in range(n):
+            ts = out.get(v)
+            if ts:
+                tw = sum(w for _, w in ts)
+                for t, w in ts:
+                    nxt[t] += d * r[v] * w / tw
+            else:
+                dang += r[v]
+        nxt += d * dang / n
+        if np.abs(nxt - r).sum() < 1e-15:
+            break
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ew = e.selectExpr("src", "dst", "2.5 as w")
+    plain = {r["v"]: r["rank"] for r in pagerank(e, tol=1e-12, num_iters=400).collect()}
+    weighted = {
+        r["v"]: r["rank"]
+        for r in pagerank(ew, tol=1e-12, num_iters=400, weight_col="w").collect()
+    }
+    for v in plain:
+        assert abs(plain[v] - weighted[v]) < 1e-12
