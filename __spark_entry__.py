@@ -298,6 +298,30 @@ def _q_scc(spark, sf_dir):
     )
 
 
+def _q_bfs_distances(spark, sf_dir):
+    """Hop distances from vertex 0 (the lexicographically-smallest entity)
+    over the undirected entity graph — distance labeling as a feature."""
+    from parconnect_spark.plans.bfs import bfs_distances
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    d = bfs_distances(edges, 0)
+    return _with_names(d, id_map, "dist")
+
+
+def _q_pseudo_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound on the entity graph (start pinned
+    to vertex 0; far-vertex ties break to the smaller id, so the scalar row
+    is deterministic across engines and partitionings)."""
+    from parconnect_spark.plans.bfs import pseudo_diameter
+
+    _, edges, _ = _graph(spark, sf_dir)
+    r = pseudo_diameter(edges, start=0)
+    return spark.createDataFrame(
+        [(r["start"], r["start_ecc"], r["far_vertex"], r["diameter_lb"])],
+        "start long, start_ecc int, far_vertex long, diameter_lb int",
+    )
+
+
 def _q_pagerank_seeded(spark, sf_dir):
     """Personalized PageRank: restart to the two lexicographically-smallest
     tool entities — random-walk-with-restart proximity to a seed set, the
@@ -959,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_kronecker": _q_cc_kronecker,
         "cc_hybrid": _q_cc_hybrid,
         "bfs_chain": _q_bfs_chain,
+        "bfs_distances": _q_bfs_distances,
+        "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
         "pagerank_seeded": _q_pagerank_seeded,
@@ -1620,6 +1646,38 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "pagerank": _pagerank_oracle(),
         "pagerank_seeded": _ppr_oracle(),
         "pagerank_weighted": _wpr_oracle(),
+        # fixed 64-hop recursion caps: exact whenever eccentricities < 64
+        # (the sf0.01 entity graph's diameter is single-digit; the cap only
+        # bounds the recursive row growth (v, d) per level).
+        "bfs_distances": _GRAPH_PREFIX
+        + """,
+dist(v, d) AS (
+  SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+  UNION
+  SELECT e.dst, r.d + 1 FROM dist r JOIN edges e ON e.src = r.v WHERE r.d < 64
+)
+SELECT i.name AS name, CAST(MIN(r.d) AS INT) AS dist
+FROM dist r JOIN ids i ON i.id = r.v GROUP BY i.name ORDER BY name""",
+        "pseudo_diameter": _GRAPH_PREFIX
+        + """,
+dist0(v, d) AS (
+  SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+  UNION
+  SELECT e.dst, r.d + 1 FROM dist0 r JOIN edges e ON e.src = r.v WHERE r.d < 64
+),
+d0 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM dist0 GROUP BY v),
+far AS MATERIALIZED (SELECT v, d FROM d0 ORDER BY d DESC, v ASC LIMIT 1),
+dist1(v, d) AS (
+  SELECT v, 0 AS d FROM far
+  UNION
+  SELECT e.dst, r.d + 1 FROM dist1 r JOIN edges e ON e.src = r.v WHERE r.d < 64
+),
+d1 AS (SELECT v, MIN(d) AS d FROM dist1 GROUP BY v)
+SELECT CAST(0 AS BIGINT) AS start,
+       CAST((SELECT d FROM far) AS INT) AS start_ecc,
+       CAST((SELECT v FROM far) AS BIGINT) AS far_vertex,
+       CAST(MAX(d) AS INT) AS diameter_lb
+FROM d1""",
         "scc": _GRAPH_PREFIX
         + """,
 dedges AS (

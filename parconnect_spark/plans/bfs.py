@@ -276,3 +276,73 @@ def bfs_peel(edges: DataFrame, num_runs: int = 1) -> tuple[DataFrame, DataFrame,
         labels = edges.sparkSession.createDataFrame([], "v long, label long")
         return labels, edges, 0
     return label_parent_forest(res.parents), res.residual_edges, res.runs
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_levels: int = 10_000
+) -> DataFrame:
+    """Hop distances from ``source``: DataFrame[v: long, dist: int] over the
+    vertices REACHABLE from source (source itself at dist 0) — the distance
+    labeling a feature pipeline exports (hop-to-hub features) and the
+    primitive under :func:`pseudo_diameter`.
+
+    ``edges`` directed as given; pass a symmetric table for undirected hops.
+    Per level: one frontier equi-join + dedup + anti join against the
+    visited set — the plans/scc.py sweep shape; the frontier is the only
+    moving table, and callers doing many sweeps should persist ``edges``
+    (hash-partitioned on src) once."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "v long, dist int"
+    ).localCheckpoint()
+    frontier = dist.select("v")
+    level = 0
+    while level < max_levels:
+        level += 1
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["v"])
+            .select(F.col("dst").alias("v"))
+            .dropDuplicates(["v"])
+            .join(dist.select("v"), "v", "left_anti")
+            .select("v", F.lit(level).cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("v")
+    return dist
+
+
+def pseudo_diameter(edges: DataFrame, start: int | None = None) -> dict:
+    """Double-sweep diameter lower bound (the standard BFS heuristic —
+    exact on trees, tight on most real graphs): BFS from ``start`` (default
+    the min vertex id), hop to the farthest vertex found (ties to the
+    smaller id, so the result is deterministic and partitioning-invariant),
+    BFS again; the second eccentricity is the bound.
+
+    Returns {"start", "start_ecc", "far_vertex", "diameter_lb"} — driver
+    scalars only; both sweeps are :func:`bfs_distances` plans."""
+    if start is None:
+        start = edges.agg(
+            F.min(F.least("src", "dst")).alias("m")
+        ).collect()[0]["m"]
+        if start is None:
+            return {
+                "start": None,
+                "start_ecc": None,
+                "far_vertex": None,
+                "diameter_lb": None,
+            }
+    d0 = bfs_distances(edges, int(start))
+    far = (
+        d0.orderBy(F.desc("dist"), F.asc("v")).limit(1).collect()[0]
+    )
+    d1 = bfs_distances(edges, int(far["v"]))
+    lb = d1.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    return {
+        "start": int(start),
+        "start_ecc": int(far["dist"]),
+        "far_vertex": int(far["v"]),
+        "diameter_lb": int(lb),
+    }

@@ -177,3 +177,50 @@ def test_bfs_csr_level_plan_fewer_exchanges(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bfs_distances_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import bfs_distances
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    src = min(g.nodes)
+    exp = nx.single_source_shortest_path_length(g, src)
+    got = {r["v"]: r["dist"] for r in bfs_distances(edges, src).collect()}
+    assert got == dict(exp)
+
+
+def test_bfs_distances_unreachable_absent(spark):
+    from parconnect_spark.plans.bfs import bfs_distances
+
+    # two components; directed edges as given
+    e = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "src long, dst long")
+    got = {r["v"]: r["dist"] for r in bfs_distances(e, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_pseudo_diameter_exact_on_path(spark):
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import pseudo_diameter
+
+    # path 0-1-...-9 entered from the middle: double sweep finds the true
+    # diameter 9 regardless of the start vertex
+    e = symmetrize(
+        spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    )
+    r = pseudo_diameter(e, start=4)
+    assert r["diameter_lb"] == 9
+    assert r["start_ecc"] == 5
+    assert r["far_vertex"] in (0, 9)
+
+
+def test_pseudo_diameter_empty(spark):
+    from parconnect_spark.plans.bfs import pseudo_diameter
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pseudo_diameter(e)["diameter_lb"] is None
