@@ -472,6 +472,20 @@ def _q_labelprop_majority(spark, sf_dir):
     return _with_names(labels, id_map, "label")
 
 
+def _q_modularity(spark, sf_dir):
+    """Modularity of the labelprop_min communities at LP_MIN_ITERS — the
+    evaluation metric for the community assignment the contract already
+    verifies per-vertex."""
+    from parconnect_spark.plans.labelprop import label_propagation, modularity
+
+    _, edges, _ = _graph(spark, sf_dir)
+    labels = label_propagation(edges, num_iters=LP_MIN_ITERS, rule="min")
+    out = modularity(edges, labels)
+    return out.select(
+        F.round("modularity", 6).alias("modularity"), "n_communities", "two_m"
+    )
+
+
 def _q_triangle_count(spark, sf_dir):
     from parconnect_spark.plans.triangles import enumerate_triangles
 
@@ -996,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": _q_graph_walks,
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
+        "modularity": _q_modularity,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_features": _q_vertex_features,
@@ -1298,6 +1313,40 @@ l{k} AS (
         f"\nSELECT i.name AS name, l.label AS label FROM l{iters} l"
         " JOIN ids i ON i.id = l.v ORDER BY name"
     )
+    return sql
+
+
+def _modularity_oracle(iters: int = LP_MIN_ITERS) -> str:
+    """Newman modularity of the unrolled lp-min communities. ``comm`` is
+    MATERIALIZED: it is referenced three times (both edge-endpoint joins +
+    the degree aggregate), and the l{k} chain is quadratic-ish to inline —
+    materializing the final labels keeps the chain evaluated once."""
+    sql = _GRAPH_PREFIX + ",\nl0 AS (SELECT id AS v, id AS label FROM ids)"
+    for k in range(1, iters + 1):
+        sql += f""",
+l{k} AS (
+  SELECT l.v, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+  FROM l{k-1} l LEFT JOIN (
+    SELECT e.src AS v2, MIN(x.label) AS mn
+    FROM edges e JOIN l{k-1} x ON e.dst = x.v GROUP BY e.src
+  ) m ON m.v2 = l.v
+)"""
+    sql += f""",
+comm AS MATERIALIZED (SELECT v, label FROM l{iters}),
+degs AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+t1 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS two_m,
+         CAST(SUM(CASE WHEN cs.label = cd.label THEN 1 ELSE 0 END) AS DOUBLE) AS e_in
+  FROM edges e JOIN comm cs ON cs.v = e.src JOIN comm cd ON cd.v = e.dst
+),
+t2 AS (
+  SELECT SUM(dc * dc) AS sum_dc2, CAST(COUNT(*) AS BIGINT) AS n_communities
+  FROM (SELECT c.label, SUM(d.d) AS dc FROM comm c JOIN degs d ON d.v = c.v GROUP BY c.label) g
+)
+SELECT ROUND(t1.e_in / t1.two_m - t2.sum_dc2 / (t1.two_m * t1.two_m), 6) AS modularity,
+       t2.n_communities AS n_communities,
+       CAST(t1.two_m AS BIGINT) AS two_m
+FROM t1 CROSS JOIN t2"""
     return sql
 
 
@@ -1703,6 +1752,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
+        "modularity": _modularity_oracle(),
         "triangle_count": _GRAPH_PREFIX
         + _TRI_CTE
         + "\nSELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",

@@ -65,3 +65,49 @@ def label_propagation(
         )
     verts.unpersist()
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over a SYMMETRIC edge
+    table — the standard quality score for label-propagation output:
+
+        Q = E_in/(2m) − Σ_c (deg_c / (2m))²
+
+    with 2m = symmetric row count, E_in = same-community symmetric rows,
+    deg_c = total degree inside community c. ``labels`` is any
+    DataFrame[v, label] covering the graph's vertices (label_propagation
+    output, CC labels, an external clustering).
+
+    One tagged-edge aggregate (two |V|-sized label joins feeding a single
+    global sum — map-side combined) + one per-community degree aggregate,
+    then a scalar cross join; nothing collects. Returns a single row
+    DataFrame[modularity: double, n_communities: long, two_m: long]."""
+    ls = labels.select(F.col("v").alias("_sv"), F.col("label").alias("_sl"))
+    ld = labels.select(F.col("v").alias("_dv"), F.col("label").alias("_dl"))
+    tagged = edges.join(ls, edges["src"] == F.col("_sv")).join(
+        ld, edges["dst"] == F.col("_dv")
+    )
+    t1 = tagged.agg(
+        F.count(F.lit(1)).cast("double").alias("_two_m"),
+        F.sum(
+            F.when(F.col("_sl") == F.col("_dl"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("_e_in"),
+    )
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("_d")
+    )
+    dc = labels.join(deg, "v").groupBy("label").agg(F.sum("_d").alias("_dc"))
+    t2 = dc.agg(
+        F.sum(F.col("_dc") * F.col("_dc")).alias("_sum_dc2"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    return t1.crossJoin(t2).select(
+        (
+            F.col("_e_in") / F.col("_two_m")
+            - F.col("_sum_dc2") / (F.col("_two_m") * F.col("_two_m"))
+        ).alias("modularity"),
+        "n_communities",
+        F.col("_two_m").cast("long").alias("two_m"),
+    )

@@ -53,3 +53,45 @@ def test_deterministic_across_partitioning(spark):
     l1 = {r["v"]: r["label"] for r in label_propagation(e1, num_iters=3).collect()}
     l2 = {r["v"]: r["label"] for r in label_propagation(e2, num_iters=3).collect()}
     assert l1 == l2
+
+
+def test_modularity_vs_networkx(spark):
+    import networkx as nx
+    from networkx.algorithms.community import modularity as nx_modularity
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.labelprop import modularity
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    # arbitrary deterministic partition: vertex id parity
+    part = [
+        {v for v in g.nodes if v % 2 == 0},
+        {v for v in g.nodes if v % 2 == 1},
+    ]
+    part = [p for p in part if p]
+    labels = spark.createDataFrame(
+        [(v, v % 2) for v in g.nodes], "v long, label long"
+    )
+    row = modularity(edges, labels).collect()[0]
+    exp = nx_modularity(g, part)
+    assert abs(row["modularity"] - exp) < 1e-9
+    assert row["n_communities"] == len(part)
+    assert row["two_m"] == 2 * g.number_of_edges()
+
+
+def test_modularity_perfect_split(spark):
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.labelprop import modularity
+
+    # two disjoint triangles, labeled by component: Q = 1 - 1/2 = 0.5
+    und = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    e = symmetrize(spark.createDataFrame(und, "src long, dst long"))
+    labels = spark.createDataFrame(
+        [(v, 0) for v in (0, 1, 2)] + [(v, 1) for v in (10, 11, 12)],
+        "v long, label long",
+    )
+    row = modularity(e, labels).collect()[0]
+    assert abs(row["modularity"] - 0.5) < 1e-12
