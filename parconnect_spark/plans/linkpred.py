@@ -53,6 +53,13 @@ def link_prediction(
     cheap exact facts), pa = deg(u)·deg(v) preferential attachment with
     true degrees.
     """
+    # EAGER localCheckpoint: ``edges`` feeds four consumers (neighbor list,
+    # wedge-cap degree table, existing-pair anti join, true-degree table),
+    # and a caller-supplied derivation tree would be re-ANALYZED per
+    # consumer — measured 9.4s → 2.8s per call at sf0.01 with identical
+    # rows (the plans/triangles.py finding; analysis is eager and its cost
+    # multiplies with repeated deep subtrees).
+    edges = edges.localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("_d"))
     if max_wedge_degree is not None:
         deg = deg.where(F.col("_d") <= int(max_wedge_degree))
