@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "cc_labels",
+    "scc",
     "pagerank",
     "hits",
     "link_prediction",
@@ -44,6 +45,7 @@ HEADLINE = [
     "graph_walks",
     "labelprop_min",
     "triangle_count",
+    "vertex_features",
     "dedup_ngram",
     "similarity_topk",
     "events_rollup",

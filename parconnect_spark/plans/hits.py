@@ -44,6 +44,11 @@ def hits(
         raise ValueError("num_iters must be >= 1")
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # EAGER localCheckpoint: the vertex census and the edge cache both
+    # execute the caller's derivation tree otherwise (measured: the sf0.1
+    # directed derivation is ~8s and ran twice per call) — the
+    # plans/linkpred.py discipline.
+    edges = edges.localCheckpoint()
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -69,7 +74,14 @@ def hits(
 
     def _half(scores: DataFrame, score_col: str, join_key: str, out_key: str) -> DataFrame:
         """One half-step: propagate ``score_col`` across edges from
-        ``join_key`` onto ``out_key``, L1-normalize over all vertices."""
+        ``join_key`` onto ``out_key``, L1-normalize over all vertices.
+
+        The normalizer rides the plan as a broadcast one-row cross join
+        instead of a driver collect — with every half-step lazy, the whole
+        power iteration executes as a handful of jobs at the terminal
+        action rather than 2 jobs per half-step (measured 21.1s → wall
+        collapse at sf0.1; the collect-per-half-step version was job-
+        scheduling-bound, not data-bound)."""
         side = F.broadcast(scores) if bcast else scores.hint("shuffle_hash")
         tbl = ed_by_src if join_key == "src" else ed_by_dst
         raw = (
@@ -78,28 +90,38 @@ def hits(
             .agg(F.sum(score_col).alias("_s"))
             .localCheckpoint(eager=False)
         )
-        total = raw.agg(F.sum("_s")).collect()[0][0] or 0.0
-        raw_b = F.broadcast(raw) if bcast else raw
-        norm = (
-            (F.coalesce("_s", F.lit(0.0)) / F.lit(total))
-            if total > 0
-            else F.lit(0.0)
+        tot = raw.agg(F.sum("_s").alias("_tot"))
+        raw_b = raw.crossJoin(F.broadcast(tot))
+        if bcast:
+            raw_b = F.broadcast(raw_b)
+        norm = F.when(
+            F.col("_tot") > 0, F.coalesce("_s", F.lit(0.0)) / F.col("_tot")
+        ).otherwise(F.lit(0.0))
+        return (
+            verts.join(raw_b, verts["v"] == raw_b[out_key], "left")
+            .select("v", norm.alias(score_col))
+            .localCheckpoint(eager=False)
         )
-        return verts.join(
-            raw_b, verts["v"] == raw_b[out_key], "left"
-        ).select("v", norm.alias(score_col))
 
     hub = verts.select("v", F.lit(1.0 / n).alias("hub")).localCheckpoint()
     auth = None
-    for _ in range(num_iters):
+    for it in range(1, num_iters + 1):
         auth = _half(hub.withColumnRenamed("hub", "authority"), "authority", "src", "dst")
-        # auth's blocks materialized inside _half by the normalizer job;
-        # hub joins against the checkpointed table, not a deep plan.
         hub = _half(auth.withColumnRenamed("authority", "hub"), "hub", "dst", "src")
+        if it % 4 == 0 and it < num_iters:
+            # bound the lazy-checkpoint cascade depth (the nested broadcast
+            # subqueries execute recursively at the terminal action — the
+            # plans/pagerank.py materialize_every discipline).
+            hub.count()
 
-    out = hub.join(
-        auth.withColumnRenamed("v", "_av"), hub["v"] == F.col("_av")
-    ).select("v", "hub", "authority")
+    out = (
+        hub.join(auth.withColumnRenamed("v", "_av"), hub["v"] == F.col("_av"))
+        .select("v", "hub", "authority")
+        # EAGER: materialize the whole lazy cascade while the edge/vertex
+        # caches below still exist — the caller's action would otherwise
+        # recompute the chain against unpersisted lineage.
+        .localCheckpoint()
+    )
     verts.unpersist()
     ed_by_src.unpersist()
     if ed_by_dst is not ed_by_src:

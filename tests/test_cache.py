@@ -18,7 +18,6 @@ def test_release_caches_bounds_growth(spark):
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
-    from parconnect_spark.plans.triangles import triangle_count
 
     release_caches(spark)  # start from a clean registry
     before = _persistent_ids(spark)
@@ -31,20 +30,17 @@ def test_release_caches_bounds_growth(spark):
     ngram_jaccard_pairs(docs, threshold=0.5).count()
     minhash_near_dup_pairs(docs, threshold=0.5).count()
     simhash_near_pairs(docs, max_hamming=3).count()
-    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
-    edges = spark.createDataFrame(
-        und + [(b, a) for a, b in und], "src long, dst long"
-    )
-    assert triangle_count(edges) == 1
-
     # delta-based assertions: Spark's ContextCleaner may drop OTHER tests'
     # GC'd caches concurrently, so only our own cache ids are compared.
-    # 3 distinct entries, not 4: ngram's and minhash's shingle tables have
+    # 2 distinct entries, not 3: ngram's and minhash's shingle tables have
     # identical plans, so the CacheManager maps both persists to one cache.
+    # (plans/triangles.py left the registry in round 5: its oriented table
+    # is an eager localCheckpoint now — the analysis-cost fix — so the
+    # dedup shingle tables are the registry's remaining clients.)
     ours = _persistent_ids(spark) - before
-    assert len(ours) >= 3
+    assert len(ours) >= 2
     released = release_caches(spark)
-    assert released >= 4  # ...but all four registrations are tracked
+    assert released >= 3  # ...but all three registrations are tracked
     assert not (_persistent_ids(spark) & ours)  # all of ours are gone
 
 
