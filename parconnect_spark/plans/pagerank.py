@@ -104,15 +104,23 @@ def pagerank(
     operators/skew.py) — cold keys keep the single-phase path."""
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # EAGER localCheckpoints throughout the setup, not persists: every
+    # iteration's plan embeds the vertex and contribution tables, and a
+    # persist does NOT stop Spark's eager per-transformation ANALYSIS from
+    # re-walking the trees a cached relation carries (the plans/triangles.py
+    # finding). Checkpointing truncates them to RDD leaves — the iteration
+    # loop then analyzes O(1)-size trees. localCheckpoint preserves the
+    # pre-hashed partitioning (LogicalRDD keeps outputPartitioning), so the
+    # above-the-gate no-re-exchange property survives.
+    edges = edges.localCheckpoint()
     verts = (
         vertex_table(edges)
         .unionByName(edges.select(F.col("dst").alias("v")).distinct())
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     n = verts.count()
     if n == 0:
-        verts.unpersist()
         return spark.createDataFrame([], "v long, rank double")
     bcast_ranks = n <= broadcast_max_rows
     out_mass = (
@@ -120,7 +128,7 @@ def pagerank(
         if weight_col is not None
         else F.count(F.lit(1)).cast("double")
     )
-    out_deg = edges.groupBy("src").agg(out_mass.alias("_deg")).persist()
+    out_deg = edges.groupBy("src").agg(out_mass.alias("_deg")).localCheckpoint()
 
     # Pre-join degree onto edges once; reused every iteration. Above the
     # broadcast gate the cache is pre-hashed on the join key so the big side
@@ -149,8 +157,7 @@ def pagerank(
             )
     if not bcast_ranks:
         contrib_edges = contrib_edges.repartition(parts, "src")
-    contrib_edges = contrib_edges.persist()
-    contrib_edges.count()
+    contrib_edges = contrib_edges.localCheckpoint()
 
     if checkpoint is not None and getattr(checkpoint, "identity", None) is None:
         cnt, s = _directed_checksum(edges, weight_col)
@@ -200,7 +207,7 @@ def pagerank(
     # empty and the per-iteration dangling-mass job disappears entirely.
     dangling_verts = verts.join(
         out_deg, verts["v"] == out_deg["src"], "left_anti"
-    ).persist()
+    ).localCheckpoint()
     has_dangling = dangling_verts.limit(1).count() > 0
 
     while it < num_iters:
@@ -271,8 +278,4 @@ def pagerank(
         if delta is not None and delta < tol:
             break
 
-    verts.unpersist()
-    out_deg.unpersist()
-    contrib_edges.unpersist()
-    dangling_verts.unpersist()
     return ranks
