@@ -172,6 +172,15 @@ def strongly_connected_components(
             .join(reached.select("v"), e["dst"] == F.col("v"), "left_anti")
             .localCheckpoint(eager=False)
         )
+    else:
+        # natural loop exit = round budget exhausted with edges remaining;
+        # falling through would silently label the leftovers as singletons.
+        if e.limit(1).count() > 0:
+            raise RuntimeError(
+                f"SCC did not converge within max_outer_rounds="
+                f"{max_outer_rounds}; the remaining subgraph is a chain of "
+                "SCCs longer than the budget (raise max_outer_rounds)"
+            )
     swept = None
     if assigned:
         swept = assigned[0]

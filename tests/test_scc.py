@@ -76,3 +76,17 @@ def test_scc_vs_networkx_on_rmat(spark):
     # exactly one row per vertex
     assert len(rows) == len({v for p in pairs for v in p if p[0] != p[1]} | {
         a for a, b in pairs if a != b} | {b for a, b in pairs if a != b})
+
+
+def test_scc_round_budget_exhaustion_is_loud(spark):
+    # cycle-of-cycles needs one outer round per cycle; budget of 1 must
+    # raise rather than mislabel the remainder as singletons
+    pairs = []
+    for k in range(3):
+        a, b, c = 3 * k, 3 * k + 1, 3 * k + 2
+        pairs += [(a, b), (b, c), (c, a)]
+        if k < 2:
+            pairs.append((c, 3 * (k + 1)))
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_outer_rounds"):
+        strongly_connected_components(e, max_outer_rounds=1)
