@@ -970,6 +970,40 @@ def _q_streaming_edges(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_degrees(spark, sf_dir):
+    """Stateful STREAMING AGGREGATION (state store across micro-batches,
+    complete output mode): per-entity turn counts over the transcript
+    stream; at end-of-stream equals the batch GROUP BY — the second
+    stream≡batch contract next to streaming_edges (which covers row
+    derivation; this covers incremental aggregation)."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.streaming.stream import (
+        entity_turn_counts_stream,
+        stream_transcripts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_deg_")
+    try:
+        _transcripts(spark, sf_dir).write.parquet(f"{tmp}/transcripts")
+        st = stream_transcripts(spark, f"{tmp}/transcripts")
+        q = (
+            entity_turn_counts_stream(st)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_entity_counts")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            "SELECT entity, turns FROM stream_entity_counts ORDER BY entity"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -1031,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
         "streaming_edges": _q_streaming_edges,
+        "streaming_degrees": _q_streaming_degrees,
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
@@ -1979,6 +2014,10 @@ r AS (
 )
 SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 10 ORDER BY query_id, rank""",
+        "streaming_degrees": _GRAPH_PREFIX
+        + """
+SELECT entity, CAST(COUNT(*) AS BIGINT) AS turns
+FROM turns GROUP BY entity ORDER BY entity""",
         "neighbor_agg": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

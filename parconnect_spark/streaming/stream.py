@@ -141,3 +141,17 @@ def turn_rate_metrics(
         .groupBy(F.window("ts", window, slide), "role")
         .agg(F.count(F.lit(1)).alias("turns"))
     )
+
+
+def entity_turn_counts_stream(transcripts: DataFrame) -> DataFrame:
+    """Incremental per-entity turn counts over the transcript stream —
+    a STATEFUL streaming aggregation (Spark's state store carries the
+    running counts across micro-batches; run with outputMode complete or
+    update). Entity semantics match operators/derive.turn_entity, so at
+    end-of-stream the counts equal the batch GROUP BY — the stream≡batch
+    contract the driver hash-checks via the ``streaming_degrees`` query."""
+    return (
+        transcripts.select(_entity_col().alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("turns"))
+    )

@@ -92,3 +92,44 @@ def test_turn_rate_metrics(spark, transcripts_dir):
     # append mode emits only watermark-closed windows; schema is the check
     assert {c for c in spark.table("turn_rates").columns} == {"window", "role", "turns"}
     assert all(r["turns"] > 0 for r in rows)
+
+
+def test_entity_turn_counts_stream_equals_batch(spark, tmp_path):
+    from parconnect_spark.sources import synth_transcripts
+    from parconnect_spark.streaming.stream import (
+        entity_turn_counts_stream,
+        stream_transcripts,
+    )
+
+    t = synth_transcripts(spark, n_convs=40)
+    t.write.parquet(str(tmp_path / "transcripts"))
+    st = stream_transcripts(spark, str(tmp_path / "transcripts"))
+    q = (
+        entity_turn_counts_stream(st)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_entity_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["entity"]: r["turns"]
+        for r in spark.sql("SELECT * FROM t_entity_counts").collect()
+    }
+    import pyspark.sql.functions as F
+
+    exp = {
+        r["entity"]: r["turns"]
+        for r in t.select(
+            F.when(
+                F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+            )
+            .otherwise(F.concat(F.lit("r:"), F.col("role")))
+            .alias("entity")
+        )
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .collect()
+    }
+    assert got == exp
