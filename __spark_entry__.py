@@ -24,6 +24,11 @@ PR_ITERS = 8
 HITS_ITERS = 8
 LP_MIN_ITERS = 4
 LP_MAJ_ITERS = 2
+# community_graph contracts at lp-min depth 1 — the FIRST level of a
+# multilevel coarsening. Depth >=2 collapses this graph's communities all
+# the way to components (every super-edge vanishes; measured 297 super-
+# edges at depth 1, 0 at depth 2), which would make the contract vacuous.
+COMMUNITY_GRAPH_ITERS = 1
 KCORE_K = 3
 # Fixed unroll depth for the k-core oracle: peeling is a no-op after the
 # fixpoint, so any depth >= the actual peel depth is exact. The sf0.01
@@ -221,6 +226,25 @@ def _q_cc_labels_salted_fused(spark, sf_dir):
     res = connected_components(
         edges, algorithm="two_phase", materialize="salted_fused"
     )
+    return _with_names(res.labels, id_map, "label")
+
+
+def _q_cc_incremental(spark, sf_dir):
+    """Incremental CC: a deterministic 80/20 edge split plays 'base graph +
+    delta batch'. Full CC runs on the base edges only; plans/connectivity.
+    incremental_cc folds the delta in through the contracted delta graph
+    (sized by the delta, never rescanning the base). The oracle is the
+    FULL-graph recursive-CTE min-reach — incremental must equal recompute."""
+    from parconnect_spark.plans.connectivity import (
+        connected_components,
+        incremental_cc,
+    )
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    old = edges.where((F.col("src") + F.col("dst")) % 5 != 4)
+    delta = edges.where((F.col("src") + F.col("dst")) % 5 == 4)
+    base = connected_components(old, algorithm="two_phase")
+    res = incremental_cc(base.labels, delta)
     return _with_names(res.labels, id_map, "label")
 
 
@@ -483,6 +507,31 @@ def _q_modularity(spark, sf_dir):
     out = modularity(edges, labels)
     return out.select(
         F.round("modularity", 6).alias("modularity"), "n_communities", "two_m"
+    )
+
+
+def _q_community_graph(spark, sf_dir):
+    """Coarsened community super-graph: contract the entity graph by the
+    labelprop_min assignment (the communities modularity already scores)
+    into weighted super-edges — the contraction step of a multilevel
+    partitioning / Louvain pipeline."""
+    from parconnect_spark.operators.graph import contract_graph
+    from parconnect_spark.plans.labelprop import label_propagation
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    labels = label_propagation(
+        edges, num_iters=COMMUNITY_GRAPH_ITERS, rule="min"
+    )
+    sup = contract_graph(edges, labels)
+    ia = id_map.select(F.col("id").alias("ca"), F.col("name").alias("ca_name"))
+    ib = id_map.select(F.col("id").alias("cb"), F.col("name").alias("cb_name"))
+    return (
+        sup.join(ia, "ca")
+        .join(ib, "cb")
+        .select(
+            F.col("ca_name").alias("ca"), F.col("cb_name").alias("cb"), "weight"
+        )
+        .orderBy("ca", "cb")
     )
 
 
@@ -1026,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels": _q_cc_labels,
         "cc_labels_local_contract": _q_cc_labels_local_contract,
         "cc_labels_salted_fused": _q_cc_labels_salted_fused,
+        "cc_incremental": _q_cc_incremental,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
@@ -1045,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
         "modularity": _q_modularity,
+        "community_graph": _q_community_graph,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_features": _q_vertex_features,
@@ -1385,6 +1436,36 @@ FROM t1 CROSS JOIN t2"""
     return sql
 
 
+def _community_graph_oracle(iters: int = COMMUNITY_GRAPH_ITERS) -> str:
+    """Weighted super-graph of the unrolled lp-min communities. ``comm`` is
+    MATERIALIZED for the same reason as _modularity_oracle's (two endpoint
+    joins over a quadratic-to-inline chain)."""
+    sql = _GRAPH_PREFIX + ",\nl0 AS (SELECT id AS v, id AS label FROM ids)"
+    for k in range(1, iters + 1):
+        sql += f""",
+l{k} AS (
+  SELECT l.v, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+  FROM l{k-1} l LEFT JOIN (
+    SELECT e.src AS v2, MIN(x.label) AS mn
+    FROM edges e JOIN l{k-1} x ON e.dst = x.v GROUP BY e.src
+  ) m ON m.v2 = l.v
+)"""
+    sql += f""",
+comm AS MATERIALIZED (SELECT v, label FROM l{iters}),
+sup AS (
+  SELECT LEAST(cs.label, cd.label) AS ca_id,
+         GREATEST(cs.label, cd.label) AS cb_id,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM edges e JOIN comm cs ON cs.v = e.src JOIN comm cd ON cd.v = e.dst
+  WHERE e.src < e.dst AND cs.label <> cd.label
+  GROUP BY 1, 2
+)
+SELECT ia.name AS ca, ib.name AS cb, sup.weight AS weight
+FROM sup JOIN ids ia ON ia.id = sup.ca_id JOIN ids ib ON ib.id = sup.cb_id
+ORDER BY ca, cb"""
+    return sql
+
+
 def _lp_majority_oracle(iters: int = LP_MAJ_ITERS) -> str:
     sql = _GRAPH_PREFIX + ",\nm0 AS (SELECT id AS v, id AS label FROM ids)"
     for k in range(1, iters + 1):
@@ -1696,6 +1777,13 @@ FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
         + """
 SELECT i.name AS name, l.label AS label
 FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
+        # incremental_cc must equal a full recompute on the edge union, so
+        # its oracle IS the cc_labels full-graph min-reach.
+        "cc_incremental": _GRAPH_PREFIX
+        + _CC_REACH
+        + """
+SELECT i.name AS name, l.label AS label
+FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
         "cc_stats": _GRAPH_PREFIX
         + _CC_REACH
         + """,
@@ -1788,6 +1876,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
         "modularity": _modularity_oracle(),
+        "community_graph": _community_graph_oracle(COMMUNITY_GRAPH_ITERS),
         "triangle_count": _GRAPH_PREFIX
         + _TRI_CTE
         + "\nSELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",

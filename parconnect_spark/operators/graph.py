@@ -121,6 +121,42 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def contract_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Coarsen the graph by a vertex->group assignment: the contraction
+    step of multilevel partitioning / Louvain-style community pipelines.
+
+    ``edges`` is the symmetric long table [src, dst]; ``labels`` is
+    DataFrame[v: long, label: long] (a CC or label-propagation output).
+    Returns one row per SUPER-edge between DISTINCT groups,
+    DataFrame[ca: long, cb: long, weight: long] with ca < cb, where weight
+    counts the undirected input edges collapsing onto that group pair
+    (parallel edges accumulate — the multiplicity a coarsened Louvain /
+    partitioning pass needs).
+
+    Physical shape: the src < dst filter picks each undirected edge once
+    from the symmetric table (pushed to the scan), two |V|-row label joins
+    (AQE broadcasts the label side when it fits), one hash aggregate with
+    map-side combine. Intra-group edges drop out before the shuffle, so at
+    a good community assignment the aggregate input is a small fraction of
+    |E| — the whole point of coarsening at 100-TB scale.
+    """
+    ls = labels.select(F.col("v").alias("_cv"), F.col("label").alias("_cs"))
+    ld = labels.select(F.col("v").alias("_dv"), F.col("label").alias("_cd"))
+    once = edges.where(F.col("src") < F.col("dst"))
+    tagged = (
+        once.join(ls, once["src"] == F.col("_cv"))
+        .join(ld, once["dst"] == F.col("_dv"))
+        .where(F.col("_cs") != F.col("_cd"))
+    )
+    return (
+        tagged.select(
+            F.least("_cs", "_cd").alias("ca"), F.greatest("_cs", "_cd").alias("cb")
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def filter_visited_edges(edges: DataFrame, visited: DataFrame) -> DataFrame:
     """Drop every edge whose SRC was visited (post-BFS residual edges).
 

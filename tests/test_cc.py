@@ -423,3 +423,72 @@ def test_census_every_validated(spark, three_components_small):
 
     with _pytest.raises(ValueError, match="census_every"):
         connected_components(three_components_small, census_every=0)
+
+
+@pytest.mark.slow
+def test_incremental_cc_equals_full_recompute(spark):
+    """Random RMAT split 80/20: incremental over the delta must equal a
+    full recompute on the union — the exact contract the driver's
+    cc_incremental oracle asserts."""
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.connectivity import (
+        connected_components,
+        incremental_cc,
+    )
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=7, edgefactor=6))
+    old = edges.where((F.col("src") + F.col("dst")) % 5 != 4)
+    delta = edges.where((F.col("src") + F.col("dst")) % 5 == 4)
+    base = connected_components(old)
+    inc = incremental_cc(base.labels, delta)
+    full = connected_components(edges)
+    got = {r["v"]: r["label"] for r in inc.labels.collect()}
+    exp = {r["v"]: r["label"] for r in full.labels.collect()}
+    assert got == exp
+
+
+@pytest.mark.slow
+def test_incremental_cc_merges_and_new_vertices(spark):
+    """A delta edge bridging two old components + a delta-only component:
+    merged labels take the global min, first-seen vertices get labeled."""
+    from parconnect_spark.plans.connectivity import (
+        connected_components,
+        incremental_cc,
+    )
+
+    old_und = [(1, 2), (2, 3), (10, 11), (11, 12)]
+    old = spark.createDataFrame(
+        old_und + [(b, a) for a, b in old_und], "src long, dst long"
+    )
+    base = connected_components(old)
+    # bridge 3-10 (merges {1,2,3} and {10,11,12} under label 1),
+    # attach new vertex 99 to 12, and a delta-only pair (200, 201).
+    delta = spark.createDataFrame(
+        [(3, 10), (12, 99), (200, 201)], "src long, dst long"
+    )
+    inc = incremental_cc(base.labels, delta)
+    got = {r["v"]: r["label"] for r in inc.labels.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 99: 1, 200: 200, 201: 200,
+    }
+
+
+def test_incremental_cc_selfloop_delta_is_noop(spark):
+    """Every delta edge lands inside one old component: labels unchanged,
+    zero CC iterations run."""
+    from parconnect_spark.plans.connectivity import (
+        connected_components,
+        incremental_cc,
+    )
+
+    old_und = [(1, 2), (2, 3)]
+    old = spark.createDataFrame(
+        old_und + [(b, a) for a, b in old_und], "src long, dst long"
+    )
+    base = connected_components(old)
+    delta = spark.createDataFrame([(1, 3), (2, 2)], "src long, dst long")
+    inc = incremental_cc(base.labels, delta)
+    assert inc.iterations == 0
+    got = {r["v"]: r["label"] for r in inc.labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

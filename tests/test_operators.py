@@ -143,3 +143,55 @@ def test_degree_assortativity_star_is_negative_one(spark):
     )
     row = degree_assortativity(e).collect()[0]
     assert abs(row["assortativity"] - (-1.0)) < 1e-12
+
+
+def test_contract_graph_hand_example(spark):
+    from parconnect_spark.operators.graph import contract_graph, symmetrize
+
+    # two triangles {0,1,2} and {10,11,12} bridged by 0-10 and 1-11, plus a
+    # parallel-collapsing pendant pair 2-13, 2-14 where 13,14 live in a
+    # third group.
+    und = [
+        (0, 1), (1, 2), (0, 2),
+        (10, 11), (11, 12), (10, 12),
+        (0, 10), (1, 11),
+        (2, 13), (2, 14), (13, 14),
+    ]
+    edges = symmetrize(spark.createDataFrame(und, "src long, dst long"))
+    groups = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 13: 13, 14: 13}
+    labels = spark.createDataFrame(
+        list(groups.items()), "v long, label long"
+    )
+    got = {
+        (r["ca"], r["cb"]): r["weight"]
+        for r in contract_graph(edges, labels).collect()
+    }
+    # 0-10 and 1-11 collapse onto (0,10) with weight 2; 2-13 and 2-14 onto
+    # (0,13) with weight 2; intra-group edges vanish.
+    assert got == {(0, 10): 2, (0, 13): 2}
+
+
+def test_contract_graph_vs_networkx_quotient(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import contract_graph, symmetrize
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    # deterministic grouping: vertex id mod 7
+    labels = spark.createDataFrame(
+        [(int(v), int(v) % 7) for v in g.nodes], "v long, label long"
+    )
+    exp = {}
+    for u, v in g.edges:
+        a, b = u % 7, v % 7
+        if a != b:
+            k = (min(a, b), max(a, b))
+            exp[k] = exp.get(k, 0) + 1
+    got = {
+        (r["ca"], r["cb"]): r["weight"]
+        for r in contract_graph(edges, labels).collect()
+    }
+    assert got == exp
