@@ -37,6 +37,9 @@ KCORE_ORACLE_ROUNDS = 16
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
+HARMONIC_SOURCES = 4
+# harmonic/bfs oracles cap the recursive-CTE depth at 64 — exact whenever
+# eccentricities < 64 (this graph's pseudo-diameter is single-digit).
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (ANSI subset valid in BOTH Spark and DuckDB)
@@ -508,6 +511,55 @@ def _q_modularity(spark, sf_dir):
     return out.select(
         F.round("modularity", 6).alias("modularity"), "n_communities", "two_m"
     )
+
+
+def _q_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality: one multi-source BFS (MS-BFS — all
+    sources share one frontier loop) from the HARMONIC_SOURCES smallest
+    vertex ids, then h(v) = sum of 1/d(s, v)."""
+    from parconnect_spark.plans.bfs import harmonic_centrality
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    h = harmonic_centrality(edges, sources=list(range(HARMONIC_SOURCES)))
+    return (
+        h.join(id_map, h["v"] == id_map["id"])
+        .select("name", F.round("harmonic", 6).alias("harmonic"))
+        .orderBy("name")
+    )
+
+
+def _q_cc_temporal(spark, sf_dir):
+    """Per-time-window component stats in ONE connectivity run: every edge
+    endpoint carries its conversation's week prefix, so per-window graphs
+    are disjoint by construction and the single CC fixpoint labels all
+    windows at once — the hypertable-rollup shape (no driver loop over
+    windows)."""
+    from parconnect_spark.operators.derive import derive_windowed_string_edges
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.connectivity import connected_components
+
+    t = _transcripts(spark, sf_dir)
+    se = derive_windowed_string_edges(t, granularity="week")
+    long_edges, id_map = relabel_edges(se, "a", "b")
+    res = connected_components(symmetrize(long_edges))
+    vw = res.labels.join(id_map, res.labels["v"] == id_map["id"]).select(
+        F.substring_index("name", "|", 1).alias("week"), "label"
+    )
+    comp = vw.groupBy("week", "label").agg(F.count(F.lit(1)).alias("n"))
+    stats = comp.groupBy("week").agg(
+        F.count(F.lit(1)).alias("components"),
+        F.max("n").alias("largest"),
+        F.sum("n").alias("n_vertices"),
+    )
+    # undirected edge count per window pins the snapshot EDGE SET too —
+    # the component aggregate alone is insensitive to which window a
+    # boundary-crossing sequential edge lands in (hub entities keep each
+    # weekly graph connected either way).
+    ecnt = se.groupBy(
+        F.substring_index("a", "|", 1).alias("week")
+    ).agg(F.count(F.lit(1)).alias("n_edges"))
+    return stats.join(ecnt, "week").orderBy("week")
 
 
 def _q_community_graph(spark, sf_dir):
@@ -1076,12 +1128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels_local_contract": _q_cc_labels_local_contract,
         "cc_labels_salted_fused": _q_cc_labels_salted_fused,
         "cc_incremental": _q_cc_incremental,
+        "cc_temporal": _q_cc_temporal,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
         "cc_hybrid": _q_cc_hybrid,
         "bfs_chain": _q_bfs_chain,
         "bfs_distances": _q_bfs_distances,
+        "harmonic_centrality": _q_harmonic_centrality,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -1784,6 +1838,75 @@ FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
         + """
 SELECT i.name AS name, l.label AS label
 FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
+        # window-tagged graph: same derivation chain as GRAPH_CTES with the
+        # conversation's week prefixed onto every entity, then the cc_labels
+        # min-reach, aggregated per window.
+        "cc_temporal": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+wturns AS (
+  SELECT conv_id, turn_idx,
+         CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING) AS w,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS raw
+  FROM transcripts
+),
+wseq AS (
+  -- LEAD over the UNTAGGED entity: a sequential edge belongs to its
+  -- EARLIER turn's window, so both endpoints take the current row's w
+  -- (599 week-crossing consecutive pairs at sf0.01 — tagging next_entity
+  -- with its own week would leak edges across snapshot boundaries).
+  SELECT conv_id, w, raw,
+         LEAD(raw) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_raw
+  FROM wturns
+),
+wpairs AS (
+  SELECT w || '|' || raw AS a, w || '|' || next_raw AS b
+  FROM wseq WHERE next_raw IS NOT NULL
+  UNION ALL
+  SELECT w || '|' || 'c:' || conv_id AS a, w || '|' || raw AS b FROM wturns
+),
+wund AS (
+  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM wpairs WHERE a <> b
+),
+wnames AS (
+  SELECT DISTINCT name
+  FROM (SELECT a AS name FROM wund UNION ALL SELECT b AS name FROM wund) nn
+),
+wids AS (
+  SELECT name, CAST(DENSE_RANK() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+  FROM wnames
+),
+wundl AS (
+  SELECT s.id AS src, d.id AS dst
+  FROM wund JOIN wids s ON wund.a = s.name JOIN wids d ON wund.b = d.name
+),
+wedges AS (
+  SELECT src, dst FROM wundl UNION ALL SELECT dst AS src, src AS dst FROM wundl
+),
+wreach(v, lbl) AS (
+  SELECT id, id FROM wids
+  UNION
+  SELECT e.dst, r.lbl FROM wreach r JOIN wedges e ON e.src = r.v
+),
+wvlabels AS (SELECT v, MIN(lbl) AS label FROM wreach GROUP BY v),
+vw AS (
+  SELECT SPLIT_PART(i.name, '|', 1) AS win, l.label
+  FROM wvlabels l JOIN wids i ON i.id = l.v
+),
+comp AS (SELECT win, label, COUNT(*) AS n FROM vw GROUP BY win, label),
+stats AS (
+  SELECT win AS week, CAST(COUNT(*) AS BIGINT) AS components,
+         CAST(MAX(n) AS BIGINT) AS largest,
+         CAST(SUM(n) AS BIGINT) AS n_vertices
+  FROM comp GROUP BY win
+),
+ecnt AS (
+  SELECT SPLIT_PART(a, '|', 1) AS week, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM wund GROUP BY 1
+)
+SELECT s.week AS week, s.components, s.largest, s.n_vertices, e.n_edges
+FROM stats s JOIN ecnt e ON e.week = s.week ORDER BY week""",
         "cc_stats": _GRAPH_PREFIX
         + _CC_REACH
         + """,
@@ -1821,6 +1944,18 @@ WHERE u - mn.m < 10 ORDER BY v""",
         # fixed 64-hop recursion caps: exact whenever eccentricities < 64
         # (the sf0.01 entity graph's diameter is single-digit; the cap only
         # bounds the recursive row growth (v, d) per level).
+        "harmonic_centrality": _GRAPH_PREFIX
+        + f""",
+roots AS (SELECT id AS root FROM ids WHERE id < {HARMONIC_SOURCES}),
+mreach(root, v, d) AS (
+  SELECT root, root, 0 FROM roots
+  UNION
+  SELECT r.root, e.dst, r.d + 1 FROM mreach r JOIN edges e ON e.src = r.v WHERE r.d < 64
+),
+mind AS (SELECT root, v, MIN(d) AS d FROM mreach GROUP BY root, v)
+SELECT i.name AS name, ROUND(SUM(1.0 / d), 6) AS harmonic
+FROM mind JOIN ids i ON i.id = mind.v WHERE d > 0
+GROUP BY i.name ORDER BY name""",
         "bfs_distances": _GRAPH_PREFIX
         + """,
 dist(v, d) AS (

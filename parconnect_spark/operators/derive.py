@@ -127,6 +127,56 @@ def derive_weighted_directed_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def derive_windowed_string_edges(
+    transcripts: DataFrame, granularity: str = "week"
+) -> DataFrame:
+    """Window-tagged undirected string edges — the hypertable-rollup
+    variant of :func:`derive_string_edges` for temporal link analysis.
+
+    Every TURN is bucketed by its own timestamp
+    (``date_trunc(granularity, ts)``), and both endpoints of each derived
+    edge carry that turn's window prefix ``<yyyy-mm-dd>|`` (a sequential
+    edge belongs to its EARLIER turn's window; a membership edge to its
+    turn's). Per-window graphs are therefore disjoint temporal snapshots —
+    an entity active in k windows appears as k distinct vertices, and
+    conversations spanning windows contribute to each — so a single
+    connectivity/centrality run labels every window at once instead of a
+    driver loop over windows. At 100-TB scale that is the difference
+    between one shuffle keyed by (window, entity) and hundreds of
+    sequential per-window jobs.
+
+    Zero extra jobs vs the untagged derivation: the tag is a projection of
+    the row's own ``ts``; the lead() window is unchanged.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.date_trunc(granularity, F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("_w"),
+        turn_entity().alias("entity"),
+    ).withColumn("next_entity", F.lead("entity").over(w))
+
+    def tag(col: F.Column) -> F.Column:
+        return F.concat(F.col("_w"), F.lit("|"), col)
+
+    seq = turns.where(F.col("next_entity").isNotNull()).select(
+        tag(F.col("entity")).alias("a"), tag(F.col("next_entity")).alias("b")
+    )
+    member = turns.select(
+        tag(F.concat(F.lit("c:"), F.col("conv_id"))).alias("a"),
+        tag(F.col("entity")).alias("b"),
+    )
+    both = seq.unionByName(member)
+    return (
+        both.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full derivation: transcripts → (symmetric long edges, id_map).
 

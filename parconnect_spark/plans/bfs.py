@@ -346,3 +346,57 @@ def pseudo_diameter(edges: DataFrame, start: int | None = None) -> dict:
         "far_vertex": int(far["v"]),
         "diameter_lb": int(lb),
     }
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: list[int], max_levels: int = 10_000
+) -> DataFrame:
+    """Batched BFS from MANY sources in ONE frontier loop (MS-BFS):
+    DataFrame[root: long, v: long, dist: int] over reachable pairs.
+
+    The composite frontier keys on (root, v), so k sweeps cost one loop of
+    k-way-wider joins instead of k sequential loops — the standard trick
+    for centrality sampling, and the only shape that amortizes the
+    per-superstep fixed cost at cluster scale (the same economics the CC
+    scaling protocol measures). Per level: one equi-join on src, a (root,
+    v) dedup, an anti join against the settled set."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "root long, v long, dist int"
+    ).localCheckpoint()
+    frontier = dist.select("root", "v")
+    level = 0
+    while level < max_levels:
+        level += 1
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["v"])
+            .select("root", F.col("dst").alias("v"))
+            .dropDuplicates(["root", "v"])
+            .join(dist.select("root", "v"), ["root", "v"], "left_anti")
+            .select("root", "v", F.lit(level).cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("root", "v")
+    return dist
+
+
+def harmonic_centrality(edges: DataFrame, sources: list[int]) -> DataFrame:
+    """Harmonic centrality restricted to a source sample:
+    ``h(v) = Σ_{s ∈ sources, s ≠ v} 1 / d(s, v)`` —
+    DataFrame[v: long, harmonic: double] over vertices reached by at least
+    one source at distance ≥ 1.
+
+    On a symmetric edge table d(s, v) = d(v, s), so a deterministic source
+    sample gives the standard sampled-harmonic estimator (scale by
+    |V|/|sources| for the unbiased estimate; the raw sum is returned so the
+    caller owns the scaling). One :func:`multi_source_bfs` + one hash
+    aggregate."""
+    d = multi_source_bfs(edges, sources)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )

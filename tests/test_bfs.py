@@ -224,3 +224,65 @@ def test_pseudo_diameter_empty(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert pseudo_diameter(e)["diameter_lb"] is None
+
+
+@pytest.mark.slow
+def test_multi_source_bfs_matches_single_source(spark):
+    """MS-BFS (one batched frontier loop) must equal k independent
+    bfs_distances sweeps."""
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import bfs_distances, multi_source_bfs
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    sources = [0, 1, 5]
+    got = {
+        (r["root"], r["v"]): r["dist"]
+        for r in multi_source_bfs(edges, sources).collect()
+    }
+    exp = {}
+    for s in sources:
+        for r in bfs_distances(edges, s).collect():
+            exp[(s, r["v"])] = r["dist"]
+    assert got == exp
+
+
+def test_harmonic_centrality_hand_example(spark):
+    """Path graph 0-1-2-3, sources {0, 3}: h(1) = 1/1 + 1/2, h(2) = 1/2 +
+    1/1, h(0) = 1/3 (from 3 only, d>0 excludes itself), h(3) = 1/3."""
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import harmonic_centrality
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = symmetrize(spark.createDataFrame(und, "src long, dst long"))
+    got = {
+        r["v"]: r["harmonic"]
+        for r in harmonic_centrality(edges, [0, 3]).collect()
+    }
+    assert got == {0: 1 / 3, 1: 1.5, 2: 1.5, 3: 1 / 3}
+
+
+@pytest.mark.slow
+def test_harmonic_centrality_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import harmonic_centrality
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    sources = sorted(g.nodes)[:4]
+    exp = {}
+    for s in sources:
+        for v, d in nx.single_source_shortest_path_length(g, s).items():
+            if d > 0:
+                exp[v] = exp.get(v, 0.0) + 1.0 / d
+    got = {
+        r["v"]: r["harmonic"]
+        for r in harmonic_centrality(edges, sources).collect()
+    }
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9

@@ -79,3 +79,44 @@ def test_derive_edges_long_symmetric_contiguous(spark):
     assert ids["lo"] == 0 and ids["hi"] == n - 1 and ids["d"] == n
     # all edge endpoints within [0, n)
     assert edges.where((F.col("src") < 0) | (F.col("src") >= n)).count() == 0
+
+
+def test_windowed_edges_snapshot_semantics(spark):
+    """Per-turn windowing: a boundary-crossing sequential edge lands in the
+    EARLIER turn's window with both endpoints tagged by it; membership
+    edges follow each turn's own window; windows are disjoint by prefix."""
+    import datetime as dt
+
+    from parconnect_spark.operators.derive import derive_windowed_string_edges
+
+    rows = [
+        # conv A: two turns in week 2024-01-01, third in week 2024-01-08
+        ("A", 0, "user", "t0", None, dt.datetime(2024, 1, 2, 10)),
+        ("A", 1, "assistant", "t1", None, dt.datetime(2024, 1, 3, 10)),
+        ("A", 2, "user", "t2", "hammer", dt.datetime(2024, 1, 9, 10)),
+        # conv B: single week-2 turn
+        ("B", 0, "system", "t3", None, dt.datetime(2024, 1, 10, 10)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in derive_windowed_string_edges(t, "week").collect()
+    }
+    exp = {
+        # A seq 0->1 inside week 1
+        ("2024-01-01|r:assistant", "2024-01-01|r:user"),
+        # A seq 1->2 CROSSES into week 2: earlier turn's window tags both
+        ("2024-01-01|r:assistant", "2024-01-01|t:hammer"),
+        # memberships follow each turn's own window
+        ("2024-01-01|c:A", "2024-01-01|r:user"),
+        ("2024-01-01|c:A", "2024-01-01|r:assistant"),
+        ("2024-01-08|c:A", "2024-01-08|t:hammer"),
+        ("2024-01-08|c:B", "2024-01-08|r:system"),
+    }
+    assert got == exp
+    # disjoint snapshots: both endpoints always share the window prefix
+    assert all(a.split("|")[0] == b.split("|")[0] for a, b in got)
