@@ -34,6 +34,14 @@ KCORE_K = 3
 # fixpoint, so any depth >= the actual peel depth is exact. The sf0.01
 # transcript graph peels in ~3 rounds; 16 is asserted-ample headroom.
 KCORE_ORACLE_ROUNDS = 16
+# k for the k-truss contract query: at sf0.01 the co-occurrence graph is
+# near-clique-dense (every edge has support >= 10), so k=14 is the first
+# value that both peels (738 edges die in round 1) and keeps a non-empty
+# truss (1244 edges) — the contract exercises the actual peel loop.
+KTRUSS_K = 14
+# Fixed unroll depth for the k-truss oracle (same no-op-past-fixpoint
+# argument as KCORE_ORACLE_ROUNDS; sf0.01 peels in 1 round).
+KTRUSS_ORACLE_ROUNDS = 4
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -462,6 +470,25 @@ def _q_kcore(spark, sf_dir):
         core.join(id_map, core["v"] == id_map["id"])
         .select("name", "core_deg")
         .orderBy("name")
+    )
+
+
+def _q_ktruss(spark, sf_dir):
+    """k-truss of the co-occurrence graph: edges whose endpoints share
+    >= k-2 common neighbors within the truss, with within-truss support.
+    Incremental-support edge peel (plans/ktruss.py) over the same
+    degree-ordered triangle enumeration the triangle queries use."""
+    from parconnect_spark.plans.ktruss import ktruss
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    truss, _rounds = ktruss(edges, k=KTRUSS_K)
+    u_names = id_map.select(F.col("id").alias("_uid"), F.col("name").alias("u_name"))
+    v_names = id_map.select(F.col("id").alias("_vid"), F.col("name").alias("v_name"))
+    return (
+        truss.join(u_names, truss["src"] == F.col("_uid"))
+        .join(v_names, truss["dst"] == F.col("_vid"))
+        .select("u_name", "v_name", "support")
+        .orderBy("u_name", "v_name")
     )
 
 
@@ -1145,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "link_prediction": _q_link_prediction,
         "kcore": _q_kcore,
+        "ktruss": _q_ktruss,
         "graph_walks": _q_graph_walks,
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
@@ -1403,6 +1431,46 @@ FROM (
   JOIN s{rounds} b ON e.dst = b.v
   GROUP BY e.src
 ) d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _ktruss_oracle(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
+    """Unrolled synchronous edge peel: round i re-enumerates the surviving
+    graph's triangles (id-oriented triple join — each triangle x<y<z once),
+    counts per-edge support, and keeps edges with support >= k-2. A no-op
+    past the fixpoint, so a fixed unroll >= the real peel depth is exact
+    (plans/ktruss.py runs the same synchronous peel to fixpoint; its
+    incremental support maintenance is plan-level only). The final support
+    column is computed on the fixpoint graph — identical to the engine's
+    within-truss support. Every CTE is MATERIALIZED: each e_i feeds three
+    self-joins in its round's triangle CTE plus the next round."""
+    sql = _GRAPH_PREFIX + """,
+e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges WHERE src < dst)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+tri{i} AS MATERIALIZED (
+  SELECT p.u AS x, p.v AS y, q.v AS z
+  FROM e{i - 1} p
+  JOIN e{i - 1} q ON p.u = q.u AND p.v < q.v
+  JOIN e{i - 1} r ON r.u = p.v AND r.v = q.v
+),
+s{i} AS MATERIALIZED (
+  SELECT e.u, e.v, COUNT(t.m) AS sup
+  FROM e{i - 1} e LEFT JOIN (
+    SELECT x AS u, y AS v, 1 AS m FROM tri{i}
+    UNION ALL SELECT x AS u, z AS v, 1 AS m FROM tri{i}
+    UNION ALL SELECT y AS u, z AS v, 1 AS m FROM tri{i}
+  ) t ON t.u = e.u AND t.v = e.v
+  GROUP BY e.u, e.v
+),
+e{i} AS MATERIALIZED (SELECT u, v FROM s{i} WHERE sup >= {k - 2})"""
+    sql += f"""
+SELECT iu.name AS u_name, iv.name AS v_name, s.sup AS support
+FROM s{rounds} s
+JOIN ids iu ON iu.id = s.u
+JOIN ids iv ON iv.id = s.v
+WHERE s.sup >= {k - 2}
+ORDER BY u_name, v_name"""
     return sql
 
 
@@ -2007,6 +2075,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "hits": _hits_oracle(),
         "link_prediction": _linkpred_oracle(),
         "kcore": _kcore_oracle(),
+        "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
