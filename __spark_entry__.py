@@ -42,6 +42,7 @@ KTRUSS_K = 14
 # Fixed unroll depth for the k-truss oracle (same no-op-past-fixpoint
 # argument as KCORE_ORACLE_ROUNDS; sf0.01 peels in 1 round).
 KTRUSS_ORACLE_ROUNDS = 4
+TFIDF_TOPK = 3
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -1031,6 +1032,18 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+def _q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (functions/text.tfidf_top_terms):
+    smooth idf over the corpus, integer sort key (tf * round(ln*1e6)) so
+    the ranking is bit-identical across engines. One explode + two hash
+    aggregates + one per-doc window."""
+    from parconnect_spark.functions.text import tfidf_top_terms
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=TFIDF_TOPK).orderBy("doc_id", "term")
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Repetition-based quality features (functions/text.repetition_features):
     the Gopher-family duplicate-word / most-common-n-gram fractions used to
@@ -1196,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "token_stats": _q_token_stats,
+        "tfidf_topk": _q_tfidf,
         "repetition_stats": _q_repetition_stats,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
@@ -2245,6 +2259,30 @@ FROM r WHERE rk <= 25 ORDER BY lang, sample_rank""",
         # token_stats: DuckDB's RE2 and Spark's Java regex agree on this
         # ASCII-class pattern (verified row-exact at sf0.01); the 'g' flag
         # makes DuckDB's regexp_replace global like Spark's.
+        # tfidf_topk: the sort key is the integer tf * round(ln*1e6) on
+        # BOTH sides, so ulp differences between DuckDB's and the JVM's ln
+        # cannot flip the per-doc ranking; tfidf = key/1e6 is the same
+        # double on any IEEE engine.
+        "tfidf_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * CAST(ROUND(LN((1.0 + n.n) / (1.0 + d.df)) * 1000000) AS BIGINT) AS skey
+  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, CAST(skey AS DOUBLE) / 1000000 AS tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY skey DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= {TFIDF_TOPK}
+ORDER BY doc_id, term""",
         "token_stats": r"""
 SELECT doc_id,
        CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,

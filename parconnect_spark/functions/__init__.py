@@ -6,6 +6,7 @@ from parconnect_spark.functions.text import (
     fingerprint,
     repetition_features,
     token_count,
+    tfidf_top_terms,
 )
 from parconnect_spark.functions.dedup import (
     exact_dup_groups,

@@ -180,3 +180,65 @@ def fingerprint(
     if prefix is not None:
         norm = norm.substr(1, prefix)
     return docs.select("*", F.md5(norm).alias("fp"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf, sklearn-style):
+
+        idf(t)   = ln((1 + N) / (1 + df(t))) + ... (the +1 constant shifts
+                   every score identically, so it is folded OUT of the key)
+        score    = tf(t, d) * idf(t)
+
+    Returns DataFrame[id_col, term, tf, df, tfidf] with exactly the k
+    highest-scoring terms per doc (ties broken by term ascending).
+
+    Cross-engine determinism: ranking by a raw double (tf * ln(...)) can
+    flip ties when two engines' ``ln`` differ in the last ulp, so the sort
+    key is the INTEGER ``tf * round(ln((1+N)/(1+df)) * 1e6)`` and the
+    reported tfidf is that key / 1e6 — the same double on any IEEE engine.
+
+    Scale shape: one explode + two map-side-combined hash aggregates
+    ((doc, term) counts, then per-term doc frequency) and one window
+    partitioned by doc — per-partition work is bounded by document length,
+    never by corpus size. The doc-frequency side joins back by term; stop
+    words make that key heavy but it carries only (term, df) rows. Pass
+    ``n_docs`` to skip the corpus-count job (the ANN-family hint
+    discipline — at 100 TB a count is a full scan unless the catalog
+    already knows it)."""
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = docs.count()
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf6 = F.round(
+        F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+        * 1_000_000
+    ).cast("long")
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", "tf", "df", (F.col("tf") * idf6).alias("_skey")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_skey"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (F.col("_skey").cast("double") / 1_000_000).alias("tfidf"),
+        )
+    )

@@ -81,3 +81,46 @@ def test_repetition_features_hand_values(spark):
     assert (out[3]["top_bigram_frac"], out[3]["top_trigram_frac"]) == (0.0, 0.0)
     assert (out[4]["dup_word_frac"], out[4]["top_bigram_frac"]) == (0.75, 1.5)
     assert (out[5]["n_words"], out[5]["dup_word_frac"]) == (0, 0.0)
+
+
+def test_tfidf_top_terms_hand_values(spark):
+    import math
+
+    from parconnect_spark.functions.text import tfidf_top_terms
+
+    # 3 docs; "rare" appears only in doc 0, "the" in all 3. Smooth idf:
+    # ln((1+N)/(1+df)) -> "the": ln(4/4)=0, "rare": ln(4/2)=ln 2.
+    df = spark.createDataFrame(
+        [
+            (0, "the rare rare term"),
+            (1, "the common words"),
+            (2, "the common term"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = r
+    # doc 0: "rare" tf=2 df=1 -> 2*ln(2); "term" tf=1 df=2 -> ln(4/3);
+    # "the" scores 0 so never outranks them.
+    assert set(by_doc[0]) == {"rare", "term"}
+    assert by_doc[0]["rare"]["tf"] == 2 and by_doc[0]["rare"]["df"] == 1
+    expect = 2 * round(math.log(2.0) * 1e6) / 1e6
+    assert abs(by_doc[0]["rare"]["tfidf"] - expect) < 1e-12
+    # zero-idf terms rank below any positive score but still fill k
+    # (doc 1: common/words positive, "the" zero -> excluded at k=2)
+    assert set(by_doc[1]) == {"common", "words"}
+    # every doc returns exactly k rows when it has >= k distinct terms
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_tfidf_n_docs_hint_skips_count(spark):
+    from parconnect_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    with_hint = tfidf_top_terms(df, k=1, n_docs=2).collect()
+    without = tfidf_top_terms(df, k=1).collect()
+    assert sorted(map(tuple, with_hint)) == sorted(map(tuple, without))
