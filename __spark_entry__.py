@@ -43,6 +43,10 @@ KTRUSS_K = 14
 # argument as KCORE_ORACLE_ROUNDS; sf0.01 peels in 1 round).
 KTRUSS_ORACLE_ROUNDS = 4
 TFIDF_TOPK = 3
+# gap for the sessionization contract: the sf0.01 per-user inter-event gap
+# has median ~26.4ks, so 21600s (6 h) merges roughly half the adjacent
+# pairs — sessions average ~2 events and both branches of the gap rule run.
+SESSION_GAP_SECONDS = 21600
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -1158,6 +1162,51 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup (operators/events.session_rollup):
+    one hash shuffle on user_id, one ordered window pass (lag → gap flag →
+    running sum), one co-partitioned aggregate. Integer-microsecond gap
+    arithmetic keeps the session boundaries bit-identical to the oracle."""
+    from parconnect_spark.operators.events import session_rollup
+
+    _views(spark, sf_dir, ("events",))
+    return session_rollup(
+        spark.table("events"), gap_seconds=SESSION_GAP_SECONDS
+    ).orderBy("user_id", "session_idx")
+
+
+def _q_events_asof(spark, sf_dir):
+    """Backward as-of join (operators/events.asof_join): each click gains
+    the most recent error by the same user at-or-before it. The right side
+    is pre-deduped to one row per (user, ts) — the same contract DuckDB's
+    native ASOF JOIN (the oracle) assumes. Union-and-window plan: ONE hash
+    shuffle, no range join."""
+    from parconnect_spark.operators.events import asof_join
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event"))
+    )
+    j = asof_join(
+        clicks, errors, on="user_id", right_cols=["err_event", "ts"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "err_event_r",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("lag_us"),
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "derived_edges": _q_derived_edges,
@@ -1218,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "events_rollup": _q_events_rollup,
+        "sessions": _q_sessions,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -2377,6 +2428,48 @@ FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         "events_rollup": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type""",
+        # sessions: the gap rule runs on exact integer microseconds on both
+        # sides (epoch_us here, unix_micros in Spark) and the duration is
+        # INTEGER-divided — double-seconds epochs round differently across
+        # engines and a double quotient can cross a second boundary.
+        "sessions": f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN prev_us IS NULL
+                    OR us - prev_us >= {SESSION_GAP_SECONDS * 1_000_000}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+       (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+        # events_asof: DuckDB's NATIVE ASOF JOIN is the oracle — a genuinely
+        # independent implementation of the backward-inclusive match the
+        # union-and-window Spark plan computes. Right side deduped to one
+        # row per (user, ts), the tie contract both engines share.
+        "events_asof": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errs AS (
+  SELECT user_id, ts, MAX(event_id) AS err_event
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, e.err_event AS err_event_r,
+       epoch_us(c.ts) - epoch_us(e.ts) AS lag_us
+FROM clicks c ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY c.event_id""",
     }
 
 

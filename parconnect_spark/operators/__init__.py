@@ -14,6 +14,11 @@ from parconnect_spark.operators.derive import (
     derive_directed_string_edges,
     verify_text_invariant,
 )
+from parconnect_spark.operators.events import (
+    sessionize,
+    session_rollup,
+    asof_join,
+)
 
 __all__ = [
     "symmetrize",
@@ -29,4 +34,7 @@ __all__ = [
     "derive_edges",
     "derive_directed_string_edges",
     "verify_text_invariant",
+    "sessionize",
+    "session_rollup",
+    "asof_join",
 ]

@@ -1,0 +1,197 @@
+"""Event-stream pipeline operators: gap sessionization and as-of join.
+
+These are the two time-series primitives a transcript/event pipeline needs
+that Spark's DataFrame API lacks as built-ins (pandas has them as
+``merge_asof`` / groupby-gap idioms; DuckDB ships ASOF JOIN natively —
+which is exactly what makes the driver oracle independent of this code).
+
+Both are expressed as single-shuffle window plans:
+
+* :func:`sessionize` — one hash shuffle on the user key, one ordered
+  window pass per user (lag → gap flag → running sum). The window
+  partition is the per-user event history — the natural parallel unit;
+  at 10^12 events a pathological bot user serializes only its own
+  partition (the same inherent bound as the transcript derivation's
+  per-conversation window, operators/derive.py).
+* :func:`asof_join` — the union-and-window formulation: tag both sides,
+  union on (key, ts), one ordered window per key carries the most recent
+  right-side payload forward (``last(..., ignorenulls=True)``). This is
+  ONE shuffle on the join key — no range-join explosion, no per-row
+  Python — and it is the shape that survives 100 TB: both sides stream
+  through the same hash partitioning, and the window state per key is a
+  single payload struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _ts_us(df: DataFrame, col: str):
+    """Exact int64 microseconds for a timestamp column (numeric columns
+    pass through scaled). Integer time arithmetic is what keeps gap/lag
+    comparisons bit-identical across engines — double-seconds epochs round
+    differently between DuckDB's epoch()/epoch_ms() and a JVM cast."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        # TIMESTAMP_NTZ (what parquet scans yield) casts to TIMESTAMP
+        # value-identically under the session's pinned UTC timezone
+        # (session.py sets spark.sql.session.timeZone=UTC)
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return (F.col(col).cast("double") * 1_000_000).cast("long")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session indices: a new session starts at the first
+    event of a user and at every event ≥ ``gap_seconds`` after its
+    predecessor (strictly-greater gaps stay in-session at exactly the
+    boundary: ``delta > gap`` splits, ``delta == gap`` splits too — the
+    contract is ``delta >= gap_seconds`` opens a new session, matching the
+    common web-analytics definition).
+
+    Returns the input columns plus ``session_idx`` (0-based per user, in
+    time order). Ordering inside a user is (ts, id_col) so duplicate
+    timestamps are deterministic across engines and partitionings.
+
+    One shuffle (hash on ``user_col``), one window pass. No collect.
+    """
+    us = _ts_us(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us >= F.lit(int(gap_seconds) * 1_000_000)),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(
+        "session_idx", (F.sum(new_sess).over(run) - F.lit(1)).cast("long")
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session summary over :func:`sessionize`:
+    DataFrame[user_col, session_idx, n_events, first_event, last_event,
+    duration_sec, sum_value]. Timestamps leave as an integer duration so
+    the output is engine-hash-stable. One extra map-side-combined hash
+    aggregate on (user, session_idx) — already co-partitioned with the
+    sessionize shuffle, so AQE usually elides the second exchange."""
+    s = sessionize(events, gap_seconds, user_col, ts_col, id_col)
+    us = _ts_us(s, ts_col)
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(id_col).alias("first_event"),
+            F.max(id_col).alias("last_event"),
+            (F.max(us) - F.min(us)).alias("_span_us"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        # integer-microsecond span, INTEGER-divided (div, not /): exact on
+        # any engine — a double quotient's ulp approaches 1e-6 at
+        # century-scale spans and could round across a second boundary
+        .withColumn("duration_sec", F.expr("_span_us div 1000000"))
+        .select(
+            user_col,
+            "session_idx",
+            "n_events",
+            "first_event",
+            "last_event",
+            "duration_sec",
+            "sum_value",
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gains the right row with the
+    LARGEST ``right_ts`` ≤ its ``left_ts`` within the same key group
+    (inclusive match at equality; left rows with no prior right row keep
+    nulls — LEFT-join semantics).
+
+    ``right_cols`` selects the right payload (default: every right column
+    except the keys); the matched columns come back as ``<col><suffix>``.
+    ``tolerance_seconds`` nulls out matches older than the window, like
+    ``pandas.merge_asof(tolerance=...)``.
+
+    Determinism: ties on (key, right_ts) are broken by the LAST right
+    payload in (right_ts, payload-struct) order — callers wanting a
+    specific winner should pre-dedupe the right side to one row per
+    (key, ts), which is also what DuckDB's native ASOF JOIN assumes.
+
+    Physical shape (the reason this exists instead of a range join): tag
+    each side, union, ONE window per key ordered by (ts, side) carrying
+    ``last(payload, ignorenulls=True)`` forward. One hash shuffle total;
+    per-key window state is one struct. A range join would rewrite to a
+    broadcast-nested-loop or an O(|L|·|R|) partition product under skew —
+    this never does.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys]
+    payload = F.struct(
+        _ts_us(right, right_ts).alias("__rts_us"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    # _side orders right rows BEFORE left rows at equal ts → inclusive match
+    r = right.select(
+        *[F.col(k) for k in keys],
+        _ts_us(right, right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__pay"),
+    )
+    lrow = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    l = left.select(
+        *[F.col(k) for k in keys],
+        _ts_us(left, left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        lrow.alias("__lrow"),
+    )
+    r = r.withColumn("__lrow", F.lit(None).cast(l.schema["__lrow"].dataType))
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", "__pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__pay", ignorenulls=True).over(w)
+    # window BEFORE the side filter — the right rows must still be in the
+    # partition when the carry-forward evaluates
+    out = u.withColumn("__match", matched).where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rts_us")
+                >= F.col("__ts") - F.lit(int(tolerance_seconds) * 1_000_000),
+                F.col("__match"),
+            ),
+        )
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

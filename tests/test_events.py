@@ -1,0 +1,128 @@
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from parconnect_spark.operators.events import asof_join, session_rollup, sessionize
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def ev_df(spark):
+    rows = [
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + dt.timedelta(seconds=100), 1, "a", 2.0),
+        (2, BASE + dt.timedelta(seconds=2000), 1, "b", 3.0),  # gap 1900 >= 1800
+        (3, BASE + dt.timedelta(seconds=3800), 1, "b", 4.0),  # gap exactly 1800
+        (4, BASE, 2, "a", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_rule(spark):
+    s = {r["event_id"]: r["session_idx"] for r in sessionize(ev_df(spark)).collect()}
+    # 0,1 share session 0; 2 opens session 1 (1900s); 3 opens session 2
+    # (exactly 1800s — the >= contract); user 2 starts at 0
+    assert s == {0: 0, 1: 0, 2: 1, 3: 2, 4: 0}
+
+
+def test_sessionize_order_invariance(spark):
+    base = sessionize(ev_df(spark)).orderBy("event_id").collect()
+    shuffled = (
+        sessionize(ev_df(spark).orderBy(F.rand(7)).repartition(5))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in shuffled]
+
+
+def test_session_rollup_values(spark):
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_rollup(ev_df(spark)).collect()
+    }
+    r0 = out[(1, 0)]
+    assert (r0["n_events"], r0["first_event"], r0["last_event"]) == (2, 0, 1)
+    assert r0["duration_sec"] == 100
+    assert r0["sum_value"] == 3.0
+    assert out[(2, 0)]["n_events"] == 1 and out[(2, 0)]["duration_sec"] == 0
+
+
+def test_asof_backward_inclusive_and_tolerance(spark):
+    ev = ev_df(spark)
+    left = ev.where(F.col("event_type") == "a")
+    right = ev.where(F.col("event_type") == "b").select(
+        "user_id", "ts", F.col("event_id").alias("rid")
+    )
+    extra = spark.createDataFrame(
+        [(9, BASE + dt.timedelta(seconds=2500), 1, "a", 0.0)], ev.schema
+    )
+    j = asof_join(left.unionByName(extra), right, on="user_id", right_cols=["rid"])
+    got = sorted((r["event_id"], r["rid_r"]) for r in j.collect())
+    # earlier lefts have no prior right; event 9 (t=2500) matches rid 2 (t=2000)
+    assert got == [(0, None), (1, None), (4, None), (9, 2)]
+    # inclusive at ts equality
+    at_eq = asof_join(
+        extra.withColumn("ts", F.lit(BASE + dt.timedelta(seconds=2000))),
+        right,
+        on="user_id",
+        right_cols=["rid"],
+    ).collect()
+    assert at_eq[0]["rid_r"] == 2
+    # tolerance nulls out stale matches (lag 500s > 100s window)
+    tol = asof_join(
+        extra, right, on="user_id", right_cols=["rid"], tolerance_seconds=100
+    ).collect()
+    assert tol[0]["rid_r"] is None
+
+
+def test_asof_empty_right_keeps_left(spark):
+    ev = ev_df(spark)
+    left = ev.where(F.col("event_type") == "a")
+    right = ev.where(F.lit(False)).select(
+        "user_id", "ts", F.col("event_id").alias("rid")
+    )
+    j = asof_join(left, right, on="user_id", right_cols=["rid"]).collect()
+    assert len(j) == 3 and all(r["rid_r"] is None for r in j)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Cross-check against pandas' reference implementation on a randomized
+    (seeded) instance — an oracle independent of both DuckDB and Spark."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 200, 80
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l),
+            "t": rng.integers(0, 10_000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r),
+            "t": rng.integers(0, 10_000, n_r),
+            "rid": np.arange(n_r),
+        }
+    ).drop_duplicates(["k", "t"])
+    want = pd.merge_asof(
+        lpd.sort_values("t", kind="stable"),
+        rpd.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values("lid")
+    l = spark.createDataFrame(lpd)
+    r = spark.createDataFrame(rpd)
+    got = (
+        asof_join(l, r, on="k", left_ts="t", right_ts="t", right_cols=["rid"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    want_rids = [None if pd.isna(x) else int(x) for x in want["rid"]]
+    got_rids = [None if pd.isna(x) else int(x) for x in got["rid_r"]]
+    assert got_rids == want_rids
