@@ -560,6 +560,27 @@ def _q_harmonic_centrality(spark, sf_dir):
     )
 
 
+def _q_closeness(spark, sf_dir):
+    """Sampled closeness centrality on the same MS-BFS substrate as
+    harmonic_centrality: one shared frontier loop for all sources, one
+    hash aggregate. n_sources/total_dist are exact integers; the ratio is
+    rounded at 6dp on both engines."""
+    from parconnect_spark.plans.bfs import closeness_centrality
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    c = closeness_centrality(edges, sources=list(range(HARMONIC_SOURCES)))
+    return (
+        c.join(id_map, c["v"] == id_map["id"])
+        .select(
+            "name",
+            "n_sources",
+            "total_dist",
+            F.round("closeness", 6).alias("closeness"),
+        )
+        .orderBy("name")
+    )
+
+
 def _q_cc_temporal(spark, sf_dir):
     """Per-time-window component stats in ONE connectivity run: every edge
     endpoint carries its conversation's week prefix, so per-window graphs
@@ -1225,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_chain": _q_bfs_chain,
         "bfs_distances": _q_bfs_distances,
         "harmonic_centrality": _q_harmonic_centrality,
+        "closeness": _q_closeness,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -2087,6 +2109,20 @@ mreach(root, v, d) AS (
 ),
 mind AS (SELECT root, v, MIN(d) AS d FROM mreach GROUP BY root, v)
 SELECT i.name AS name, ROUND(SUM(1.0 / d), 6) AS harmonic
+FROM mind JOIN ids i ON i.id = mind.v WHERE d > 0
+GROUP BY i.name ORDER BY name""",
+        "closeness": _GRAPH_PREFIX
+        + f""",
+roots AS (SELECT id AS root FROM ids WHERE id < {HARMONIC_SOURCES}),
+mreach(root, v, d) AS (
+  SELECT root, root, 0 FROM roots
+  UNION
+  SELECT r.root, e.dst, r.d + 1 FROM mreach r JOIN edges e ON e.src = r.v WHERE r.d < 64
+),
+mind AS (SELECT root, v, MIN(d) AS d FROM mreach GROUP BY root, v)
+SELECT i.name AS name, CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(d) AS BIGINT) AS total_dist,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(d), 6) AS closeness
 FROM mind JOIN ids i ON i.id = mind.v WHERE d > 0
 GROUP BY i.name ORDER BY name""",
         "bfs_distances": _GRAPH_PREFIX

@@ -400,3 +400,30 @@ def harmonic_centrality(edges: DataFrame, sources: list[int]) -> DataFrame:
         .groupBy("v")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
     )
+
+
+def closeness_centrality(edges: DataFrame, sources: list[int]) -> DataFrame:
+    """Sampled closeness centrality:
+    ``c(v) = |{s ∈ sources : 0 < d(s, v) < ∞}| / Σ_{s} d(s, v)`` —
+    DataFrame[v: long, n_sources: long, total_dist: long,
+    closeness: double] over vertices reached by at least one source at
+    distance ≥ 1 (the Wasserman–Faust sampled estimator up to the
+    |sources|/(|V|−1) scale factor, which the caller owns — on a symmetric
+    edge table d(s, v) = d(v, s) so source-sums ARE target-sums).
+
+    One :func:`multi_source_bfs` (all sources share one frontier loop —
+    the per-superstep fixed cost amortizes across the whole sample, the
+    shape that matters at cluster scale) + one hash aggregate.
+    """
+    d = multi_source_bfs(edges, sources)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("dist").alias("total_dist"),
+        )
+        .withColumn(
+            "closeness", F.col("n_sources") / F.col("total_dist")
+        )
+    )

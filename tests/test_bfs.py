@@ -286,3 +286,52 @@ def test_harmonic_centrality_vs_networkx(spark):
     assert set(got) == set(exp)
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-9
+
+
+def test_closeness_centrality_hand_example(spark):
+    """Path graph 0-1-2-3, sources {0, 3}: vertex 1 is reached at d=1 (from
+    0) and d=2 (from 3) -> n=2, total=3, c=2/3; endpoints see only the
+    opposite source at d=3 -> c=1/3."""
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import closeness_centrality
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = symmetrize(spark.createDataFrame(und, "src long, dst long"))
+    got = {
+        r["v"]: (r["n_sources"], r["total_dist"], r["closeness"])
+        for r in closeness_centrality(edges, [0, 3]).collect()
+    }
+    assert got == {
+        0: (1, 3, 1 / 3),
+        1: (2, 3, 2 / 3),
+        2: (2, 3, 2 / 3),
+        3: (1, 3, 1 / 3),
+    }
+
+
+@pytest.mark.slow
+def test_closeness_centrality_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.bfs import closeness_centrality
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    sources = sorted(g.nodes)[:4]
+    exp: dict = {}
+    for s in sources:
+        for v, d in nx.single_source_shortest_path_length(g, s).items():
+            if d > 0:
+                n, t = exp.get(v, (0, 0))
+                exp[v] = (n + 1, t + d)
+    got = {
+        r["v"]: (r["n_sources"], r["total_dist"], r["closeness"])
+        for r in closeness_centrality(edges, sources).collect()
+    }
+    assert set(got) == set(exp)
+    for v, (n, t) in exp.items():
+        assert got[v][:2] == (n, t)
+        assert abs(got[v][2] - n / t) < 1e-12
