@@ -34,6 +34,12 @@ KCORE_K = 3
 # fixpoint, so any depth >= the actual peel depth is exact. The sf0.01
 # transcript graph peels in ~3 rounds; 16 is asserted-ample headroom.
 KCORE_ORACLE_ROUNDS = 16
+# Fixed unroll depth for the coreness (iterated H-index) oracle: the
+# iteration is monotone non-increasing and a no-op past its fixpoint, so
+# any depth >= the actual convergence round count is exact. The sf0.01
+# entity graph converges in 2 rounds (measured; max coreness 14); 8 is
+# asserted-ample headroom.
+CORENESS_ORACLE_ROUNDS = 8
 # k for the k-truss contract query: at sf0.01 the co-occurrence graph is
 # near-clique-dense (every edge has support >= 10), so k=14 is the first
 # value that both peels (738 edges die in round 1) and keeps a non-empty
@@ -474,6 +480,23 @@ def _q_kcore(spark, sf_dir):
     return (
         core.join(id_map, core["v"] == id_map["id"])
         .select("name", "core_deg")
+        .orderBy("name")
+    )
+
+
+def _q_coreness(spark, sf_dir):
+    """Full core decomposition via the iterated-H-index fixpoint
+    (plans/kcore.coreness): per-round, one histogram aggregate (map-side
+    combined — a hub contributes rows bounded by max-coreness, not degree)
+    + one window over the compressed histogram. Oracle unrolls the same
+    recurrence CORENESS_ORACLE_ROUNDS times (no-op past the fixpoint)."""
+    from parconnect_spark.plans.kcore import coreness
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    core, _rounds = coreness(edges)
+    return (
+        core.join(id_map, core["v"] == id_map["id"])
+        .select("name", "coreness")
         .orderBy("name")
     )
 
@@ -1256,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "link_prediction": _q_link_prediction,
         "kcore": _q_kcore,
+        "coreness": _q_coreness,
         "ktruss": _q_ktruss,
         "graph_walks": _q_graph_walks,
         "labelprop_min": _q_labelprop_min,
@@ -1518,6 +1542,37 @@ FROM (
   JOIN s{rounds} b ON e.dst = b.v
   GROUP BY e.src
 ) d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _coreness_oracle(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+    """Unrolled iterated-H-index recurrence: c0 = degree; each round
+    aggregates neighbor values into a per-vertex histogram and takes
+    H = max(min(value, cumulative_count)) over values descending — the
+    textbook H-index over the compressed histogram, exactly what
+    plans/kcore.coreness computes. Monotone and a no-op past the fixpoint,
+    so a fixed unroll >= the convergence round count is exact. MATERIALIZED
+    per the kcore discipline (each c_i feeds the next round's join)."""
+    sql = _GRAPH_PREFIX + """,
+medges AS MATERIALIZED (SELECT src, dst FROM edges),
+c0 AS MATERIALIZED (SELECT src AS v, COUNT(*) AS c FROM medges GROUP BY src)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+h{i} AS MATERIALIZED (
+  SELECT e.src AS v, p.c AS val, COUNT(*) AS cnt
+  FROM medges e JOIN c{i - 1} p ON p.v = e.dst GROUP BY e.src, p.c
+),
+c{i} AS MATERIALIZED (
+  SELECT v, MAX(LEAST(val, cum)) AS c FROM (
+    SELECT v, val,
+           SUM(cnt) OVER (PARTITION BY v ORDER BY val DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM h{i}
+  ) GROUP BY v
+)"""
+    sql += f"""
+SELECT i.name AS name, c.c AS coreness
+FROM c{rounds} c JOIN ids i ON i.id = c.v ORDER BY name"""
     return sql
 
 
@@ -2176,6 +2231,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "hits": _hits_oracle(),
         "link_prediction": _linkpred_oracle(),
         "kcore": _kcore_oracle(),
+        "coreness": _coreness_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),

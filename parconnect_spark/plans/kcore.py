@@ -98,3 +98,70 @@ def kcore(
             )
         deg = deg.localCheckpoint(eager=False)
         rounds += 1
+
+
+def coreness(
+    edges: DataFrame, max_rounds: int = 128
+) -> tuple[DataFrame, int]:
+    """Full core decomposition: every vertex's core number, via the
+    iterated-H-index fixpoint (Lü et al., "The H-index of a network node",
+    2016): start from ``c0(v) = degree(v)`` and repeat
+
+        c_{t+1}(v) = H({c_t(u) : u ~ v}),   H(S) = max k: |{s ∈ S: s ≥ k}| ≥ k
+
+    The sequence is monotone non-increasing per vertex and converges to
+    coreness; past the fixpoint every round is a no-op — the property the
+    DuckDB oracle's fixed unroll relies on.
+
+    Skew-safe H-index, no per-vertex sort of raw neighbor lists: aggregate
+    the neighbor values into a per-vertex HISTOGRAM first (groupBy(v, c) —
+    map-side combined, so a 10M-degree hub contributes rows bounded by its
+    DISTINCT neighbor-value count, which is bounded by max-coreness, not
+    degree), then one window over the compressed histogram:
+    ``H = max(min(value, cum_count))`` over values descending. The window
+    partition for a hub is therefore O(max_coreness) rows, never O(degree)
+    — the same two-phase discipline as the CC hub census.
+
+    Returns (DataFrame[v: long, coreness: long], rounds). Convergence =
+    zero changed vertices; per-round lazy localCheckpoints keep the plan
+    depth O(1). ``edges`` must be distinct symmetric pairs without
+    self-loops (the derive_edges/symmetrize shape).
+    """
+    from pyspark.sql import Window
+
+    cur = (
+        edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    while True:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"coreness did not converge in {max_rounds} rounds"
+            )
+        hist = (
+            edges.join(cur.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = (
+            Window.partitionBy("v")
+            .orderBy(F.desc("c"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        nxt = (
+            hist.withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        changed = (
+            nxt.join(cur.withColumnRenamed("c", "_prev"), "v")
+            .where(F.col("c") != F.col("_prev"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            return cur.withColumnRenamed("c", "coreness"), rounds

@@ -97,3 +97,42 @@ def test_kcore_matches_networkx_on_random_graphs(spark):
             assert d == expected.degree(v)
 
     prop()
+
+
+def test_coreness_hand_example(spark):
+    """Triangle {0,1,2} with tail 2-3-4 and isolated edge 5-6: the triangle
+    is the 2-core, everything else coreness 1."""
+    from parconnect_spark.plans.kcore import coreness
+
+    und = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(_sym(und), "src long, dst long").distinct()
+    got, rounds = coreness(edges)
+    assert {r["v"]: r["coreness"] for r in got.collect()} == {
+        0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 1, 6: 1,
+    }
+    assert rounds >= 1
+
+
+def test_coreness_max_rounds_raises(spark):
+    from parconnect_spark.plans.kcore import coreness
+
+    und = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    edges = spark.createDataFrame(_sym(und), "src long, dst long").distinct()
+    with pytest.raises(RuntimeError):
+        coreness(edges, max_rounds=0)
+
+
+@pytest.mark.slow
+def test_coreness_vs_networkx_kronecker(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.kcore import coreness
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    g.remove_edges_from(nx.selfloop_edges(g))
+    got, _ = coreness(edges)
+    assert {r["v"]: r["coreness"] for r in got.collect()} == nx.core_number(g)
