@@ -53,6 +53,9 @@ TFIDF_TOPK = 3
 # has median ~26.4ks, so 21600s (6 h) merges roughly half the adjacent
 # pairs — sessions average ~2 events and both branches of the gap rule run.
 SESSION_GAP_SECONDS = 21600
+# viral-group fan-out guard for the bipartite projection contract (a group
+# of m members yields m(m-1)/2 pairs); inert at sf0.01, load-bearing at scale
+BIPARTITE_MAX_GROUP = 64
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -583,6 +586,23 @@ def _q_harmonic_centrality(spark, sf_dir):
     )
 
 
+def _q_bipartite_cooccur(spark, sf_dir):
+    """Weighted one-mode projection of the conv×entity membership table
+    (operators/graph.project_bipartite): entities sharing a conversation
+    get an edge weighted by the number of shared conversations. The
+    max_group_size=64 cap is part of the declared semantics (the viral-
+    group fan-out guard; inert at sf0.01 where convs are small, load-
+    bearing at web scale) and the oracle applies it identically."""
+    from parconnect_spark.operators.derive import transcripts_to_entity_turns
+    from parconnect_spark.operators.graph import project_bipartite
+
+    t = _transcripts(spark, sf_dir)
+    mem = transcripts_to_entity_turns(t).select("conv_id", "entity")
+    return project_bipartite(
+        mem, "conv_id", "entity", max_group_size=BIPARTITE_MAX_GROUP
+    ).orderBy("a", "b")
+
+
 def _q_closeness(spark, sf_dir):
     """Sampled closeness centrality on the same MS-BFS substrate as
     harmonic_centrality: one shared frontier loop for all sources, one
@@ -1092,6 +1112,44 @@ def _q_tfidf(spark, sf_dir):
     return tfidf_top_terms(docs, k=TFIDF_TOPK).orderBy("doc_id", "term")
 
 
+def _q_redact(spark, sf_dir):
+    """PII scrubbing (functions/text.redact_pii) over documents with
+    deterministic synthetic PII injected per doc_id (the corpus itself is
+    PII-free, which would make the contract vacuous): one URL, email, IPv4
+    and phone each, built from doc_id, appended to the text. Counts are
+    per-category on progressively-redacted text; fp pins the full redacted
+    BYTES via md5."""
+    from parconnect_spark.functions.text import redact_pii
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 tel +49"),
+            (F.lit(1000000) + F.col("doc_id")).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(docs)
+        .select(
+            "doc_id",
+            "n_url",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.md5("redacted").alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Repetition-based quality features (functions/text.repetition_features):
     the Gopher-family duplicate-word / most-common-n-gram fractions used to
@@ -1270,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs_distances,
         "harmonic_centrality": _q_harmonic_centrality,
         "closeness": _q_closeness,
+        "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -1306,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "tfidf_topk": _q_tfidf,
         "repetition_stats": _q_repetition_stats,
+        "redact": _q_redact,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "similarity_topk": _q_similarity_topk,
@@ -2166,6 +2226,20 @@ mind AS (SELECT root, v, MIN(d) AS d FROM mreach GROUP BY root, v)
 SELECT i.name AS name, ROUND(SUM(1.0 / d), 6) AS harmonic
 FROM mind JOIN ids i ON i.id = mind.v WHERE d > 0
 GROUP BY i.name ORDER BY name""",
+        "bipartite_cooccur": "WITH " + TRANSCRIPTS_CTE + f""",
+turns AS (
+  SELECT conv_id,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool ELSE 'r:' || role END AS entity
+  FROM transcripts
+),
+mem AS (SELECT DISTINCT conv_id, entity FROM turns),
+keep AS (
+  SELECT conv_id FROM mem GROUP BY conv_id HAVING COUNT(*) <= {BIPARTITE_MAX_GROUP}
+),
+m2 AS (SELECT mem.conv_id, mem.entity FROM mem JOIN keep USING (conv_id))
+SELECT a.entity AS a, b.entity AS b, CAST(COUNT(*) AS BIGINT) AS weight
+FROM m2 a JOIN m2 b ON a.conv_id = b.conv_id AND a.entity < b.entity
+GROUP BY a.entity, b.entity ORDER BY a, b""",
         "closeness": _GRAPH_PREFIX
         + f""",
 roots AS (SELECT id AS root FROM ids WHERE id < {HARMONIC_SOURCES}),
@@ -2399,6 +2473,45 @@ r AS (
 )
 SELECT doc_id, text, lang, source, n_chars, CAST(rk AS INT) AS sample_rank
 FROM r WHERE rk <= 25 ORDER BY lang, sample_rank""",
+        # redact: same progressive category order as
+        # functions/text.PII_PATTERNS; RE2 (DuckDB) and Java regex (Spark)
+        # agree on this conservative ASCII syntax, and the md5 fp pins the
+        # redacted bytes.
+        "redact": r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://example.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 tel +49' || CAST(1000000 + doc_id AS VARCHAR) AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(t0, 'https?://[A-Za-z0-9./_%+?=&#:-]+')) AS INT) AS n_url,
+         regexp_replace(t0, 'https?://[A-Za-z0-9./_%+?=&#:-]+', '<URL>', 'g') AS t1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         CAST(length(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(length(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+         regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, n_url, n_email, n_ipv4,
+         CAST(length(regexp_extract_all(t3, '\+\d{7,15}\b')) AS INT) AS n_phone,
+         regexp_replace(t3, '\+\d{7,15}\b', '<PHONE>', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id, n_url, n_email, n_ipv4, n_phone, md5(t4) AS fp
+FROM s4 ORDER BY doc_id""",
         # token_stats: DuckDB's RE2 and Spark's Java regex agree on this
         # ASCII-class pattern (verified row-exact at sf0.01); the 'g' flag
         # makes DuckDB's regexp_replace global like Spark's.

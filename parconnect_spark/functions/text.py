@@ -242,3 +242,41 @@ def tfidf_top_terms(
             (F.col("_skey").cast("double") / 1_000_000).alias("tfidf"),
         )
     )
+
+
+#: Redaction patterns, applied IN ORDER on progressively-redacted text so a
+#: match consumed by an earlier category can't double-count in a later one
+#: (a URL's host never re-matches as an email/IP). Conservative ASCII-only
+#: syntax chosen to mean the same thing to Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded repetition, \b word boundaries.
+PII_PATTERNS = (
+    ("url", r"https?://[A-Za-z0-9./_%+?=&#:-]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", keep_text: bool = True
+) -> DataFrame:
+    """Deterministic PII scrubbing for training-corpus preparation: URLs,
+    emails, IPv4 addresses, and +-prefixed phone numbers are replaced by
+    typed placeholders, with a per-category match count per document.
+
+    Returns the input columns plus ``n_url, n_email, n_ipv4, n_phone`` and
+    (when ``keep_text``) ``redacted``. Pure Catalyst expressions
+    (regexp_count/regexp_replace) — JVM-side, codegen'd, no Python in the
+    pipeline; counts are computed category-by-category on the
+    progressively-redacted text so overlapping categories never
+    double-count, and the identical order is what any re-implementation
+    (the DuckDB oracle replicates it) must follow."""
+    cur = F.col(text_col)
+    out = docs
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    out = out.withColumn("redacted", cur)
+    if not keep_text:
+        out = out.drop(text_col)
+    return out

@@ -174,3 +174,43 @@ def check_bidirectional(edges: DataFrame) -> bool:
     (/root/reference/src/graphGen/common/utils.hpp:68-101)."""
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return edges.exceptAll(rev).limit(1).count() == 0
+
+
+def project_bipartite(
+    pairs: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite membership table:
+    two items that share a group get an undirected edge weighted by the
+    number of groups they share. Returns DataFrame[a, b, weight] with
+    ``a < b`` (one row per unordered pair).
+
+    ``max_group_size`` excludes groups with more members — the scale
+    guard: a group of m members fans out m·(m−1)/2 pair rows, so one
+    viral group can dominate the whole shuffle (the same capped-candidate
+    discipline as the link-prediction wedge cap and the dedup df cap; the
+    cap is part of the declared semantics, not an approximation knob a
+    caller can ignore). None disables it.
+
+    Plan: dedupe memberships, one self-equi-join on the group key
+    (co-partitioned by construction — both sides shuffle on group once),
+    one map-side-combined count aggregate on the pair. No windows, no
+    collect."""
+    mem = pairs.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_v")
+    ).dropDuplicates(["_g", "_v"])
+    if max_group_size is not None:
+        sizes = mem.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+        mem = mem.join(
+            sizes.where(F.col("_n") <= max_group_size).select("_g"), "_g"
+        )
+    a = mem.select("_g", F.col("_v").alias("a"))
+    b = mem.select("_g", F.col("_v").alias("b"))
+    return (
+        a.join(b, "_g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

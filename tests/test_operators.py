@@ -195,3 +195,25 @@ def test_contract_graph_vs_networkx_quotient(spark):
         for r in contract_graph(edges, labels).collect()
     }
     assert got == exp
+
+
+def test_project_bipartite_weights_and_cap(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.graph import project_bipartite
+
+    mem = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g1", "z"),
+         ("g2", "x"), ("g2", "y"), ("g2", "x"),  # duplicate membership dedupes
+         ("g3", "w")],
+        "g string, v string",
+    )
+    got = {(r["a"], r["b"]): r["weight"]
+           for r in project_bipartite(mem, "g", "v").collect()}
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+    capped = {(r["a"], r["b"]): r["weight"]
+              for r in project_bipartite(mem, "g", "v", max_group_size=2).collect()}
+    assert capped == {("x", "y"): 1}  # the 3-member group is excluded
+    # ordering invariant: a < b on every row
+    rows = project_bipartite(mem.orderBy(F.rand(3)), "g", "v").collect()
+    assert all(r["a"] < r["b"] for r in rows)

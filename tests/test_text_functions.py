@@ -124,3 +124,30 @@ def test_tfidf_n_docs_hint_skips_count(spark):
     with_hint = tfidf_top_terms(df, k=1, n_docs=2).collect()
     without = tfidf_top_terms(df, k=1).collect()
     assert sorted(map(tuple, with_hint)) == sorted(map(tuple, without))
+
+
+def test_redact_pii_categories_and_order(spark):
+    from parconnect_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex.org see https://x.io/p?q=1 from 10.0.0.1 call +4915112345678"),
+            (1, "no pii here"),
+            # email-ish inside a URL is consumed by the URL pass first
+            (2, "http://a.b/c@d.com and 999.1.2.3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["redacted"] == "mail <EMAIL> see <URL> from <IP> call <PHONE>"
+    assert (out[0]["n_url"], out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 1, 1, 1)
+    assert out[1]["redacted"] == "no pii here"
+    assert (out[2]["n_url"], out[2]["n_email"], out[2]["n_ipv4"]) == (1, 0, 1)
+
+
+def test_redact_pii_drop_text(spark):
+    from parconnect_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([(0, "x@y.io")], "doc_id long, text string")
+    cols = redact_pii(df, keep_text=False).columns
+    assert "text" not in cols and "redacted" in cols
