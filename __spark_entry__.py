@@ -1251,6 +1251,47 @@ def _q_streaming_degrees(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """STREAMING gap sessionization (streaming/stream.session_stream —
+    applyInPandasWithState keyed by user_id, the canonical custom stateful
+    operator): events snapshot → file stream → per-session emissions →
+    max_by(stats, n_events) read-back. The oracle is the batch `sessions`
+    SQL — the third stream≡batch contract (row derivation, incremental
+    aggregation, and now custom session state)."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.streaming.stream import session_stream, stream_events
+
+    _views(spark, sf_dir, ("events",))
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        spark.table("events").write.parquet(f"{tmp}/events")
+        st = stream_events(spark, f"{tmp}/events")
+        q = (
+            session_stream(st, gap_seconds=SESSION_GAP_SECONDS)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_sessions")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            """SELECT user_id, session_idx, s.n_events, s.first_event,
+                      s.last_event, s.duration_sec,
+                      ROUND(s.sum_value, 4) AS sum_value
+               FROM (
+                 SELECT user_id, session_idx,
+                        max_by(struct(n_events, first_event, last_event,
+                                      duration_sec, sum_value), n_events) AS s
+                 FROM stream_sessions GROUP BY user_id, session_idx)
+               ORDER BY user_id, session_idx"""
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -1368,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": _q_redact,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
+        "streaming_sessions": _q_streaming_sessions,
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
@@ -2638,6 +2680,29 @@ FROM events GROUP BY event_type ORDER BY event_type""",
         # INTEGER-divided — double-seconds epochs round differently across
         # engines and a double quotient can cross a second boundary.
         "sessions": f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN prev_us IS NULL
+                    OR us - prev_us >= {SESSION_GAP_SECONDS * 1_000_000}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+       (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+        # streaming_sessions: stream==batch — the oracle IS the batch
+        # sessionization SQL (same gap, same columns).
+        "streaming_sessions": f"""
 WITH e AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -155,3 +155,137 @@ def entity_turn_counts_stream(transcripts: DataFrame) -> DataFrame:
         .groupBy("entity")
         .agg(F.count(F.lit(1)).alias("turns"))
     )
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_idx", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("first_event", T.LongType(), False),
+        T.StructField("last_event", T.LongType(), False),
+        T.StructField("duration_sec", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("session_idx", T.LongType(), True),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("first_event", T.LongType(), True),
+        T.StructField("last_event", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.readStream.format(fmt).schema(EVENT_SCHEMA).load(path)
+
+
+def session_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """STREAMING gap sessionization — the canonical custom stateful
+    operator (applyInPandasWithState keyed by user_id): state carries the
+    open session's running aggregates; each micro-batch extends or closes
+    it under the same ``delta >= gap`` rule as the batch operator
+    (operators/events.sessionize), on the same exact integer-microsecond
+    arithmetic.
+
+    Emission contract: every session TOUCHED by a micro-batch is emitted
+    with its stats as of that batch's end. A session touched again later
+    re-emits with strictly larger ``n_events``, so the final per-session
+    row — the one that equals the batch ``session_rollup`` exactly — is
+    ``max_by(stats, n_events)`` per (user_id, session_idx) at read-back
+    (every stat is frozen once the session stops being touched; n_events
+    strictly increases per touch, so the argmax is unique). Assumes
+    per-user in-order arrival ACROSS micro-batches (within a batch the
+    kernel sorts), the same invariant as sequential_edge_stream.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ev = rows["event_id"].to_numpy()
+        val = rows["value"].to_numpy(dtype="float64")
+        if state.exists:
+            (p_idx, p_start, p_last, p_n, p_first, p_last_ev, p_sum) = state.get
+        else:
+            p_idx = p_start = p_last = p_n = p_first = p_last_ev = None
+            p_sum = None
+        prev = np.empty(len(us), dtype="int64")
+        prev[1:] = us[:-1]
+        if p_last is None:
+            new = np.empty(len(us), dtype=bool)
+            new[0] = True
+            new[1:] = (us[1:] - prev[1:]) >= gap_us
+        else:
+            prev[0] = p_last
+            new = (us - prev) >= gap_us
+        base = -1 if p_idx is None else int(p_idx)
+        sidx = base + np.cumsum(new.astype("int64"))
+        out = []
+        for s in np.unique(sidx):
+            m = sidx == s
+            n = int(m.sum())
+            first_ev, last_ev = int(ev[m].min()), int(ev[m].max())
+            s_start, s_last = int(us[m].min()), int(us[m].max())
+            s_sum = float(val[m].sum())
+            if p_idx is not None and s == base and not new[0]:
+                # batch extends the carried-over open session
+                n += int(p_n)
+                first_ev = min(first_ev, int(p_first))
+                last_ev = max(last_ev, int(p_last_ev))
+                s_start = int(p_start)
+                s_sum += float(p_sum)
+            out.append(
+                (
+                    int(key[0]), int(s), n, first_ev, last_ev,
+                    (s_last - s_start) // 1_000_000, s_sum,
+                )
+            )
+        last = out[-1]
+        state.update(
+            (last[1], int(us[sidx == last[1]].min())
+             if not (p_idx is not None and last[1] == base and not new[0])
+             else int(p_start),
+             int(us.max()), last[2], last[3], last[4], last[6])
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_idx", "n_events", "first_event",
+                "last_event", "duration_sec", "sum_value",
+            ],
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -133,3 +133,93 @@ def test_entity_turn_counts_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def _final_sessions(spark, view):
+    """max_by(stats, n_events) per (user, session) — the emission contract's
+    read-back reduction (n_events strictly increases per touch)."""
+    return {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["first_event"], r["last_event"],
+            r["duration_sec"], round(r["sum_value"], 4),
+        )
+        for r in spark.sql(
+            f"""SELECT user_id, session_idx, s.* FROM (
+                  SELECT user_id, session_idx,
+                         max_by(struct(n_events, first_event, last_event,
+                                       duration_sec, sum_value), n_events) AS s
+                  FROM {view} GROUP BY user_id, session_idx)"""
+        ).collect()
+    }
+
+
+def _batch_sessions(spark, events):
+    from parconnect_spark.operators.events import session_rollup
+
+    return {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["first_event"], r["last_event"],
+            r["duration_sec"], r["sum_value"],
+        )
+        for r in session_rollup(events, gap_seconds=600).collect()
+    }
+
+
+def _synth_events(spark, n=400, users=7):
+    import datetime as dt
+
+    rows = []
+    t = dt.datetime(2024, 1, 1)
+    for i in range(n):
+        # deterministic pseudo-random gaps straddling the 600s boundary,
+        # including exactly-600 (the >= contract) and equal timestamps
+        step = [30, 599, 600, 601, 1500, 0][i % 6]
+        t = t + dt.timedelta(seconds=step)
+        rows.append((i, t, i % users, "e", round(0.5 + (i % 13) * 1.25, 2), "{}"))
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_session_stream_equals_batch_single_batch(spark, tmp_path):
+    from parconnect_spark.streaming.stream import session_stream, stream_events
+
+    ev = _synth_events(spark)
+    ev.write.parquet(str(tmp_path / "events"))
+    st = stream_events(spark, str(tmp_path / "events"))
+    _run_stream(session_stream(st, gap_seconds=600), "sess_single")
+    assert _final_sessions(spark, "sess_single") == _batch_sessions(
+        spark, spark.read.parquet(str(tmp_path / "events"))
+    )
+
+
+def test_session_stream_equals_batch_multi_batch(spark, tmp_path):
+    """Per-user in-order arrival across micro-batches: time-ordered file
+    chunks + maxFilesPerTrigger=1 force sessions to straddle state
+    boundaries (continuation merge, re-emission, max_by read-back)."""
+    import os
+    import time
+
+    from parconnect_spark.streaming.stream import session_stream, stream_events
+
+    ev = _synth_events(spark).orderBy("ts", "event_id").collect()
+    src = tmp_path / "events_chunks"
+    os.makedirs(src)
+    chunks = [ev[:150], ev[150:260], ev[260:]]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"chunk{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes: file source replays oldest first
+    st = (
+        spark.readStream.format("parquet")
+        .schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(str(src / "chunk*"))
+    )
+    _run_stream(session_stream(st, gap_seconds=600), "sess_multi")
+    batch = spark.createDataFrame(ev, schema)
+    assert _final_sessions(spark, "sess_multi") == _batch_sessions(spark, batch)
