@@ -56,6 +56,11 @@ SESSION_GAP_SECONDS = 21600
 # viral-group fan-out guard for the bipartite projection contract (a group
 # of m members yields m(m-1)/2 pairs); inert at sf0.01, load-bearing at scale
 BIPARTITE_MAX_GROUP = 64
+# count-min / HLL contract parameters (functions/sketch.py)
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+HLL_P = 10
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -1150,6 +1155,59 @@ def _q_redact(spark, sf_dir):
     )
 
 
+def _q_sketch_counts(spark, sf_dir):
+    """Count–min sketch (functions/sketch.py) over the corpus token stream,
+    point-estimated at the exact top-CMS_TOPK terms. The md5-fold hash
+    makes the whole counter grid engine-replicable, so the oracle rebuilds
+    the SAME sketch in SQL and every (exact, est) pair must match — the
+    CMS overcount is deterministic, not a tolerance band."""
+    from parconnect_spark.functions.sketch import cms_estimate, count_min_sketch
+
+    _views(spark, sf_dir, ("documents",))
+    toks = spark.table("documents").select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+    sk = count_min_sketch(toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "term")
+        .limit(CMS_TOPK)
+    )
+    est = cms_estimate(
+        sk, top.select("term"), "term", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return top.join(est, "term").select("term", "exact", "est").orderBy("term")
+
+
+def _q_sketch_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate next to the exact count: one
+    row (m, nonzero_regs, raw_sum, estimate, exact). raw_sum is the exact
+    integer register sum (Σ 2^(RMAX−rho)) — the register state itself is
+    part of the contract, not just the rounded estimate."""
+    from parconnect_spark.functions.sketch import hll_estimate, hll_registers
+
+    _views(spark, sf_dir, ("documents",))
+    toks = spark.table("documents").select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+    est = hll_estimate(hll_registers(toks, "term", p=HLL_P), p=HLL_P)
+    exact = toks.select(
+        F.countDistinct("term").cast("long").alias("exact")
+    )
+    return est.crossJoin(exact).select(
+        "m",
+        "nonzero_regs",
+        "raw_sum",
+        F.round("estimate", 4).alias("estimate"),
+        "exact",
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Repetition-based quality features (functions/text.repetition_features):
     the Gopher-family duplicate-word / most-common-n-gram fractions used to
@@ -1407,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
+        "sketch_counts": _q_sketch_counts,
+        "sketch_distinct": _q_sketch_distinct,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
@@ -1866,6 +1926,89 @@ def _md5int_duck(expr: str, offset: int = 1, chars: int = 8) -> str:
         for i in range(chars)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _cms_oracle(
+    depth: int = None, width: int = None, topk: int = None
+) -> str:
+    """Rebuilds the count–min grid in SQL (same md5-fold slot hash as
+    functions/sketch._cms_slot) and point-estimates the same exact top-k
+    terms — every (exact, est) pair must match the engine bit-for-bit."""
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+    topk = CMS_TOPK if topk is None else topk
+    fold_g = _md5int_duck("'cms' || CAST(r.r AS VARCHAR) || ':' || term")
+    fold_q = _md5int_duck("'cms' || CAST(r.r AS VARCHAR) || ':' || t.term")
+    rs = ", ".join(str(i) for i in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+rows_ AS (SELECT unnest([{rs}]) AS r),
+grid AS (
+  SELECT r.r AS row, {fold_g} % {width} AS slot, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks, rows_ r GROUP BY 1, 2
+),
+top AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact FROM toks GROUP BY term
+  ORDER BY exact DESC, term LIMIT {topk}
+),
+qslots AS (
+  SELECT t.term, t.exact, r.r AS row, {fold_q} % {width} AS slot
+  FROM top t, rows_ r
+),
+est AS (
+  SELECT q.term, q.exact, MIN(COALESCE(g.cnt, 0)) AS est
+  FROM qslots q LEFT JOIN grid g ON g.row = q.row AND g.slot = q.slot
+  GROUP BY q.term, q.exact
+)
+SELECT term, exact, est FROM est ORDER BY term"""
+
+
+def _hll_oracle(p: int = None) -> str:
+    """Rebuilds the HLL register table in SQL (15-hex-digit md5 fold,
+    reg = h mod m, rho = leading zeros of h div m within 60−p bits) and
+    applies the identical estimator: raw_sum is an EXACT bigint so the
+    estimate is one deterministic double expression; the small-range
+    linear-counting branch condition evaluates on the same double."""
+    p = HLL_P if p is None else p
+    m = 1 << p
+    wbits = 60 - p
+    rmax = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    k_lit = repr(alpha * m * m * float(1 << rmax))
+    fold15 = _md5int_duck("term", 1, 15)
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dt AS (SELECT DISTINCT term FROM toks),
+hv AS (SELECT {fold15} AS h FROM dt),
+rv AS (SELECT h % {m} AS reg, h // {m} AS w FROM hv),
+rr AS (
+  SELECT reg,
+         MAX(CASE WHEN w = 0 THEN {rmax}
+                  ELSE {wbits} - length(bin(w)) + 1 END) AS rho
+  FROM rv GROUP BY reg
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nz,
+         CAST(SUM(CAST(POWER(2.0, {rmax} - rho) AS BIGINT)) AS BIGINT) AS s_occ
+  FROM rr
+),
+fin AS (
+  SELECT nz, s_occ + ({m} - nz) * {1 << rmax} AS raw_sum,
+         {k_lit} / (s_occ + ({m} - nz) * {1 << rmax}) AS est_raw
+  FROM agg
+)
+SELECT CAST({m} AS INT) AS m, nz AS nonzero_regs, raw_sum,
+       ROUND(CASE WHEN est_raw <= {2.5 * m} AND ({m} - nz) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - nz))
+                  ELSE est_raw END, 4) AS estimate,
+       (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM toks) AS exact
+FROM fin"""
 
 
 # shared DuckDB shingle CTE (4-gram whitespace shingles, distinct per doc) —
@@ -2554,6 +2697,8 @@ s4 AS (
 )
 SELECT doc_id, n_url, n_email, n_ipv4, n_phone, md5(t4) AS fp
 FROM s4 ORDER BY doc_id""",
+        "sketch_counts": _cms_oracle(),
+        "sketch_distinct": _hll_oracle(),
         # token_stats: DuckDB's RE2 and Spark's Java regex agree on this
         # ASCII-class pattern (verified row-exact at sf0.01); the 'g' flag
         # makes DuckDB's regexp_replace global like Spark's.

@@ -1,4 +1,10 @@
 from parconnect_spark.functions.hashing import wang_hash, wang_unhash, permute_ids
+from parconnect_spark.functions.sketch import (
+    count_min_sketch,
+    cms_estimate,
+    hll_registers,
+    hll_estimate,
+)
 from parconnect_spark.functions.text import (
     quality_features,
     quality_score,

@@ -1,0 +1,169 @@
+"""Deterministic streaming-friendly sketches: count–min and HyperLogLog.
+
+At 100 TB, exact per-key counts and exact distinct counts are full
+shuffles; a sketch is one map-side-combined aggregate whose OUTPUT is a
+few KB, mergeable across partitions/days/streams by construction (counter
+sum / register max are associative+commutative — exactly what Spark's
+partial aggregation needs; the same property makes the sketches unionable
+across separately-built corpora without touching raw data again).
+
+Unlike library sketches (whose seeds/mixing are implementation-defined),
+every hash here is the engine's md5-fold (``functions/dedup.md5int`` —
+positional hex fold of md5 digits), so a second engine can replicate the
+sketch BIT-FOR-BIT: the DuckDB driver oracle rebuilds the same counters /
+registers and must agree on every integer. Determinism is what turns a
+probabilistic structure into a testable contract.
+
+Count–min: d×w integer counter grid; point estimate = min over rows of
+the addressed counter — an upper bound on the true count (never under),
+within εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+HyperLogLog: 2^p registers, register = max over items of 1 + the number
+of leading zero bits of the non-register hash bits; estimate =
+α_m·m²/Σ 2^(−reg) with the standard small-range linear-counting
+correction. The register sum is computed in EXACT integer arithmetic
+(Σ 2^(RMAX−reg) as a BIGINT) — a double Σ 2^(−reg) needs more mantissa
+than a double has at m=1024 and its value would depend on summation
+order, i.e. on partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.functions.dedup import md5int
+
+#: md5 hex digits folded into the hash integer: 15 digits = 60 bits,
+#: the widest fold that stays inside signed-64 (16^15 < 2^63).
+HASH_HEX_CHARS = 15
+HASH_BITS = 4 * HASH_HEX_CHARS
+
+
+def _cms_slot(col: F.Column, row: int, width: int) -> F.Column:
+    return F.pmod(md5int(F.concat(F.lit(f"cms{row}:"), col)), F.lit(width))
+
+
+def count_min_sketch(
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the d×w counter grid: DataFrame[row: int, slot: long,
+    cnt: long] (absent (row, slot) ⇒ 0). One explode to d rows per item +
+    one map-side-combined sum — shuffle volume is bounded by d·w rows per
+    map partition regardless of input size."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_slot(F.col(key_col), i, width).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rs"),
+        w.alias("w"),
+    )
+    return rows.groupBy("rs.row", "rs.slot").agg(F.sum("w").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each query key: est = min over rows of the addressed
+    counter (0 when the slot is absent). The sketch side is d·w rows at
+    most — broadcast it; the query side never shuffles."""
+    q = queries.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_slot(F.col(key_col), i, width).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rs"),
+    ).select(key_col, "rs.row", "rs.slot")
+    joined = q.join(F.broadcast(sketch), ["row", "slot"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
+def hll_registers(items: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+    """DataFrame[reg: long, rho: int] — the 2^p occupied HLL registers and
+    their max rank. reg = h mod m; rho = 1 + leading zeros of the
+    remaining ``HASH_BITS − p`` hash bits. One map-side-combined max
+    aggregate over ≤ m groups."""
+    m = 1 << p
+    h = md5int(F.col(key_col), 1, HASH_HEX_CHARS)
+    wbits = HASH_BITS - p
+    # bit_length(w) via base-2 string length (conv/bin agree across engines
+    # for w > 0); w == 0 means all wbits bits are zero -> rho = wbits + 1.
+    # w = h div m must be INTEGER division: h is up to 16^15-1 ~ 1.15e18,
+    # beyond double's 2^53 — a float quotient truncates wrong.
+    bitlen = F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    return (
+        items.select(F.pmod(h, F.lit(m)).alias("reg"), h.alias("_h"))
+        .withColumn("w", F.expr(f"_h div {m}"))
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+                F.lit(wbits) - bitlen + 1
+            ),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """One-row DataFrame[m, nonzero_regs, raw_sum, estimate] from the
+    occupied-register table.
+
+    raw_sum = Σ 2^(RMAX − rho) over ALL m registers (absent ⇒ rho 0) — an
+    EXACT bigint, so the estimate is one deterministic double expression:
+    α_m·m²·2^RMAX / raw_sum, with the standard linear-counting correction
+    (m·ln(m/V) when est ≤ 2.5·m and V empty registers remain)."""
+    m = 1 << p
+    rmax = HASH_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("nonzero_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(rmax) - F.col("rho")).cast("long")).alias(
+            "_s_occ"
+        ),
+    )
+    # absent registers contribute 2^RMAX each (rho = 0)
+    raw_sum = F.col("_s_occ") + (F.lit(m) - F.col("nonzero_regs")) * F.lit(
+        1 << rmax
+    )
+    est_raw = F.lit(alpha * m * m * float(1 << rmax)) / F.col("raw_sum")
+    zeros = F.lit(m) - F.col("nonzero_regs")
+    corrected = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    return (
+        agg.withColumn("raw_sum", raw_sum.cast("long"))
+        .select(
+            F.lit(m).alias("m"),
+            F.col("nonzero_regs").cast("long").alias("nonzero_regs"),
+            "raw_sum",
+            corrected.alias("estimate"),
+        )
+    )
