@@ -57,6 +57,8 @@ SESSION_GAP_SECONDS = 21600
 # of m members yields m(m-1)/2 pairs); inert at sf0.01, load-bearing at scale
 BIPARTITE_MAX_GROUP = 64
 # count-min / HLL contract parameters (functions/sketch.py)
+TRIM_LO = 0.05
+TRIM_HI = 0.95
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_TOPK = 20
@@ -1155,6 +1157,27 @@ def _q_redact(spark, sf_dir):
     )
 
 
+def _q_quality_trim(spark, sf_dir):
+    """Percentile-band corpus trim by exact ORDER STATISTIC
+    (functions/sampling.quantile_trim): drop the shortest 5% and longest
+    5% of documents by whitespace-token count under the total order
+    (score, doc_id). Rank membership is integer-exact — no interpolated
+    threshold double whose ulp could flip a boundary row — and the global
+    rank is the two-phase exscan, never a single-partition window."""
+    from parconnect_spark.functions.sampling import quantile_trim
+    from parconnect_spark.functions.text import token_count
+
+    _views(spark, sf_dir, ("documents",))
+    scored = spark.table("documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return (
+        quantile_trim(scored, "score", lo=TRIM_LO, hi=TRIM_HI)
+        .select("doc_id", "score", "rank")
+        .orderBy("rank")
+    )
+
+
 def _q_sketch_counts(spark, sf_dir):
     """Count–min sketch (functions/sketch.py) over the corpus token stream,
     point-estimated at the exact top-CMS_TOPK terms. The md5-fold hash
@@ -1465,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
+        "quality_trim": _q_quality_trim,
         "sketch_counts": _q_sketch_counts,
         "sketch_distinct": _q_sketch_distinct,
         "streaming_edges": _q_streaming_edges,
@@ -2697,6 +2721,25 @@ s4 AS (
 )
 SELECT doc_id, n_url, n_email, n_ipv4, n_phone, md5(t4) AS fp
 FROM s4 ORDER BY doc_id""",
+        # quality_trim: band membership by integer rank; the FLOOR/CEIL
+        # boundary doubles are the same IEEE expression on both engines
+        # (never pre-rounded driver-side).
+        "quality_trim": f"""
+WITH sc AS (
+  SELECT doc_id,
+         CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS score
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score, doc_id) - 1 AS rank
+  FROM sc
+),
+n AS (SELECT COUNT(*) AS n FROM sc)
+SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM rk, n
+WHERE rank >= FLOOR({TRIM_LO} * n.n) AND rank < CEIL({TRIM_HI} * n.n)
+ORDER BY rank""",
         "sketch_counts": _cms_oracle(),
         "sketch_distinct": _hll_oracle(),
         # token_stats: DuckDB's RE2 and Spark's Java regex agree on this

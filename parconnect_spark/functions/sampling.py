@@ -138,3 +138,76 @@ def cluster_split(
         .otherwise(F.lit("train"))
         .alias("side"),
     )
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn"
+) -> DataFrame:
+    """Exact 0-based global row number under a total order — WITHOUT a
+    single-partition window (the thing that serializes at 10^12 rows).
+
+    Two-phase distributed rank (the reduceVertexIds exscan discipline,
+    operators/relabel.py): range-partition on the order columns, rank
+    within each partition in parallel, add the broadcast exclusive prefix
+    sum of partition sizes. ``order_cols`` must be a total order (append a
+    unique id column to break ties) or the result is nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    parted = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    in_part = parted.withColumn(
+        out_col,
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*order_cols)
+        )
+        - 1,
+    )
+    sizes = in_part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    return (
+        in_part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col(out_col) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
+def quantile_trim(
+    df: DataFrame,
+    score_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the rows whose exact global rank under (score, id) lies in the
+    [lo, hi) percentile band: rank ∈ [floor(lo·n), ceil(hi·n)) — the
+    corpus-quality trim (drop the worst and best tails by ORDER STATISTIC,
+    not by an interpolated threshold value, so membership is integer-exact
+    and engine-independent).
+
+    The band boundaries are computed as the SAME double expression any
+    re-implementation would write (floor(lo·n) on IEEE doubles) — never
+    pre-rounded driver-side — so two engines agree bit-for-bit. Adds the
+    ``rank`` column. Distributed cost: one range shuffle + one broadcast
+    (the rank), one scalar count join."""
+    ranked = global_row_number(df, [score_col, id_col], out_col="rank")
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rank") >= F.floor(F.lit(lo) * F.col("_n")))
+            & (F.col("rank") < F.ceil(F.lit(hi) * F.col("_n")))
+        )
+        .drop("_n")
+    )

@@ -130,3 +130,52 @@ def test_contamination_df_cap_drops_boilerplate(spark, docs):
     # sharing doc-specific body/boundary shingles remain: the planted ones
     assert got == expected
     assert all(r["overlap_frac"] == 1.0 for r in out)
+
+
+def test_global_row_number_total_order(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.sampling import global_row_number
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7919 % 100).alias("score")
+    )
+    rows = sorted(
+        (r["rn"], r["score"], r["doc_id"])
+        for r in global_row_number(df, ["score", "doc_id"]).collect()
+    )
+    assert [r[0] for r in rows] == list(range(500))
+    assert rows == sorted(rows, key=lambda x: (x[1], x[2]))
+    # partition invariance
+    rows2 = sorted(
+        (r["rn"], r["score"], r["doc_id"])
+        for r in global_row_number(
+            df.repartition(11), ["score", "doc_id"]
+        ).collect()
+    )
+    assert rows == rows2
+
+
+def test_quantile_trim_band(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.sampling import quantile_trim
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7919 % 1000).alias("score")
+    )
+    t = quantile_trim(df, "score", 0.05, 0.95)
+    ranks = sorted(r["rank"] for r in t.collect())
+    assert len(ranks) == 900 and ranks[0] == 50 and ranks[-1] == 949
+
+
+def test_quantile_trim_empty_and_degenerate(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.sampling import quantile_trim
+
+    empty = spark.createDataFrame([], "doc_id long, score long")
+    assert quantile_trim(empty, "score").count() == 0
+    one = spark.createDataFrame([(1, 5)], "doc_id long, score long")
+    # floor(0.05*1)=0, ceil(0.95*1)=1 -> the single row stays
+    assert quantile_trim(one, "score").count() == 1
