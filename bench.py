@@ -46,8 +46,10 @@ HEADLINE = [
     "labelprop_min",
     "triangle_count",
     "vertex_features",
+    "coreness",
     "dedup_ngram",
     "similarity_topk",
+    "sessions",
     "events_rollup",
 ]
 
