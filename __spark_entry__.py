@@ -40,6 +40,10 @@ KCORE_ORACLE_ROUNDS = 16
 # entity graph converges in 2 rounds (measured; max coreness 14); 8 is
 # asserted-ample headroom.
 CORENESS_ORACLE_ROUNDS = 8
+# fixed unroll for the Brandes betweenness oracle: exact when >= the true
+# BFS depth from the source sample (measured 2 at sf0.01; empty tail
+# levels are no-op CTEs)
+BETWEENNESS_ORACLE_LEVELS = 6
 # k for the k-truss contract query: at sf0.01 the co-occurrence graph is
 # near-clique-dense (every edge has support >= 10), so k=14 is the first
 # value that both peels (738 edges die in round 1) and keeps a non-empty
@@ -627,6 +631,23 @@ def _q_closeness(spark, sf_dir):
             "total_dist",
             F.round("closeness", 6).alias("closeness"),
         )
+        .orderBy("name")
+    )
+
+
+def _q_betweenness(spark, sf_dir):
+    """Source-sampled Brandes betweenness (plans/betweenness.py): batched
+    forward sigma pass + backward dependency accumulation over composite
+    (root, v) keys — the MS-BFS amortization shape. Oracle unrolls both
+    passes level-by-level (fixed depth BETWEENNESS_ORACLE_LEVELS, a no-op
+    past the true BFS depth of 2 at sf0.01)."""
+    from parconnect_spark.plans.betweenness import betweenness_centrality
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    bc = betweenness_centrality(edges, sources=list(range(HARMONIC_SOURCES)))
+    return (
+        bc.join(id_map, bc["v"] == id_map["id"])
+        .select("name", F.round("bc", 6).alias("bc"))
         .orderBy("name")
     )
 
@@ -1450,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs_distances,
         "harmonic_centrality": _q_harmonic_centrality,
         "closeness": _q_closeness,
+        "betweenness": _q_betweenness,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
@@ -1728,6 +1750,67 @@ FROM (
   JOIN s{rounds} b ON e.dst = b.v
   GROUP BY e.src
 ) d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _betweenness_oracle(levels: int = None, n_sources: int = None) -> str:
+    """Unrolled Brandes: forward level CTEs carry σ (SUM of predecessor σ
+    behind a NOT EXISTS visited guard — exactly the engine's anti join),
+    backward level CTEs carry δ = Σ σ(v)/σ(w)·(1+δ(w)) through the edge
+    table. Fixed ``levels`` unroll is exact when ≥ the true BFS depth
+    (empty tail levels contribute empty CTEs). Undirected halving and the
+    v ≠ root exclusion applied in the final aggregate, like the engine."""
+    levels = BETWEENNESS_ORACLE_LEVELS if levels is None else levels
+    n_sources = HARMONIC_SOURCES if n_sources is None else n_sources
+    sql = _GRAPH_PREFIX + f""",
+roots AS (SELECT id AS root FROM ids WHERE id < {n_sources}),
+f0 AS MATERIALIZED (
+  SELECT root, root AS v, CAST(1 AS BIGINT) AS sigma FROM roots
+),
+vis0 AS MATERIALIZED (SELECT root, v FROM f0)"""
+    for l in range(1, levels + 1):
+        sql += f""",
+f{l} AS MATERIALIZED (
+  SELECT p.root, e.dst AS v, SUM(p.sigma) AS sigma
+  FROM f{l - 1} p JOIN edges e ON e.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM vis{l - 1} x WHERE x.root = p.root AND x.v = e.dst
+  )
+  GROUP BY p.root, e.dst
+),
+vis{l} AS MATERIALIZED (
+  SELECT * FROM vis{l - 1} UNION ALL SELECT root, v FROM f{l}
+)"""
+    sql += f""",
+d{levels} AS MATERIALIZED (
+  SELECT root, v, CAST(0.0 AS DOUBLE) AS delta FROM f{levels}
+)"""
+    for l in range(levels - 1, -1, -1):
+        sql += f""",
+d{l} AS MATERIALIZED (
+  SELECT f.root, f.v,
+         COALESCE(SUM(CAST(f.sigma AS DOUBLE) / z.sigma_w * (1.0 + z.delta)),
+                  0.0) AS delta
+  FROM f{l} f
+  LEFT JOIN (
+    SELECT e.src AS pv, n.root AS zroot, n.sigma AS sigma_w, dd.delta
+    FROM edges e
+    JOIN f{l + 1} n ON n.v = e.dst
+    JOIN d{l + 1} dd ON dd.root = n.root AND dd.v = n.v
+  ) z ON z.pv = f.v AND z.zroot = f.root
+  GROUP BY f.root, f.v
+)"""
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM d{l}" for l in range(levels + 1)
+    )
+    sql += f""",
+alld AS ({unions})
+SELECT i.name AS name, ROUND(SUM(delta) / 2.0, 6) AS bc
+FROM alld a JOIN ids i ON i.id = a.v
+WHERE a.v <> a.root
+GROUP BY i.name
+HAVING SUM(delta) / 2.0 > 0
+ORDER BY name"""
     return sql
 
 
@@ -2515,6 +2598,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "link_prediction": _linkpred_oracle(),
         "kcore": _kcore_oracle(),
         "coreness": _coreness_oracle(),
+        "betweenness": _betweenness_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),
