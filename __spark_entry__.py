@@ -67,6 +67,7 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_TOPK = 20
 HLL_P = 10
+QUANT_VECS = 50
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -1199,6 +1200,23 @@ def _q_quality_trim(spark, sf_dir):
     )
 
 
+def _q_quantize(spark, sf_dir):
+    """Int8 embedding quantization (functions/similarity.quantize_int8),
+    exploded to (vec_id, dim, q) scalars plus the per-vector scale — the
+    rounding rule is floor(x·127/s + 0.5) on doubles, an expression both
+    engines evaluate identically (no library rounding mode involved)."""
+    from parconnect_spark.functions.similarity import quantize_int8
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings").where(F.col("vec_id") < QUANT_VECS)
+    q = quantize_int8(emb)
+    return (
+        q.select("vec_id", "scale", F.posexplode("qvec").alias("dim", "q"))
+        .select("vec_id", F.col("dim").cast("int").alias("dim"), "q", "scale")
+        .orderBy("vec_id", "dim")
+    )
+
+
 def _q_sketch_counts(spark, sf_dir):
     """Count–min sketch (functions/sketch.py) over the corpus token stream,
     point-estimated at the exact top-CMS_TOPK terms. The md5-fold hash
@@ -1511,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
         "quality_trim": _q_quality_trim,
+        "quantize": _q_quantize,
         "sketch_counts": _q_sketch_counts,
         "sketch_distinct": _q_sketch_distinct,
         "streaming_edges": _q_streaming_edges,
@@ -2824,6 +2843,23 @@ SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
 FROM rk, n
 WHERE rank >= FLOOR({TRIM_LO} * n.n) AND rank < CEIL({TRIM_HI} * n.n)
 ORDER BY rank""",
+        # quantize: floor(x*127/s + 0.5) written as the same IEEE double
+        # expression on both engines; scale is the float32 max|x| exactly
+        # widened to double.
+        "quantize": f"""
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings WHERE vec_id < {QUANT_VECS}
+),
+sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY vec_id)
+SELECT e.vec_id, CAST(e.dim AS INT) AS dim,
+       CAST(CASE WHEN s.scale = 0 THEN 0
+                 ELSE FLOOR(e.x * 127.0 / s.scale + 0.5) END AS INT) AS q,
+       s.scale
+FROM ex e JOIN sc s ON s.vec_id = e.vec_id
+ORDER BY e.vec_id, e.dim""",
         "sketch_counts": _cms_oracle(),
         "sketch_distinct": _hll_oracle(),
         # token_stats: DuckDB's RE2 and Spark's Java regex agree on this

@@ -561,3 +561,37 @@ def neighbor_mean_embedding(
             lambda s: s["mean_val"],
         ).alias("agg_embedding"),
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    reduction step of a vector-index build: scale = max|x_i|, q_i =
+    floor(x_i·127/scale + 0.5) ∈ [−127, 127] (round-half-up as an explicit
+    floor so the rounding rule is an IEEE expression any engine evaluates
+    identically, not a library's banker's rounding). Zero vectors quantize
+    to zeros. Returns (id_col, scale: double, qvec: array<int>). Pure
+    Catalyst ``transform``/``array_max`` — per-row work, no shuffle."""
+    x = F.col(vec_col)
+    scale = F.array_max(
+        F.transform(x, lambda v: F.abs(v.cast("double")))
+    ).alias("scale")
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(x, lambda v: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            x,
+            lambda v: F.floor(
+                v.cast("double") * F.lit(127.0) / F.col("scale") + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return (
+        embeddings.select(F.col(id_col), F.col(vec_col), scale)
+        .withColumn("qvec", q)
+        .drop(vec_col)
+    )

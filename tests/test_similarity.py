@@ -341,3 +341,38 @@ def test_neighbor_mean_embedding_assemble_roundtrip(spark):
         assert abs(vec[r["dim"]] - r["mean_val"]) < 1e-12
         assert n == r["n_neighbors"]
     assert all(len(v[0]) == 8 for v in by_q.values())
+
+
+def test_quantize_int8_hand_values(spark):
+    from parconnect_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0]), (2, [-2.0, 2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: (r["scale"], r["qvec"]) for r in quantize_int8(df).collect()}
+    # -0.5*127=-63.5 -> floor(-63.0)=-63 (round-half-up); 0.25*127=31.75 -> 32
+    assert out[0] == (1.0, [127, -63, 32])
+    assert out[1] == (0.0, [0, 0, 0])  # zero vector: no div-by-zero
+    # 1.0*127/2=63.5 -> 64; extremes saturate exactly at +/-127
+    assert out[2] == (2.0, [-127, 127, 64])
+
+
+def test_quantize_int8_bounds_and_dequant_error(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(i, [((i * 37 + d * 11) % 200 - 100) / 100.0 for d in range(16)])
+         for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_int8(emb)
+    rows = q.join(emb, "vec_id").collect()
+    for r in rows:
+        s = r["scale"]
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        for x, v in zip(r["embedding"], r["qvec"]):
+            # dequantization error bound: half a quantization step
+            assert abs(x - v * s / 127.0) <= s / 127.0 / 2 + 1e-12
