@@ -44,6 +44,9 @@ CORENESS_ORACLE_ROUNDS = 8
 # BFS depth from the source sample (measured 2 at sf0.01; empty tail
 # levels are no-op CTEs)
 BETWEENNESS_ORACLE_LEVELS = 6
+# fixed unroll for the Bellman-Ford oracle (monotone min-plus relaxation,
+# no-op past fixpoint; sf0.01 converges in 3 rounds)
+SSSP_ORACLE_ROUNDS = 8
 # k for the k-truss contract query: at sf0.01 the co-occurrence graph is
 # near-clique-dense (every edge has support >= 10), so k=14 is the first
 # value that both peels (738 edges die in round 1) and keeps a non-empty
@@ -632,6 +635,27 @@ def _q_closeness(spark, sf_dir):
             "total_dist",
             F.round("closeness", 6).alias("closeness"),
         )
+        .orderBy("name")
+    )
+
+
+def _q_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (plans/sssp.py, synchronous
+    Bellman–Ford) from vertex 0 over the DIRECTED co-occurrence-weighted
+    graph — exact int64 min-plus distances, no float accumulation. The
+    oracle unrolls the same relaxation SSSP_ORACLE_ROUNDS times (no-op
+    past the fixpoint; sf0.01 converges in 3)."""
+    from parconnect_spark.operators.derive import derive_weighted_directed_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.sssp import sssp
+
+    t = _transcripts(spark, sf_dir)
+    wd = derive_weighted_directed_edges(t)
+    edges, id_map = relabel_edges(wd, "a", "b", keep_cols=("weight",))
+    d, _rounds = sssp(edges, 0)
+    return (
+        d.join(id_map, d["v"] == id_map["id"])
+        .select("name", "dist")
         .orderBy("name")
     )
 
@@ -1490,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic_centrality,
         "closeness": _q_closeness,
         "betweenness": _q_betweenness,
+        "sssp": _q_sssp,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
@@ -1769,6 +1794,35 @@ FROM (
   JOIN s{rounds} b ON e.dst = b.v
   GROUP BY e.src
 ) d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _sssp_oracle(rounds: int = None) -> str:
+    """Unrolled synchronous Bellman-Ford over the directed multiplicity
+    graph (the _wpr_oracle wd CTE, integer weights): each round min-merges
+    the previous table with one relaxation expansion. Monotone, no-op past
+    the fixpoint — a fixed unroll >= the true round count is exact."""
+    rounds = SSSP_ORACLE_ROUNDS if rounds is None else rounds
+    sql = _GRAPH_PREFIX + """,
+wd AS MATERIALIZED (
+  SELECT s.id AS src, d.id AS dst, CAST(COUNT(*) AS BIGINT) AS wt
+  FROM pairs p JOIN ids s ON p.a = s.name JOIN ids d ON p.b = d.name
+  WHERE p.a <> p.b GROUP BY s.id, d.id
+),
+d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS v, p.dist + e.wt AS dist
+    FROM d{i - 1} p JOIN wd e ON e.src = p.v
+  ) u GROUP BY v
+)"""
+    sql += f"""
+SELECT i.name AS name, d.dist AS dist
+FROM d{rounds} d JOIN ids i ON i.id = d.v ORDER BY name"""
     return sql
 
 
@@ -2618,6 +2672,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "kcore": _kcore_oracle(),
         "coreness": _coreness_oracle(),
         "betweenness": _betweenness_oracle(),
+        "sssp": _sssp_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),
