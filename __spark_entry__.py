@@ -71,6 +71,7 @@ CMS_WIDTH = 1024
 CMS_TOPK = 20
 HLL_P = 10
 QUANT_VECS = 50
+SAMPLE_K = 25
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -1203,6 +1204,23 @@ def _q_redact(spark, sf_dir):
     )
 
 
+def _q_sample_k(spark, sf_dir):
+    """Exactly-k reproducible corpus sample
+    (functions/sampling.deterministic_sample_k): smallest-k md5(id:salt)
+    priorities — physically a TakeOrderedAndProject top-k (k rows per
+    partition then merge), never a global sort; the reservoir-sampling
+    replacement whose content is a pure function of the data."""
+    from parconnect_spark.functions.sampling import deterministic_sample_k
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return (
+        deterministic_sample_k(docs, SAMPLE_K, salt="r5")
+        .select("doc_id", F.md5("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_quality_trim(spark, sf_dir):
     """Percentile-band corpus trim by exact ORDER STATISTIC
     (functions/sampling.quantile_trim): drop the shortest 5% and longest
@@ -1553,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
+        "sample_k": _q_sample_k,
         "quality_trim": _q_quality_trim,
         "quantize": _q_quantize,
         "sketch_counts": _q_sketch_counts,
@@ -2879,6 +2898,13 @@ s4 AS (
 )
 SELECT doc_id, n_url, n_email, n_ipv4, n_phone, md5(t4) AS fp
 FROM s4 ORDER BY doc_id""",
+        "sample_k": f"""
+SELECT doc_id, md5(text) AS fp FROM (
+  SELECT doc_id, text
+  FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r5'), doc_id
+  LIMIT {SAMPLE_K}
+) ORDER BY doc_id""",
         # quality_trim: band membership by integer rank; the FLOOR/CEIL
         # boundary doubles are the same IEEE expression on both engines
         # (never pre-rounded driver-side).

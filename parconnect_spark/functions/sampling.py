@@ -211,3 +211,28 @@ def quantile_trim(
         )
         .drop("_n")
     )
+
+
+def deterministic_sample_k(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Exactly-k deterministic sample: the k rows with the smallest
+    md5(id:salt) priority — the distributed replacement for reservoir
+    sampling when the sample must be REPRODUCIBLE across runs, engines,
+    partitionings, and retries (a reservoir's content depends on arrival
+    order; a hash-priority top-k depends only on the data). Change
+    ``salt`` to draw an independent sample.
+
+    Physically a top-k, not a sort: Spark's TakeOrderedAndProject keeps k
+    rows per partition and merges — no global shuffle of the corpus.
+    Ties are impossible (md5 over distinct ids is injective in practice;
+    the id itself is the final tiebreak)."""
+    pri = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ).alias("_pri")
+    return (
+        df.select("*", pri)
+        .orderBy("_pri", id_col)
+        .limit(k)
+        .drop("_pri")
+    )

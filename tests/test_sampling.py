@@ -179,3 +179,30 @@ def test_quantile_trim_empty_and_degenerate(spark):
     one = spark.createDataFrame([(1, 5)], "doc_id long, score long")
     # floor(0.05*1)=0, ceil(0.95*1)=1 -> the single row stays
     assert quantile_trim(one, "score").count() == 1
+
+
+def test_deterministic_sample_k(spark):
+    from parconnect_spark.functions.sampling import deterministic_sample_k
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in deterministic_sample_k(df, 25).collect())
+    # reproducible across partitionings; different salt -> different draw
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample_k(df.repartition(7), 25).collect()
+    )
+    c = sorted(
+        r["doc_id"] for r in deterministic_sample_k(df, 25, salt="x").collect()
+    )
+    assert a == b and len(a) == 25 and a != c
+    # physically a top-k, not a global sort
+    plan = (
+        deterministic_sample_k(df, 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # k > n returns everything
+    small = spark.range(3).withColumnRenamed("id", "doc_id")
+    assert deterministic_sample_k(small, 10).count() == 3
