@@ -47,6 +47,10 @@ BETWEENNESS_ORACLE_LEVELS = 6
 # fixed unroll for the Bellman-Ford oracle (monotone min-plus relaxation,
 # no-op past fixpoint; sf0.01 converges in 3 rounds)
 SSSP_ORACLE_ROUNDS = 8
+# densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
+# (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
+DENSEST_EPSILON = 0.1
+DENSEST_ORACLE_ROUNDS = 6
 # k for the k-truss contract query: at sf0.01 the co-occurrence graph is
 # near-clique-dense (every edge has support >= 10), so k=14 is the first
 # value that both peels (738 edges die in round 1) and keeps a non-empty
@@ -635,6 +639,32 @@ def _q_closeness(spark, sf_dir):
             "n_sources",
             "total_dist",
             F.round("closeness", 6).alias("closeness"),
+        )
+        .orderBy("name")
+    )
+
+
+def _q_densest(spark, sf_dir):
+    """Densest subgraph via the Bahmani parallel greedy peel
+    (plans/densest.py): members of the best-density round plus its stats.
+    The peel thresholds are single double expressions over exact integers,
+    so the oracle (a DENSEST_ORACLE_ROUNDS-unrolled replay of the peel +
+    an argmax over per-round densities) reproduces every decision."""
+    from parconnect_spark.plans.densest import densest_subgraph
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    members, st = densest_subgraph(edges, epsilon=DENSEST_EPSILON)
+    return (
+        members.join(id_map, members["v"] == id_map["id"])
+        .select(
+            "name",
+            F.lit(st["round"]).cast("int").alias("round"),
+            F.lit(st["n_vertices"]).cast("long").alias("n_vertices"),
+            F.lit(st["n_edges"]).cast("long").alias("n_edges"),
+            # rounding stays engine-side (Spark HALF_UP == DuckDB ROUND for
+            # positives); Python's round() is banker's and would diverge
+            # exactly at half cases
+            F.round(F.lit(st["density"]), 6).alias("density"),
         )
         .orderBy("name")
     )
@@ -1533,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "betweenness": _q_betweenness,
         "sssp": _q_sssp,
+        "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
@@ -1813,6 +1844,55 @@ FROM (
   JOIN s{rounds} b ON e.dst = b.v
   GROUP BY e.src
 ) d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _densest_oracle(rounds: int = None, epsilon: float = None) -> str:
+    """Unrolled Bahmani peel: per round, degrees -> scalar stats -> the
+    (1+eps)*avg-degree survivor filter -> both-endpoint semi join. The
+    per-round threshold is the same single double expression the engine
+    computes; the final argmax (density desc, round asc) picks the same
+    round. Empty tail rounds yield empty CTEs and no stats rows."""
+    rounds = DENSEST_ORACLE_ROUNDS if rounds is None else rounds
+    factor = repr(1.0 + (DENSEST_EPSILON if epsilon is None else epsilon))
+    sql = _GRAPH_PREFIX + """,
+g0 AS MATERIALIZED (SELECT src, dst FROM edges)"""
+    for i in range(rounds):
+        sql += f""",
+deg{i} AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM g{i} GROUP BY src
+),
+st{i} AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+         COALESCE(CAST(SUM(deg) AS BIGINT), 0) AS rows_ FROM deg{i}
+),
+surv{i} AS MATERIALIZED (
+  SELECT d.v FROM deg{i} d, st{i} s
+  WHERE d.deg > {factor} * (CAST(s.rows_ AS DOUBLE) / s.nv)
+),
+g{i + 1} AS MATERIALIZED (
+  SELECT g.src, g.dst FROM g{i} g
+  JOIN surv{i} a ON a.v = g.src JOIN surv{i} b ON b.v = g.dst
+)"""
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS r, nv, rows_ FROM st{i} WHERE nv > 0"
+        for i in range(rounds)
+    )
+    vunions = " UNION ALL ".join(
+        f"SELECT {i} AS r, v FROM deg{i}" for i in range(rounds)
+    )
+    sql += f""",
+allst AS ({unions}),
+best AS (
+  SELECT r, nv, rows_ FROM allst
+  ORDER BY CAST(rows_ AS DOUBLE) / (2.0 * nv) DESC, r LIMIT 1
+),
+allv AS ({vunions})
+SELECT i.name AS name, CAST(b.r AS INT) AS round, b.nv AS n_vertices,
+       b.rows_ // 2 AS n_edges,
+       ROUND(CAST(b.rows_ AS DOUBLE) / (2.0 * b.nv), 6) AS density
+FROM allv a JOIN best b ON a.r = b.r JOIN ids i ON i.id = a.v
+ORDER BY name"""
     return sql
 
 
@@ -2692,6 +2772,7 @@ GROUP BY i.name, i.id ORDER BY name""",
         "coreness": _coreness_oracle(),
         "betweenness": _betweenness_oracle(),
         "sssp": _sssp_oracle(),
+        "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
         "labelprop_min": _lp_min_oracle(),
