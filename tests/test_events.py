@@ -126,3 +126,111 @@ def test_asof_matches_pandas_merge_asof(spark):
     want_rids = [None if pd.isna(x) else int(x) for x in want["rid"]]
     got_rids = [None if pd.isna(x) else int(x) for x in got["rid_r"]]
     assert got_rids == want_rids
+
+
+def _brute_sessionize(rows, gap_s):
+    """Reference gap rule in plain Python: rows = (event_id, us, user)."""
+    out = {}
+    by_user = {}
+    for eid, us, user in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(user, []).append((eid, us))
+    for user, evs in by_user.items():
+        idx, last = -1, None
+        for eid, us in evs:
+            if last is None or us - last >= gap_s * 1_000_000:
+                idx += 1
+            out[eid] = (user, idx)
+            last = us
+    return out
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_sessionize_property_vs_brute(spark):
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    base = dt.datetime(2024, 1, 1)
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 3),             # user
+            st.integers(0, 10_000),        # offset seconds
+            st.sampled_from([0, 1]),       # sub-second micros knob
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=8, derandomize=True, deadline=None)
+    @given(rows_strategy, st.sampled_from([600, 1800]))
+    def prop(raw, gap_s):
+        rows = [
+            (i, (off * 1_000_000 + micro), user)
+            for i, (user, off, micro) in enumerate(raw)
+        ]
+        df = spark.createDataFrame(
+            [
+                (eid, base + dt.timedelta(microseconds=us), user, 0.0)
+                for eid, us, user in rows
+            ],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        got = {
+            r["event_id"]: (r["user_id"], r["session_idx"])
+            for r in sessionize(df, gap_seconds=gap_s).collect()
+        }
+        assert got == _brute_sessionize(rows, gap_s)
+
+    prop()
+
+
+@pytest.mark.slow
+def test_asof_property_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    pairs = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=8, derandomize=True, deadline=None)
+    @given(pairs, pairs)
+    def prop(lraw, rraw):
+        lpd = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lraw)],
+            columns=["k", "t", "lid"],
+        )
+        rpd = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(rraw)],
+            columns=["k", "t", "rid"],
+        ).drop_duplicates(["k", "t"], keep="last")
+        want = pd.merge_asof(
+            lpd.sort_values("t", kind="stable"),
+            rpd.sort_values("t", kind="stable"),
+            on="t",
+            by="k",
+            direction="backward",
+        ).sort_values("lid")
+        got = (
+            asof_join(
+                spark.createDataFrame(lpd),
+                spark.createDataFrame(rpd),
+                on="k",
+                left_ts="t",
+                right_ts="t",
+                right_cols=["rid"],
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        want_r = [None if pd.isna(x) else int(x) for x in want["rid"]]
+        got_r = [None if pd.isna(x) else int(x) for x in got["rid_r"]]
+        assert got_r == want_r
+
+    prop()
