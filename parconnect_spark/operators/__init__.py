@@ -1,5 +1,6 @@
 from parconnect_spark.operators.graph import (
     symmetrize,
+    project_bipartite,
     canonicalize,
     degrees,
     degree_histogram,
@@ -22,6 +23,7 @@ from parconnect_spark.operators.events import (
 
 __all__ = [
     "symmetrize",
+    "project_bipartite",
     "canonicalize",
     "degrees",
     "degree_histogram",

@@ -11,10 +11,19 @@ from parconnect_spark.plans.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
-from parconnect_spark.plans.bfs import bfs, bfs_peel
+from parconnect_spark.plans.bfs import (
+    bfs,
+    bfs_peel,
+    multi_source_bfs,
+    harmonic_centrality,
+    closeness_centrality,
+)
+from parconnect_spark.plans.betweenness import betweenness_centrality
+from parconnect_spark.plans.sssp import sssp
+from parconnect_spark.plans.densest import densest_subgraph
 from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
 from parconnect_spark.plans.hits import hits
-from parconnect_spark.plans.kcore import kcore
+from parconnect_spark.plans.kcore import kcore, coreness
 from parconnect_spark.plans.linkpred import link_prediction
 from parconnect_spark.plans.walks import random_walks
 
@@ -30,10 +39,17 @@ __all__ = [
     "enumerate_triangles",
     "bfs",
     "bfs_peel",
+    "multi_source_bfs",
+    "harmonic_centrality",
+    "closeness_centrality",
+    "betweenness_centrality",
+    "sssp",
+    "densest_subgraph",
     "should_run_bfs",
     "powerlaw_ks_distance",
     "hits",
     "kcore",
+    "coreness",
     "link_prediction",
     "random_walks",
 ]
