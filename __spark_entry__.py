@@ -76,6 +76,7 @@ CMS_TOPK = 20
 HLL_P = 10
 QUANT_VECS = 50
 SAMPLE_K = 25
+BIGRAM_MIN_HEAD = 5
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
 WALK_LEN = 4
@@ -1342,6 +1343,20 @@ def _q_sketch_distinct(spark, sf_dir):
     )
 
 
+def _q_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM table (functions/text.bigram_lm): top-3
+    continuations per head token with conditional probability, bigrams
+    never crossing document boundaries. Ranking is count-then-term integer
+    ordering — engine-independent by construction."""
+    from parconnect_spark.functions.text import bigram_lm
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text")
+    return bigram_lm(docs, k=3, min_head_count=BIGRAM_MIN_HEAD).orderBy(
+        "w1", "w2"
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Repetition-based quality features (functions/text.repetition_features):
     the Gopher-family duplicate-word / most-common-n-gram fractions used to
@@ -1600,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "token_stats": _q_token_stats,
         "tfidf_topk": _q_tfidf,
+        "bigram_lm": _q_bigram_lm,
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
         "sample_k": _q_sample_k,
@@ -3024,6 +3040,28 @@ FROM ex e JOIN sc s ON s.vec_id = e.vec_id
 ORDER BY e.vec_id, e.dim""",
         "sketch_counts": _cms_oracle(),
         "sketch_distinct": _hll_oracle(),
+        "bigram_lm": f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w1
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents)
+),
+big AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+rk AS (
+  SELECT a.w1, a.w2, a.c12, b.c1,
+         ROW_NUMBER() OVER (PARTITION BY a.w1 ORDER BY a.c12 DESC, a.w2) AS rn
+  FROM c12 a JOIN c1 b ON a.w1 = b.w1
+  WHERE b.c1 >= {BIGRAM_MIN_HEAD}
+)
+SELECT w1, w2, c12, c1, ROUND(CAST(c12 AS DOUBLE) / c1, 6) AS p
+FROM rk WHERE rn <= 3 ORDER BY w1, w2""",
         # token_stats: DuckDB's RE2 and Spark's Java regex agree on this
         # ASCII-class pattern (verified row-exact at sf0.01); the 'g' flag
         # makes DuckDB's regexp_replace global like Spark's.

@@ -280,3 +280,57 @@ def redact_pii(
     if not keep_text:
         out = out.drop(text_col)
     return out
+
+
+def bigram_lm(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    min_head_count: int = 2,
+) -> DataFrame:
+    """Corpus bigram language-model table: the top-k continuations of each
+    head token with conditional probability ``p(w2|w1) = c(w1,w2)/c(w1)``
+    — the n-gram statistic behind corpus-analysis tools (perplexity-proxy
+    scoring, boilerplate detection, domain drift tracking).
+
+    Returns DataFrame[w1, w2, c12, c1, p] with exactly the k most frequent
+    continuations per head (ties by w2 ascending — count-then-term integer
+    ordering, so rankings are engine-independent by construction);
+    ``min_head_count`` drops hapax heads. Bigrams never cross document
+    boundaries.
+
+    Scale shape: one window-lead per document (partitioned by doc — the
+    derive_edges discipline), two map-side-combined hash aggregates, one
+    per-head top-k window over (count desc, w2). A stop-word head's window
+    partition holds its distinct continuations, bounded by vocabulary, not
+    corpus size."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("_ts"),
+    ).select(
+        "_doc", F.posexplode("_ts").alias("_pos", "w1")
+    )
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    big = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    topw = Window.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    return (
+        c12.join(c1, "w1")
+        .where(F.col("c1") >= min_head_count)
+        .withColumn("_rn", F.row_number().over(topw))
+        .where(F.col("_rn") <= k)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p"),
+        )
+    )

@@ -151,3 +151,35 @@ def test_redact_pii_drop_text(spark):
     df = spark.createDataFrame([(0, "x@y.io")], "doc_id long, text string")
     cols = redact_pii(df, keep_text=False).columns
     assert "text" not in cols and "redacted" in cols
+
+
+def test_bigram_lm_hand_values(spark):
+    from parconnect_spark.functions.text import bigram_lm
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat ran")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): (r["c12"], r["c1"], r["p"])
+        for r in bigram_lm(df, k=2, min_head_count=1).collect()
+    }
+    assert rows[("the", "cat")] == (2, 3, 0.666667)
+    # bigrams never cross documents: "mat"->"the" would need doc0|doc1
+    assert ("mat", "the") not in rows
+    # k caps continuations per head (the: cat(2) then mat(1); ties by term)
+    assert sum(1 for (w1, _) in rows if w1 == "the") == 2
+
+
+def test_bigram_lm_partition_invariance(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.text import bigram_lm
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma alpha beta delta x{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_lm(df, k=2).collect()))
+    b = sorted(map(tuple, bigram_lm(df.repartition(7), k=2).collect()))
+    assert a == b
