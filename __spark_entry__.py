@@ -67,6 +67,10 @@ SESSION_GAP_SECONDS = 21600
 # viral-group fan-out guard for the bipartite projection contract (a group
 # of m members yields m(m-1)/2 pairs); inert at sf0.01, load-bearing at scale
 BIPARTITE_MAX_GROUP = 64
+# boilerplate threshold for the turn-dedup contract: sf0.01 has 100 distinct
+# turn texts spanning 59..85 distinct conversations each (median 73), so 78
+# exercises both branches — 82 texts pass through, 18 collapse to a keeper
+BOILERPLATE_MAX_CONVS = 78
 # count-min / HLL contract parameters (functions/sketch.py)
 TRIM_LO = 0.05
 TRIM_HI = 0.95
@@ -812,6 +816,46 @@ def _q_assortativity(spark, sf_dir):
     return degree_assortativity(edges).select(
         F.round("assortativity", 6).alias("assortativity"), "n_edges"
     )
+
+
+def _q_transitivity(spark, sf_dir):
+    """Global clustering coefficient: 3·|triangles| / Σ_v C(deg_v, 2) —
+    exact int64 counts (degree-ordered node-iterator + one degree
+    aggregate), the ratio the only double (plans/triangles.transitivity)."""
+    from parconnect_spark.plans.triangles import transitivity
+
+    _, edges, _ = _graph(spark, sf_dir)
+    return transitivity(edges)
+
+
+def _q_butterflies(spark, sf_dir):
+    """Bipartite butterfly ((2,2)-biclique) count over the conv×entity
+    membership table, in closed form over the weighted one-mode projection
+    (Σ_pairs C(w,2), integer div) — shares bipartite_cooccur's declared
+    max_group_size=64 viral-group cap (operators/graph.count_butterflies)."""
+    from parconnect_spark.operators.derive import transcripts_to_entity_turns
+    from parconnect_spark.operators.graph import count_butterflies
+
+    t = _transcripts(spark, sf_dir)
+    mem = transcripts_to_entity_turns(t).select("conv_id", "entity")
+    return count_butterflies(
+        mem, "conv_id", "entity", max_group_size=BIPARTITE_MAX_GROUP
+    )
+
+
+def _q_turn_dedup(spark, sf_dir):
+    """Corpus-level boilerplate removal over the transcript turns (CCNet-
+    style paragraph dedup re-expressed for conversations): texts in more
+    than BOILERPLATE_MAX_CONVS distinct conversations keep exactly one
+    canonical occurrence — min (conv_id, turn_idx) — everything else
+    passes through (functions/dedup.boilerplate_dedup; hash-aggregate +
+    join-back, NO windows — the viral-text skew guard)."""
+    from parconnect_spark.functions.dedup import boilerplate_dedup
+
+    t = _transcripts(spark, sf_dir)
+    return boilerplate_dedup(
+        t, "text", "conv_id", "turn_idx", max_groups=BOILERPLATE_MAX_CONVS
+    ).orderBy("conv_id", "turn_idx")
 
 
 KRON_SCALE = 8
@@ -1600,6 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_features": _q_vertex_features,
         "assortativity": _q_assortativity,
+        "transitivity": _q_transitivity,
+        "butterflies": _q_butterflies,
+        "turn_dedup": _q_turn_dedup,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
@@ -2836,6 +2883,63 @@ deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src)
 SELECT ROUND(CORR(s.d, t.d), 6) AS assortativity,
        CAST(COUNT(*) AS BIGINT) AS n_edges
 FROM edges e JOIN deg s ON s.v = e.src JOIN deg t ON t.v = e.dst""",
+        # transitivity: triangle CTE + closed-form wedge sum; both counts
+        # exact int64 (// is DuckDB integer division — d*(d-1) is even so
+        # the halving is exact; a double quotient would lose bits past 2^53
+        # at web scale), the ratio the only double, rounded 6dp both sides.
+        "transitivity": _GRAPH_PREFIX
+        + _TRI_CTE
+        + """,
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri),
+wc AS (
+  SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+)
+SELECT n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS transitivity
+FROM tc, wc""",
+        # butterflies: bipartite_cooccur's projection + one scalar
+        # aggregate (sum of per-pair C(w,2), integer //) — same declared
+        # max-group-size cap.
+        "butterflies": "WITH " + TRANSCRIPTS_CTE + f""",
+turns AS (
+  SELECT conv_id,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool ELSE 'r:' || role END AS entity
+  FROM transcripts
+),
+mem AS (SELECT DISTINCT conv_id, entity FROM turns),
+keep AS (
+  SELECT conv_id FROM mem GROUP BY conv_id HAVING COUNT(*) <= {BIPARTITE_MAX_GROUP}
+),
+m2 AS (SELECT mem.conv_id, mem.entity FROM mem JOIN keep USING (conv_id)),
+proj AS (
+  SELECT a.entity AS a, b.entity AS b, COUNT(*) AS w
+  FROM m2 a JOIN m2 b ON a.conv_id = b.conv_id AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(w * (w - 1) // 2), 0) AS BIGINT) AS n_butterflies
+FROM proj""",
+        # turn_dedup: the oracle picks the canonical keeper with a window
+        # (fine at oracle scale); the engine uses the skew-safe
+        # hash-aggregate + join-back (no windows) — same keeper by the
+        # same (conv_id, turn_idx) lexicographic rule.
+        "turn_dedup": "WITH " + TRANSCRIPTS_CTE + f""",
+st AS (
+  SELECT text, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_groups
+  FROM transcripts GROUP BY text
+),
+rn AS (
+  SELECT conv_id, turn_idx, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY conv_id, turn_idx) AS rn
+  FROM transcripts
+)
+SELECT r.conv_id, r.turn_idx, r.text, s.n_groups
+FROM rn r JOIN st s USING (text)
+WHERE s.n_groups <= {BOILERPLATE_MAX_CONVS} OR r.rn = 1
+ORDER BY conv_id, turn_idx""",
         "dedup_exact": """
 WITH fps AS (
   SELECT doc_id AS id,

@@ -438,3 +438,60 @@ def contamination_check(
         )
         .where(F.col("overlap_frac") >= min_overlap_frac)
     )
+
+
+def boilerplate_dedup(
+    rows: DataFrame,
+    text_col: str = "text",
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    max_groups: int = 8,
+) -> DataFrame:
+    """Corpus-level boilerplate removal — the paragraph/turn analogue of
+    CCNet-style line dedup for transcript corpora: an exact text that
+    appears in MORE than ``max_groups`` distinct groups (conversations) is
+    boilerplate (canned system prompts, templated assistant replies); every
+    occurrence is dropped except ONE canonical keeper — the
+    lexicographically smallest (group, order) pair — so each distinct text
+    survives exactly once for downstream statistics. Texts at or under the
+    threshold pass through untouched.
+
+    Plan (skew-safe by construction): one hash aggregate keyed on the
+    text's xxhash64 fingerprint (distinct-group count + min (group, order)
+    struct — both partially aggregated map-side, so a boilerplate string
+    with 10^9 occurrences contributes <= one row per input partition) and
+    one fingerprint equi-join back; NO windows — a row_number() over the
+    text partition would serialize exactly the viral keys this operator
+    exists to handle (AQE splits the join's skewed key instead). The
+    fingerprint is a join key only; the canonical keeper is decided on the
+    real (group, order) values, so a hash collision can at worst merge two
+    texts' frequency counts, never pick a nondeterministic keeper.
+
+    Returns the surviving rows: (group, order, text, n_groups) sorted
+    keys upstream. ``n_groups`` is the corpus-wide distinct-group
+    frequency — kept so downstream filters can re-threshold without a
+    second census."""
+    h = F.xxhash64(F.col(text_col))
+    stats = (
+        rows.select(
+            h.alias("_h"),
+            F.col(group_col).alias("_g"),
+            F.col(order_col).alias("_o"),
+        )
+        .groupBy("_h")
+        .agg(
+            F.countDistinct("_g").alias("n_groups"),
+            F.min(F.struct(F.col("_g"), F.col("_o"))).alias("_keep"),
+        )
+    )
+    return (
+        rows.join(stats, h == stats["_h"])
+        .where(
+            (F.col("n_groups") <= max_groups)
+            | (
+                (F.col(group_col) == F.col("_keep._g"))
+                & (F.col(order_col) == F.col("_keep._o"))
+            )
+        )
+        .select(group_col, order_col, text_col, "n_groups")
+    )

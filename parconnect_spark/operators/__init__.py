@@ -1,6 +1,7 @@
 from parconnect_spark.operators.graph import (
     symmetrize,
     project_bipartite,
+    count_butterflies,
     canonicalize,
     degrees,
     degree_histogram,
@@ -24,6 +25,7 @@ from parconnect_spark.operators.events import (
 __all__ = [
     "symmetrize",
     "project_bipartite",
+    "count_butterflies",
     "canonicalize",
     "degrees",
     "degree_histogram",

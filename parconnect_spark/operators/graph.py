@@ -214,3 +214,35 @@ def project_bipartite(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def count_butterflies(
+    pairs: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Bipartite butterfly count — the (2,2)-biclique motif (two items
+    sharing two groups), the bipartite analogue of the triangle and the
+    standard cohesion statistic for membership graphs (conv x entity,
+    user x document). Counted in closed form over the weighted one-mode
+    projection:
+
+        butterflies = sum over item pairs C(w, 2),  w = shared-group count
+
+    so the physical plan is ``project_bipartite`` (one group-key self-join
+    + one pair aggregate, viral groups excluded by ``max_group_size`` —
+    the cap is declared semantics shared with the projection) plus ONE
+    scalar aggregate; no 4-vertex enumeration ever materializes. Per-pair
+    C(w,2) uses integer ``div`` (w*(w-1) is even; exact past 2^53).
+
+    Returns one row: (n_pairs bigint — co-occurring item pairs,
+    n_butterflies bigint)."""
+    proj = project_bipartite(pairs, group_col, item_col, max_group_size)
+    return proj.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.expr("sum(weight * (weight - 1) div 2)"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_butterflies"),
+    )

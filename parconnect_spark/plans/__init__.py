@@ -10,6 +10,7 @@ from parconnect_spark.plans.triangles import (
     enumerate_triangles,
     triangle_count,
     triangles_per_vertex,
+    transitivity,
 )
 from parconnect_spark.plans.bfs import (
     bfs,
@@ -36,6 +37,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangles_per_vertex",
+    "transitivity",
     "enumerate_triangles",
     "bfs",
     "bfs_peel",

@@ -167,3 +167,67 @@ def test_near_dup_clusters_transitive_and_singletons(spark):
         for r in near_dup_clusters(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 5, 6: 1}
+
+
+def test_boilerplate_dedup_keeps_canonical_occurrence(spark):
+    from parconnect_spark.functions.dedup import boilerplate_dedup
+
+    rows = spark.createDataFrame(
+        [
+            # "hi" spans 3 distinct convs (> max_groups=2) -> boilerplate;
+            # only the lexicographically smallest (conv, turn) survives
+            ("c1", 2, "hi"),
+            ("c2", 0, "hi"),
+            ("c1", 5, "hi"),  # same conv twice — distinct count still 3
+            ("c3", 1, "hi"),
+            # "rare" spans 2 convs (== threshold) -> passes through whole
+            ("c1", 0, "rare"),
+            ("c2", 3, "rare"),
+            # singleton
+            ("c9", 7, "once"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["n_groups"])
+        for r in boilerplate_dedup(rows, max_groups=2).collect()
+    }
+    assert got == {
+        ("c1", 2): ("hi", 3),  # min (conv, turn) among hi rows
+        ("c1", 0): ("rare", 2),
+        ("c2", 3): ("rare", 2),
+        ("c9", 7): ("once", 1),
+    }
+
+
+def test_boilerplate_dedup_every_text_survives_at_least_once(spark):
+    from parconnect_spark.functions.dedup import boilerplate_dedup
+
+    rows = spark.createDataFrame(
+        [(f"c{i}", j, f"t{j % 3}") for i in range(10) for j in range(6)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = boilerplate_dedup(rows, max_groups=1)
+    # every text is boilerplate (10 convs each) -> exactly one keeper per
+    # distinct (text) value... but texts repeat per turn slot: t0 covers
+    # turn 0 and 3, t1 turns 1/4, t2 turns 2/5 — keeper is (c0, min turn)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in out.collect()
+    )
+    assert got == [("c0", 0, "t0"), ("c0", 1, "t1"), ("c0", 2, "t2")]
+
+
+def test_boilerplate_dedup_partition_invariance(spark):
+    from parconnect_spark.functions.dedup import boilerplate_dedup
+    import pyspark.sql.functions as F
+
+    rows = spark.createDataFrame(
+        [
+            (f"c{(i * 7) % 13}", i % 9, f"text_{i % 5}")
+            for i in range(200)
+        ],
+        "conv_id string, turn_idx int, text string",
+    ).dropDuplicates(["conv_id", "turn_idx"])
+    a = boilerplate_dedup(rows, max_groups=6)
+    b = boilerplate_dedup(rows.repartition(17, "turn_idx"), max_groups=6)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -217,3 +217,70 @@ def test_project_bipartite_weights_and_cap(spark):
     # ordering invariant: a < b on every row
     rows = project_bipartite(mem.orderBy(F.rand(3)), "g", "v").collect()
     assert all(r["a"] < r["b"] for r in rows)
+
+
+def test_count_butterflies_bicliques(spark):
+    from parconnect_spark.operators.graph import count_butterflies
+
+    # K_{2,2}: items x,y share groups g1,g2 -> w(x,y)=2 -> C(2,2)=1 butterfly
+    k22 = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y")],
+        "g string, v string",
+    )
+    row = count_butterflies(k22, "g", "v").collect()[0]
+    assert (row["n_pairs"], row["n_butterflies"]) == (1, 1)
+
+    # K_{3,2}: 3 groups x 2 items fully connected -> w=3 -> C(3,2)=3
+    k32 = spark.createDataFrame(
+        [(f"g{i}", v) for i in range(3) for v in ("x", "y")],
+        "g string, v string",
+    )
+    row = count_butterflies(k32, "g", "v").collect()[0]
+    assert (row["n_pairs"], row["n_butterflies"]) == (1, 3)
+
+
+def test_count_butterflies_cap_and_empty(spark):
+    from parconnect_spark.operators.graph import count_butterflies
+
+    mem = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g1", "z"),
+         ("g2", "x"), ("g2", "y")],
+        "g string, v string",
+    )
+    # uncapped: w(x,y)=2 -> 1 butterfly; capped at 2 members the 3-member
+    # group drops -> w(x,y)=1 -> 0 butterflies (but the pair row remains)
+    full = count_butterflies(mem, "g", "v").collect()[0]
+    assert (full["n_pairs"], full["n_butterflies"]) == (3, 1)
+    capped = count_butterflies(mem, "g", "v", max_group_size=2).collect()[0]
+    assert (capped["n_pairs"], capped["n_butterflies"]) == (1, 0)
+    # empty membership: the coalesce guard yields a (0, 0) row
+    empty = count_butterflies(
+        spark.createDataFrame([], "g string, v string"), "g", "v"
+    ).collect()[0]
+    assert (empty["n_pairs"], empty["n_butterflies"]) == (0, 0)
+
+
+def test_count_butterflies_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from parconnect_spark.operators.graph import count_butterflies
+
+    # deterministic pseudo-random membership table, brute-force oracle
+    mem = [
+        (f"g{(h := (i * 2654435761) % (1 << 32)) % 7}", f"v{h % 11}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(mem, "g string, v string").dropDuplicates()
+    groups = {}
+    for g, v in set(mem):
+        groups.setdefault(g, set()).add(v)
+    count = 0
+    pairs = set()
+    items = sorted({v for _, v in mem})
+    for a, b in combinations(items, 2):
+        w = sum(1 for g in groups.values() if a in g and b in g)
+        if w:
+            pairs.add((a, b))
+            count += w * (w - 1) // 2
+    row = count_butterflies(df, "g", "v").collect()[0]
+    assert (row["n_pairs"], row["n_butterflies"]) == (len(pairs), count)

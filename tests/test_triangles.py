@@ -84,3 +84,72 @@ def test_clustering_coefficients_degree_one_is_zero(spark):
     e = symmetrize(spark.createDataFrame([(0, 1)], "src long, dst long"))
     rows = {r["v"]: r["lcc"] for r in clustering_coefficients(e).collect()}
     assert rows == {0: 0.0, 1: 0.0}
+
+
+def test_transitivity_triangle_with_pendant(spark):
+    # triangle 0-1-2 plus pendant 2-3: T=1, wedges = C(2,2)*2 + C(3,2) = 5
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import transitivity
+
+    e = symmetrize(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+        )
+    )
+    row = transitivity(e).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 5
+    assert row["transitivity"] == round(3.0 / 5.0, 6)
+
+
+def test_transitivity_complete_graph_is_one(spark):
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import transitivity
+
+    pairs = list(combinations(range(5), 2))
+    e = symmetrize(spark.createDataFrame(pairs, "src long, dst long"))
+    row = transitivity(e).collect()[0]
+    assert row["n_triangles"] == 10  # C(5,3)
+    assert row["n_wedges"] == 30  # 5 * C(4,2)
+    assert row["transitivity"] == 1.0
+
+
+def test_transitivity_triangle_free(spark):
+    # path graph: no triangles, wedges > 0 -> 0.0
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import transitivity
+
+    e = symmetrize(
+        spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    )
+    row = transitivity(e).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 2
+    assert row["transitivity"] == 0.0
+
+
+def test_transitivity_wedge_free_graph(spark):
+    # single edge: no wedges — the 0/0 guard
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import transitivity
+
+    e = symmetrize(spark.createDataFrame([(0, 1)], "src long, dst long"))
+    row = transitivity(e).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"], row["transitivity"]) == (
+        0,
+        0,
+        0.0,
+    )
+
+
+def test_transitivity_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import symmetrize
+    from parconnect_spark.plans.triangles import transitivity
+
+    edges = symmetrize(kronecker_edges(spark, scale=6, edgefactor=4))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    row = transitivity(edges).collect()[0]
+    assert abs(row["transitivity"] - round(nx.transitivity(g), 6)) < 1e-9
