@@ -372,6 +372,18 @@ def _q_scc(spark, sf_dir):
     )
 
 
+def _q_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the DIRECTED entity graph (turn → next-turn,
+    conversation → member): fraction of ordered edges whose reverse
+    exists — the directionality summary beside scc/hits
+    (operators/graph.reciprocity; one semi self-join + two counts)."""
+    from parconnect_spark.operators.derive import derive_directed_string_edges
+    from parconnect_spark.operators.graph import reciprocity
+
+    t = _transcripts(spark, sf_dir)
+    return reciprocity(derive_directed_string_edges(t))
+
+
 def _q_bfs_distances(spark, sf_dir):
     """Hop distances from vertex 0 (the lexicographically-smallest entity)
     over the undirected entity graph — distance labeling as a feature."""
@@ -1647,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "butterflies": _q_butterflies,
         "turn_dedup": _q_turn_dedup,
+        "reciprocity": _q_reciprocity,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
@@ -2922,6 +2935,22 @@ proj AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(COALESCE(SUM(w * (w - 1) // 2), 0) AS BIGINT) AS n_butterflies
 FROM proj""",
+        # reciprocity: distinct directed pairs (the scc oracle's edge set,
+        # pre-relabel) self-joined against their reverse; counts exact
+        # int64, the ratio the only double.
+        "reciprocity": _GRAPH_PREFIX
+        + """,
+dpairs AS (SELECT DISTINCT a, b FROM pairs WHERE a <> b),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM dpairs),
+rec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+  FROM dpairs e JOIN dpairs r ON r.a = e.b AND r.b = e.a
+)
+SELECT n_edges, n_reciprocal,
+       CASE WHEN n_edges > 0
+            THEN ROUND(n_reciprocal / CAST(n_edges AS DOUBLE), 6)
+            ELSE 0.0 END AS reciprocity
+FROM tot, rec""",
         # turn_dedup: the oracle picks the canonical keeper with a window
         # (fine at oracle scale); the engine uses the skew-safe
         # hash-aggregate + join-back (no windows) — same keeper by the

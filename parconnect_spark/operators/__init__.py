@@ -2,6 +2,7 @@ from parconnect_spark.operators.graph import (
     symmetrize,
     project_bipartite,
     count_butterflies,
+    reciprocity,
     canonicalize,
     degrees,
     degree_histogram,
@@ -26,6 +27,7 @@ __all__ = [
     "symmetrize",
     "project_bipartite",
     "count_butterflies",
+    "reciprocity",
     "canonicalize",
     "degrees",
     "degree_histogram",

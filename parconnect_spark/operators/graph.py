@@ -246,3 +246,45 @@ def count_butterflies(
             F.lit(0).cast("bigint"),
         ).alias("n_butterflies"),
     )
+
+
+def reciprocity(
+    directed: DataFrame, src_col: str = "a", dst_col: str = "b"
+) -> DataFrame:
+    """Edge reciprocity of a simple directed graph: the fraction of
+    ordered edges whose reverse edge also exists — the standard
+    directionality summary next to SCC and HITS for a directed link
+    graph (1.0 = effectively undirected, 0.0 = purely one-way).
+
+    Plan: dedupe, one (src,dst)-keyed LEFT SEMI self-join against the
+    reversed view (both sides shuffle on the same composite key — one
+    exchange each, no fan-out since rows are distinct), then two scalar
+    counts. Counts are exact int64; the ratio is the only double,
+    computed engine-side in one expression (rounded 6dp). Returns one
+    row: (n_edges, n_reciprocal, reciprocity); (0, 0, 0.0) for an empty
+    graph. Self-loops are excluded — a loop is its own reverse and would
+    inflate the statistic."""
+    d = (
+        directed.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+    )
+    rev = d.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_edges"))
+    rec = d.join(rev, ["_s", "_d"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return tot.crossJoin(rec).select(
+        "n_edges",
+        "n_reciprocal",
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(
+                F.col("n_reciprocal") / F.col("n_edges").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity"),
+    )

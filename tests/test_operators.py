@@ -284,3 +284,50 @@ def test_count_butterflies_vs_bruteforce(spark):
             count += w * (w - 1) // 2
     row = count_butterflies(df, "g", "v").collect()[0]
     assert (row["n_pairs"], row["n_butterflies"]) == (len(pairs), count)
+
+
+def test_reciprocity_hand_graph(spark):
+    from parconnect_spark.operators.graph import reciprocity
+
+    # 2-cycle x<->y (2 reciprocal edges) + one-way y->z; self-loop ignored
+    d = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("y", "z"), ("w", "w"), ("x", "y")],
+        "a string, b string",
+    )
+    row = reciprocity(d).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert row["reciprocity"] == round(2.0 / 3.0, 6)
+
+
+def test_reciprocity_extremes_and_empty(spark):
+    from parconnect_spark.operators.graph import reciprocity
+
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "a string, b string"
+    )
+    assert reciprocity(sym).collect()[0]["reciprocity"] == 1.0
+    oneway = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a string, b string"
+    )
+    assert reciprocity(oneway).collect()[0]["reciprocity"] == 0.0
+    empty = spark.createDataFrame([], "a string, b string")
+    row = reciprocity(empty).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"], row["reciprocity"]) == (
+        0,
+        0,
+        0.0,
+    )
+
+
+def test_reciprocity_vs_networkx(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import reciprocity
+
+    pairs = [
+        (f"v{(i * 37) % 23}", f"v{(i * 53 + 7) % 23}") for i in range(150)
+    ]
+    d = spark.createDataFrame(pairs, "a string, b string").where("a <> b")
+    g = nx.DiGraph((a, b) for a, b in pairs if a != b)
+    row = reciprocity(d).collect()[0]
+    assert abs(row["reciprocity"] - round(nx.reciprocity(g), 6)) < 1e-9
