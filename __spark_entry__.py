@@ -708,6 +708,39 @@ def _q_sssp(spark, sf_dir):
     )
 
 
+def _q_msf(spark, sf_dir):
+    """Minimum spanning forest (plans/msf.py, Borůvka rounds) of the
+    co-occurrence-weighted UNDIRECTED entity graph. Under the
+    (weight, a, b) total order the MSF is unique, so the oracle checks the
+    cycle property directly — an edge survives iff its endpoints are not
+    connected by strictly smaller edges — a genuinely independent
+    algorithm (neither Borůvka nor the engine's contraction substrate)."""
+    from parconnect_spark.operators.derive import derive_weighted_undirected_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.msf import boruvka_msf
+
+    t = _transcripts(spark, sf_dir)
+    wu = derive_weighted_undirected_edges(t)
+    # dense_rank relabel is monotone in name order, so name-canonical
+    # a < b stays id-canonical src < dst.
+    edges, id_map = relabel_edges(wu, "a", "b", keep_cols=("weight",))
+    msf, _rounds = boruvka_msf(
+        edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), "weight"
+        )
+    )
+    ia = id_map.select(F.col("id").alias("a"), F.col("name").alias("a_name"))
+    ib = id_map.select(F.col("id").alias("b"), F.col("name").alias("b_name"))
+    return (
+        msf.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            F.col("a_name").alias("a"), F.col("b_name").alias("b"), "weight"
+        )
+        .orderBy("a", "b")
+    )
+
+
 def _q_betweenness(spark, sf_dir):
     """Source-sampled Brandes betweenness (plans/betweenness.py): batched
     forward sigma pass + backward dependency accumulation over composite
@@ -1634,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "betweenness": _q_betweenness,
         "sssp": _q_sssp,
+        "msf": _q_msf,
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
@@ -2848,6 +2882,34 @@ GROUP BY i.name, i.id ORDER BY name""",
         "coreness": _coreness_oracle(),
         "betweenness": _betweenness_oracle(),
         "sssp": _sssp_oracle(),
+        # cycle property: under the (weight, a, b) total order the MSF is
+        # unique, and an edge belongs to it iff its endpoints are NOT
+        # connected using only strictly smaller edges. One recursive CTE
+        # carries per-candidate-edge reachability over smaller edges —
+        # an algorithm independent of both Borůvka and union-find.
+        "msf": _GRAPH_PREFIX
+        + """,
+wund AS MATERIALIZED (
+  SELECT s.id AS a, d.id AS b, CAST(COUNT(*) AS BIGINT) AS wt
+  FROM (SELECT LEAST(a, b) AS na, GREATEST(a, b) AS nb
+        FROM pairs WHERE a <> b) p
+  JOIN ids s ON p.na = s.name JOIN ids d ON p.nb = d.name
+  GROUP BY s.id, d.id
+),
+reach(ea, eb, ew, v) AS (
+  SELECT a, b, wt, a FROM wund
+  UNION
+  SELECT r.ea, r.eb, r.ew,
+         CASE WHEN w.a = r.v THEN w.b ELSE w.a END
+  FROM reach r JOIN wund w ON (w.a = r.v OR w.b = r.v)
+  WHERE (w.wt, w.a, w.b) < (r.ew, r.ea, r.eb)
+)
+SELECT ia.name AS a, ib.name AS b, m.wt AS weight
+FROM wund m JOIN ids ia ON ia.id = m.a JOIN ids ib ON ib.id = m.b
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r WHERE r.ea = m.a AND r.eb = m.b AND r.v = m.b
+)
+ORDER BY a, b""",
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),

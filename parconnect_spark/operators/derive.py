@@ -127,6 +127,34 @@ def derive_weighted_directed_edges(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def derive_weighted_undirected_edges(transcripts: DataFrame) -> DataFrame:
+    """UNDIRECTED co-occurrence-weighted edges DataFrame[a, b, weight]
+    with ``a < b`` canonical.
+
+    Same pair sources as :func:`derive_string_edges` but keeping
+    MULTIPLICITY as the edge weight — both orientations of a pair fold
+    into one canonical edge whose weight is the total co-occurrence count.
+    The input shape for weighted undirected algorithms (plans/msf.py's
+    Borůvka minimum spanning forest, where the ``(weight, a, b)`` total
+    order makes the MSF unique). One grouped count, no windows beyond the
+    turn-ordering lead."""
+    turns = transcripts_to_entity_turns(transcripts)
+    seq = turns.where(F.col("next_entity").isNotNull()).select(
+        F.col("entity").alias("a"), F.col("next_entity").alias("b")
+    )
+    member = turns.select(
+        F.concat(F.lit("c:"), F.col("conv_id")).alias("a"),
+        F.col("entity").alias("b"),
+    )
+    return (
+        seq.unionByName(member)
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def derive_windowed_string_edges(
     transcripts: DataFrame, granularity: str = "week"
 ) -> DataFrame:
