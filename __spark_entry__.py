@@ -47,6 +47,9 @@ BETWEENNESS_ORACLE_LEVELS = 6
 # fixed unroll for the Bellman-Ford oracle (monotone min-plus relaxation,
 # no-op past fixpoint; sf0.01 converges in 3 rounds)
 SSSP_ORACLE_ROUNDS = 8
+# fixed unroll for the Luby MIS oracle: rounds past the empty active set
+# are no-ops (every CTE empty); sf0.01 finishes in 2 rounds, 5 is headroom
+MIS_ORACLE_ROUNDS = 5
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -738,6 +741,24 @@ def _q_msf(spark, sf_dir):
             F.col("a_name").alias("a"), F.col("b_name").alias("b"), "weight"
         )
         .orderBy("a", "b")
+    )
+
+
+def _q_mis(spark, sf_dir):
+    """Luby maximal independent set (plans/mis.py) over the undirected
+    entity graph. Priorities are the portable md5 fold keyed by
+    (round, vertex) with vertex-id tie-break, so the winner set AND the
+    join round of every member are engine-independent; the oracle replays
+    the rounds exactly (MIS_ORACLE_ROUNDS unroll — no-op once the active
+    set empties; sf0.01 finishes in 2)."""
+    from parconnect_spark.plans.mis import luby_mis
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    mis, _rounds = luby_mis(edges)
+    return (
+        mis.join(id_map, mis["v"] == id_map["id"])
+        .select("name", "round")
+        .orderBy("name")
     )
 
 
@@ -1668,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "sssp": _q_sssp,
         "msf": _q_msf,
+        "mis": _q_mis,
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
@@ -2032,6 +2054,58 @@ d{i} AS MATERIALIZED (
     sql += f"""
 SELECT i.name AS name, d.dist AS dist
 FROM d{rounds} d JOIN ids i ON i.id = d.v ORDER BY name"""
+    return sql
+
+
+def _mis_oracle(rounds: int = None) -> str:
+    """Unrolled Luby rounds: per round, the neighbor minimum is computed as
+    (MIN priority, MIN dst among the argmin priorities) — exactly the
+    lexicographic min(struct(p, dst)) the engine aggregates — then winners,
+    their neighborhoods, and the shrunken active vertex/edge tables. The
+    md5-fold priority is rebuilt positionally (_md5int_duck), so every
+    (vertex, round) row must match the engine bit-for-bit."""
+    rounds = MIS_ORACLE_ROUNDS if rounds is None else rounds
+    sql = _GRAPH_PREFIX + """,
+a0 AS MATERIALIZED (SELECT id AS v FROM ids),
+ae0 AS MATERIALIZED (SELECT src, dst FROM edges)"""
+    for r in range(rounds):
+        fold_dst = _md5int_duck(f"'mis{r}:' || CAST(dst AS VARCHAR)", 1, 15)
+        fold_edst = _md5int_duck(f"'mis{r}:' || CAST(e.dst AS VARCHAR)", 1, 15)
+        fold_v = _md5int_duck(f"'mis{r}:' || CAST(a.v AS VARCHAR)", 1, 15)
+        sql += f""",
+nm{r} AS MATERIALIZED (
+  SELECT src, MIN({fold_dst}) AS mp FROM ae{r} GROUP BY src
+),
+nmv{r} AS MATERIALIZED (
+  SELECT n.src, n.mp, MIN(e.dst) AS mv
+  FROM nm{r} n JOIN ae{r} e ON e.src = n.src AND {fold_edst} = n.mp
+  GROUP BY n.src, n.mp
+),
+win{r} AS MATERIALIZED (
+  SELECT a.v FROM a{r} a LEFT JOIN nmv{r} n ON n.src = a.v
+  WHERE n.src IS NULL OR ({fold_v}, a.v) < (n.mp, n.mv)
+),
+rem{r} AS MATERIALIZED (
+  SELECT v FROM win{r}
+  UNION
+  SELECT e.dst AS v FROM ae{r} e JOIN win{r} w ON e.src = w.v
+),
+a{r + 1} AS MATERIALIZED (
+  SELECT v FROM a{r} WHERE v NOT IN (SELECT v FROM rem{r})
+),
+ae{r + 1} AS MATERIALIZED (
+  SELECT src, dst FROM ae{r}
+  WHERE src NOT IN (SELECT v FROM rem{r})
+    AND dst NOT IN (SELECT v FROM rem{r})
+)"""
+    unions = " UNION ALL ".join(
+        f"SELECT v, {r} AS round FROM win{r}" for r in range(rounds)
+    )
+    sql += f""",
+allw AS ({unions})
+SELECT i.name AS name, CAST(w.round AS INT) AS round
+FROM allw w JOIN ids i ON i.id = w.v
+ORDER BY name"""
     return sql
 
 
@@ -2910,6 +2984,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM reach r WHERE r.ea = m.a AND r.eb = m.b AND r.v = m.b
 )
 ORDER BY a, b""",
+        "mis": _mis_oracle(),
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
