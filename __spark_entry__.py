@@ -50,6 +50,11 @@ SSSP_ORACLE_ROUNDS = 8
 # fixed unroll for the Luby MIS oracle: rounds past the empty active set
 # are no-ops (every CTE empty); sf0.01 finishes in 2 rounds, 5 is headroom
 MIS_ORACLE_ROUNDS = 5
+# HyperANF contract: per-vertex HLL registers of the distance-<=ANF_HOPS
+# ball, p = ANF_P (64 registers/vertex) — registers pinned exactly, the
+# estimate is the one deterministic double (rounded like sketch_distinct)
+ANF_HOPS = 3
+ANF_P = 6
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -758,6 +763,25 @@ def _q_mis(spark, sf_dir):
     return (
         mis.join(id_map, mis["v"] == id_map["id"])
         .select("name", "round")
+        .orderBy("name")
+    )
+
+
+def _q_anf(spark, sf_dir):
+    """HyperANF registers (plans/anf.py): every vertex's HLL sketch of its
+    distance-≤ANF_HOPS ball, max-merged one hop per round — the
+    approximate-neighborhood-function machinery that replaces exact
+    per-vertex BFS balls at web scale. The contract pins the REGISTER
+    state exactly (nonzero count + exact-bigint raw sum per vertex); the
+    estimate column is the deterministic HLL estimator on top."""
+    from parconnect_spark.plans.anf import anf_estimates, neighborhood_registers
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    regs = neighborhood_registers(edges, hops=ANF_HOPS, p=ANF_P)
+    est = anf_estimates(regs, p=ANF_P)
+    return (
+        est.join(id_map, est["v"] == id_map["id"])
+        .select("name", "nonzero_regs", "raw_sum", "estimate")
         .orderBy("name")
     )
 
@@ -1690,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "msf": _q_msf,
         "mis": _q_mis,
+        "anf": _q_anf,
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
@@ -2105,6 +2130,57 @@ ae{r + 1} AS MATERIALIZED (
 allw AS ({unions})
 SELECT i.name AS name, CAST(w.round AS INT) AS round
 FROM allw w JOIN ids i ON i.id = w.v
+ORDER BY name"""
+    return sql
+
+
+def _anf_oracle(hops: int = None, p: int = None) -> str:
+    """Replays the HyperANF register evolution hop by hop (md5-fold seed
+    hash, reg = h mod m, rho = leading-zero rank; max-merge per hop) and
+    applies the per-vertex HLL estimator — the _hll_oracle math grouped by
+    vertex. Registers are pinned via exact bigints; only the estimate
+    column is a (rounded) double."""
+    hops = ANF_HOPS if hops is None else hops
+    p = ANF_P if p is None else p
+    m = 1 << p
+    wbits = 60 - p
+    rmax = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    k_lit = repr(alpha * m * m * float(1 << rmax))
+    fold15 = _md5int_duck("'anf:' || CAST(id AS VARCHAR)", 1, 15)
+    sql = _GRAPH_PREFIX + f""",
+h0 AS (SELECT id AS v, {fold15} AS h FROM ids),
+r0 AS MATERIALIZED (
+  SELECT v, h % {m} AS reg,
+         CASE WHEN h // {m} = 0 THEN {rmax}
+              ELSE {wbits} - length(bin(h // {m})) + 1 END AS rho
+  FROM h0
+)"""
+    for t in range(1, hops + 1):
+        sql += f""",
+r{t} AS MATERIALIZED (
+  SELECT v, reg, MAX(rho) AS rho FROM (
+    SELECT v, reg, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS v, x.reg, x.rho FROM r{t - 1} x JOIN edges e ON e.dst = x.v
+  ) u GROUP BY v, reg
+)"""
+    sql += f""",
+agg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS nz,
+         CAST(SUM(CAST(POWER(2.0, {rmax} - rho) AS BIGINT)) AS BIGINT) AS s_occ
+  FROM r{hops} GROUP BY v
+),
+fin AS (
+  SELECT v, nz, s_occ + ({m} - nz) * {1 << rmax} AS raw_sum,
+         {k_lit} / (s_occ + ({m} - nz) * {1 << rmax}) AS est_raw
+  FROM agg
+)
+SELECT i.name AS name, nz AS nonzero_regs, raw_sum,
+       ROUND(CASE WHEN est_raw <= {2.5 * m} AND ({m} - nz) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - nz))
+                  ELSE est_raw END, 4) AS estimate
+FROM fin JOIN ids i ON i.id = fin.v
 ORDER BY name"""
     return sql
 
@@ -2985,6 +3061,7 @@ WHERE NOT EXISTS (
 )
 ORDER BY a, b""",
         "mis": _mis_oracle(),
+        "anf": _anf_oracle(),
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
