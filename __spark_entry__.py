@@ -55,6 +55,12 @@ MIS_ORACLE_ROUNDS = 5
 # estimate is the one deterministic double (rounded like sketch_distinct)
 ANF_HOPS = 3
 ANF_P = 6
+# k-means contract: fixed-iteration Lloyd on the non-negative integer
+# grid (functions/cluster.py) — every assignment + exact int64 distance
+# compared; k lowest-id seeds, empty clusters drop (both engines replay
+# the identical integer recurrence)
+KMEANS_K = 8
+KMEANS_ITERS = 4
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -1407,6 +1413,21 @@ def _q_quality_trim(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means on the integer grid
+    (functions/cluster.kmeans_quantized): quantized non-negative vectors,
+    exact int64 squared distances with (dist, j) argmin tie-break, integer
+    round-half-up centroid updates, k lowest-id seeds. The oracle unrolls
+    the identical recurrence, so every (vector, cluster, distance) row
+    matches bit-for-bit."""
+    from parconnect_spark.functions.cluster import kmeans_quantized
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    asg, _cents = kmeans_quantized(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return asg.select("vec_id", "cluster", "dist").orderBy("vec_id")
+
+
 def _q_quantize(spark, sf_dir):
     """Int8 embedding quantization (functions/similarity.quantize_int8),
     exploded to (vec_id, dim, q) scalars plus the per-vector scale — the
@@ -1762,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": _q_sample_k,
         "quality_trim": _q_quality_trim,
         "quantize": _q_quantize,
+        "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
         "sketch_distinct": _q_sketch_distinct,
         "streaming_edges": _q_streaming_edges,
@@ -2182,6 +2204,63 @@ SELECT i.name AS name, nz AS nonzero_regs, raw_sum,
                   ELSE est_raw END, 4) AS estimate
 FROM fin JOIN ids i ON i.id = fin.v
 ORDER BY name"""
+    return sql
+
+
+def _kmeans_oracle(k: int = None, iters: int = None) -> str:
+    """Unrolled integer-grid Lloyd (functions/cluster.py semantics): the
+    same floor(x·scale + 0.5) + shift grid, exact int64 distances with
+    ROW_NUMBER(ORDER BY d, j) = the engine's lexicographic (dist, j)
+    argmin, and the (2·Σ + n) // (2·n) round-half-up centroid update —
+    floor == truncate because the shifted grid is non-negative. Every
+    SUM is cast back to BIGINT (DuckDB widens to HUGEINT)."""
+    from parconnect_spark.functions.cluster import QUANT_SCALE, QUANT_SHIFT
+
+    k = KMEANS_K if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
+    sql = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {float(QUANT_SCALE)!r} + 0.5)
+                AS BIGINT) + {QUANT_SHIFT}) AS qv
+  FROM embeddings
+),
+gs AS (SELECT unnest(generate_series(1, 256)) AS g),
+pe AS (
+  SELECT vec_id, g - 1 AS dim, qv[g] AS val FROM q, gs WHERE g <= len(qv)
+),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k})
+),
+cd0 AS MATERIALIZED (
+  SELECT s.j, p.dim, p.val FROM seeds s JOIN pe p USING (vec_id)
+)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+dist{t} AS MATERIALIZED (
+  SELECT p.vec_id, c.j,
+         CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT) AS d
+  FROM pe p JOIN cd{t - 1} c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.j
+),
+asg{t} AS MATERIALIZED (
+  SELECT vec_id, j, d FROM (
+    SELECT vec_id, j, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+    FROM dist{t}
+  ) r WHERE rn = 1
+),
+cd{t} AS MATERIALIZED (
+  SELECT a.j, p.dim,
+         CAST((2 * CAST(SUM(p.val) AS BIGINT) + COUNT(*))
+              // (2 * COUNT(*)) AS BIGINT) AS val
+  FROM asg{t} a JOIN pe p USING (vec_id) GROUP BY a.j, p.dim
+)"""
+    sql += f"""
+SELECT vec_id, CAST(j AS INT) AS cluster, d AS dist
+FROM asg{iters} ORDER BY vec_id"""
     return sql
 
 
@@ -3062,6 +3141,7 @@ WHERE NOT EXISTS (
 ORDER BY a, b""",
         "mis": _mis_oracle(),
         "anf": _anf_oracle(),
+        "kmeans": _kmeans_oracle(),
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),

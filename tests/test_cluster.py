@@ -1,0 +1,106 @@
+"""Integer-grid Lloyd k-means (functions/cluster.py) vs a sequential
+numpy-free replay of the identical integer recurrence."""
+
+import math
+import random
+
+import pytest
+
+from parconnect_spark.functions.cluster import (
+    QUANT_SCALE,
+    QUANT_SHIFT,
+    kmeans_quantized,
+    quantize_grid,
+)
+
+
+def _grid(vec, scale=QUANT_SCALE, shift=QUANT_SHIFT):
+    return [math.floor(x * scale + 0.5) + shift for x in vec]
+
+
+def kmeans_brute(rows, k, iters):
+    """Sequential replay: same grid, same (dist, j) argmin, same
+    (2s+n)//(2n) integer centroid update, same empty-cluster drop."""
+    pts = {vid: _grid(vec) for vid, vec in rows}
+    seeds = sorted(pts)[:k]
+    cents = [(j, pts[v]) for j, v in enumerate(seeds)]
+    asg = {}
+    for _ in range(iters):
+        asg = {}
+        for vid, q in pts.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q, c)), j) for j, c in cents
+            )
+            asg[vid] = (best[1], best[0])
+        by_j = {}
+        for vid, (j, _d) in asg.items():
+            by_j.setdefault(j, []).append(pts[vid])
+        cents = [
+            (
+                j,
+                [
+                    (2 * sum(v[d] for v in vs) + len(vs)) // (2 * len(vs))
+                    for d in range(len(vs[0]))
+                ],
+            )
+            for j, vs in sorted(by_j.items())
+        ]
+    return {vid: (j, d) for vid, (j, d) in asg.items()}, cents
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(vid, vec) for vid, vec in rows], "vec_id long, embedding array<float>"
+    )
+
+
+def test_kmeans_matches_replay(spark):
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(60)
+    ]
+    df = _mk(spark, rows)
+    asg, cents = kmeans_quantized(df, k=4, iters=3)
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in asg.collect()}
+    # replay on the engine's own grid values (float32 storage rounds the
+    # inputs; read them back so both sides quantize identical doubles)
+    stored = {
+        r["vec_id"]: list(r["embedding"]) for r in df.collect()
+    }
+    want, want_cents = kmeans_brute(sorted(stored.items()), k=4, iters=3)
+    assert got == want
+    assert [(j, list(c)) for j, c in cents] == [
+        (j, list(c)) for j, c in want_cents
+    ]
+
+
+def test_kmeans_separated_blobs(spark):
+    # two well-separated blobs, k=2: the partition must match the blobs.
+    rng = random.Random(7)
+    rows = [(i, [0.4 + rng.uniform(-0.01, 0.01)] * 4) for i in range(10)] + [
+        (100 + i, [-0.4 + rng.uniform(-0.01, 0.01)] * 4) for i in range(10)
+    ]
+    asg, _ = kmeans_quantized(_mk(spark, rows), k=2, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[100 + i] for i in range(10)}) == 1
+    assert got[0] != got[100]
+
+
+def test_kmeans_partition_invariant(spark):
+    import pyspark.sql.functions as F
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(6)]) for i in range(40)]
+    df = _mk(spark, rows)
+    a, _ = kmeans_quantized(df, k=3, iters=2)
+    b, _ = kmeans_quantized(df.orderBy(F.rand(seed=2)).repartition(7), k=3, iters=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kmeans_rejects_bad_params(spark):
+    df = _mk(spark, [(0, [0.1, 0.2])])
+    with pytest.raises(ValueError):
+        kmeans_quantized(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_quantized(df, k=1, iters=0)
