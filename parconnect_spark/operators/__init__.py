@@ -15,6 +15,7 @@ from parconnect_spark.operators.derive import (
     transcripts_to_entity_turns,
     derive_edges,
     derive_directed_string_edges,
+    derive_weighted_undirected_edges,
     verify_text_invariant,
 )
 from parconnect_spark.operators.events import (
@@ -39,6 +40,7 @@ __all__ = [
     "transcripts_to_entity_turns",
     "derive_edges",
     "derive_directed_string_edges",
+    "derive_weighted_undirected_edges",
     "verify_text_invariant",
     "sessionize",
     "session_rollup",

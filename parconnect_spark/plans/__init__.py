@@ -27,6 +27,13 @@ from parconnect_spark.plans.hits import hits
 from parconnect_spark.plans.kcore import kcore, coreness
 from parconnect_spark.plans.linkpred import link_prediction
 from parconnect_spark.plans.walks import random_walks
+from parconnect_spark.plans.msf import boruvka_msf
+from parconnect_spark.plans.mis import luby_mis
+from parconnect_spark.plans.anf import (
+    neighborhood_registers,
+    anf_estimates,
+    neighborhood_function,
+)
 
 __all__ = [
     "connected_components",
@@ -54,4 +61,9 @@ __all__ = [
     "coreness",
     "link_prediction",
     "random_walks",
+    "boruvka_msf",
+    "luby_mis",
+    "neighborhood_registers",
+    "anf_estimates",
+    "neighborhood_function",
 ]
