@@ -61,6 +61,10 @@ ANF_P = 6
 # the identical integer recurrence)
 KMEANS_K = 8
 KMEANS_ITERS = 4
+# hopping-window contract: 24 h windows sliding every 12 h (each event in
+# exactly 2 windows); all window arithmetic in exact int64 microseconds
+HOP_SIZE_US = 86_400_000_000
+HOP_SLIDE_US = 43_200_000_000
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -1667,6 +1671,23 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_events_hopping(spark, sf_dir):
+    """Hopping (overlapping) window rollup (operators/events.hopping_rollup):
+    24 h windows every 12 h, so each event lands in exactly two — the
+    sliding-aggregation shape a tumbling GROUP BY can't express. One
+    2-row explode + one map-side-combined aggregate; window membership is
+    pure int64 µs arithmetic, bit-identical to the oracle's."""
+    from parconnect_spark.operators.events import hopping_rollup
+
+    _views(spark, sf_dir, ("events",))
+    out = hopping_rollup(
+        spark.table("events"),
+        size_us=HOP_SIZE_US,
+        slide_us=HOP_SLIDE_US,
+    )
+    return out.orderBy("window_start_us", "event_type")
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-based sessionization rollup (operators/events.session_rollup):
     one hash shuffle on user_id, one ordered window pass (lag → gap flag →
@@ -1794,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "events_rollup": _q_events_rollup,
+        "events_hopping": _q_events_hopping,
         "sessions": _q_sessions,
         "events_asof": _q_events_asof,
     }
@@ -3610,6 +3632,17 @@ FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         "events_rollup": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type""",
+        # hopping windows: event at t belongs to windows i·S for
+        # i = t//S - j, j < size/slide — pure int64 µs floor division on
+        # non-negative epochs, identical on both engines.
+        "events_hopping": f"""
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS t FROM events),
+js AS (SELECT unnest(generate_series(0, {HOP_SIZE_US // HOP_SLIDE_US - 1})) AS j)
+SELECT (t // {HOP_SLIDE_US} - j.j) * {HOP_SLIDE_US} AS window_start_us,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM e, js j
+GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
         # sessions: the gap rule runs on exact integer microseconds on both
         # sides (epoch_us here, unix_micros in Spark) and the duration is
         # INTEGER-divided — double-seconds epochs round differently across

@@ -195,3 +195,56 @@ def asof_join(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def hopping_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    size_us: int = 86_400_000_000,
+    slide_us: int = 43_200_000_000,
+    key_cols: tuple = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (overlapping) window aggregation — the sliding-window
+    staple tumbling GROUP BYs can't express: every event lands in
+    ``size_us / slide_us`` windows.
+
+    Returns DataFrame[window_start_us: long, *key_cols, n: long,
+    sum_value: double] — one row per (window, keys) with the event count
+    and ROUND(SUM(value), 4).
+
+    Determinism (NOTES.md round-5 rules): window assignment is pure int64
+    microsecond arithmetic — ``i = t div slide`` indexes the latest
+    window containing t and the explode walks the ``m = size/slide``
+    covering indices, so engines can never disagree on membership.
+    Timestamps must be non-negative epochs (true of any real event table)
+    so integer division is floor division in every engine — the
+    shift-positive rule, stated instead of reasoning about
+    truncate-vs-floor on negatives.
+
+    Physical plan: one narrow explode (m rows per event, m is small — 2
+    for the classic half-overlap) + one map-side-combined hash aggregate.
+    No windows, no range joins: a viral (window, key) cell is an
+    AQE-splittable aggregation key, never a serialized window partition.
+    ``size_us`` must be a multiple of ``slide_us``.
+    """
+    if size_us <= 0 or slide_us <= 0 or size_us % slide_us != 0:
+        raise ValueError("size_us must be a positive multiple of slide_us")
+    m = size_us // slide_us
+    df = events.withColumn("_tus", _ts_us(events, ts_col))
+    idx = F.expr(f"_tus div {slide_us}")
+    df = df.withColumn(
+        "_wi", F.explode(F.array(*[idx - F.lit(j) for j in range(m)]))
+    )
+    return (
+        df.groupBy(
+            (F.col("_wi") * F.lit(slide_us)).alias("window_start_us"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col(value_col).cast("double")), 4).alias(
+                "sum_value"
+            ),
+        )
+    )

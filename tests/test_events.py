@@ -234,3 +234,51 @@ def test_asof_property_vs_pandas(spark):
         assert got_r == want_r
 
     prop()
+
+
+def test_hopping_rollup_membership_and_counts(spark):
+    from parconnect_spark.operators.events import hopping_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=h), 1.0)
+        for h in (0, 6, 11, 12, 13, 23, 24, 25)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = hopping_rollup(
+        df, size_us=86_400_000_000, slide_us=43_200_000_000
+    ).collect()
+    got = {(r["window_start_us"], r["event_type"]): r["n"] for r in out}
+    # brute force: event at t belongs to windows [i*S, i*S + W) covering t
+    S, W = 43_200_000_000, 86_400_000_000
+    want = {}
+    for _et, ts, _v in rows:
+        t = int(ts.timestamp() * 1_000_000)
+        i = t // S
+        for j in range(W // S):
+            want[((i - j) * S, "a")] = want.get(((i - j) * S, "a"), 0) + 1
+    assert got == want
+    # every event counted exactly W/S times across windows
+    assert sum(got.values()) == len(rows) * (W // S)
+
+
+def test_hopping_rollup_tumbling_degenerates(spark):
+    from parconnect_spark.operators.events import hopping_rollup
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [("x", base + dt.timedelta(hours=3 * i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    # size == slide: plain tumbling — totals match a direct GROUP BY
+    out = hopping_rollup(df, size_us=21_600_000_000, slide_us=21_600_000_000)
+    assert out.agg(F.sum("n")).first()[0] == len(rows)
+
+
+def test_hopping_rollup_rejects_nonmultiple(spark):
+    from parconnect_spark.operators.events import hopping_rollup
+
+    df = spark.createDataFrame(
+        [("x", dt.datetime(2024, 1, 1), 0.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError):
+        hopping_rollup(df, size_us=100, slide_us=33)
