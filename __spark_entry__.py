@@ -65,6 +65,8 @@ KMEANS_ITERS = 4
 # exactly 2 windows); all window arithmetic in exact int64 microseconds
 HOP_SIZE_US = 86_400_000_000
 HOP_SLIDE_US = 43_200_000_000
+# retention contract: weekly activity buckets (int64 µs floor division)
+RETENTION_BUCKET_US = 7 * 86_400_000_000
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -1688,6 +1690,20 @@ def _q_events_hopping(spark, sf_dir):
     return out.orderBy("window_start_us", "event_type")
 
 
+def _q_retention(spark, sf_dir):
+    """Weekly retention cohorts (operators/events.retention_cohorts):
+    distinct (user, week) activity + a self equi-join against the
+    previous week — exact counts, int64 µs bucket arithmetic, the rate is
+    the one rounded double (NULL where no predecessor bucket exists)."""
+    from parconnect_spark.operators.events import retention_cohorts
+
+    _views(spark, sf_dir, ("events",))
+    out = retention_cohorts(
+        spark.table("events"), bucket_us=RETENTION_BUCKET_US
+    )
+    return out.orderBy("bucket_start_us")
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-based sessionization rollup (operators/events.session_rollup):
     one hash shuffle on user_id, one ordered window pass (lag → gap flag →
@@ -1816,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "events_rollup": _q_events_rollup,
         "events_hopping": _q_events_hopping,
+        "retention": _q_retention,
         "sessions": _q_sessions,
         "events_asof": _q_events_asof,
     }
@@ -3643,6 +3660,27 @@ SELECT (t // {HOP_SLIDE_US} - j.j) * {HOP_SLIDE_US} AS window_start_us,
        ROUND(SUM(value), 4) AS sum_value
 FROM e, js j
 GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+        # retention: distinct (user, week) activity, self-join vs week-1;
+        # exact counts, one rounded double; NULL rate where no predecessor
+        # bucket appears in the data (division by a NULL prev count).
+        "retention": f"""
+WITH a AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // {RETENTION_BUCKET_US} AS b
+  FROM events
+),
+na AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_active FROM a GROUP BY b),
+ret AS (
+  SELECT a.b, CAST(COUNT(*) AS BIGINT) AS n_retained
+  FROM a JOIN a p ON p.u = a.u AND p.b = a.b - 1
+  GROUP BY a.b
+)
+SELECT na.b * {RETENTION_BUCKET_US} AS bucket_start_us, na.n_active,
+       COALESCE(ret.n_retained, 0) AS n_retained,
+       ROUND(COALESCE(ret.n_retained, 0) / np.n_active, 6) AS retention_rate
+FROM na
+LEFT JOIN ret ON ret.b = na.b
+LEFT JOIN na np ON np.b = na.b - 1
+ORDER BY bucket_start_us""",
         # sessions: the gap rule runs on exact integer microseconds on both
         # sides (epoch_us here, unix_micros in Spark) and the duration is
         # INTEGER-divided — double-seconds epochs round differently across

@@ -248,3 +248,60 @@ def hopping_rollup(
             ),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Period-over-period retention — the product-analytics rollup behind
+    "weekly active users, and how many were here last week".
+
+    Returns DataFrame[bucket_start_us: long, n_active: long,
+    n_retained: long, retention_rate: double] — per activity bucket, the
+    distinct active users, how many of them were also active in the
+    IMMEDIATELY PRECEDING bucket, and retained / previous-bucket-active
+    rounded to 6dp (NULL for a bucket with no predecessor in the data).
+
+    Determinism: bucket membership is int64 µs floor division on
+    non-negative epochs (the hopping_rollup rule); counts are exact; the
+    rate is the one rounded double.
+
+    Physical plan: one distinct over (user, bucket) — map-side combined —
+    then a self equi-join on (user, bucket+1) and two hash aggregates.
+    No windows: a viral bucket is an AQE-splittable join/aggregation key.
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    df = events.withColumn("_tus", _ts_us(events, ts_col))
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"_tus div {bucket_us}").alias("b"),
+        )
+        .distinct()
+    )
+    n_active = active.groupBy("b").agg(F.count(F.lit(1)).alias("n_active"))
+    prev = active.select("u", (F.col("b") + 1).alias("b"))
+    retained = (
+        active.join(prev, ["u", "b"], "left_semi")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    n_prev = n_active.select(
+        (F.col("b") + 1).alias("b"), F.col("n_active").alias("_n_prev")
+    )
+    return (
+        n_active.join(retained, "b", "left")
+        .join(n_prev, "b", "left")
+        .select(
+            (F.col("b") * F.lit(bucket_us)).alias("bucket_start_us"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)) / F.col("_n_prev"), 6
+            ).alias("retention_rate"),
+        )
+    )

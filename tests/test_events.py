@@ -282,3 +282,39 @@ def test_hopping_rollup_rejects_nonmultiple(spark):
     )
     with pytest.raises(ValueError):
         hopping_rollup(df, size_us=100, slide_us=33)
+
+
+def test_retention_cohorts_hand_case(spark):
+    from parconnect_spark.operators.events import retention_cohorts
+
+    B = 7 * 86_400_000_000
+    base = dt.datetime(2024, 1, 4)  # mid-bucket somewhere
+    rows = []
+    # week w0: users 1,2,3 ; w1: users 2,3,4,5 ; w2: user 5 ; w4: user 5
+    for u in (1, 2, 3):
+        rows.append((u, base))
+    for u in (2, 3, 4, 5):
+        rows.append((u, base + dt.timedelta(days=7)))
+    rows.append((5, base + dt.timedelta(days=14)))
+    rows.append((5, base + dt.timedelta(days=28)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["bucket_start_us"]: (r["n_active"], r["n_retained"], r["retention_rate"])
+        for r in retention_cohorts(df, bucket_us=B).collect()
+    }
+    b0 = (int(base.timestamp() * 1_000_000)) // B
+    assert out[b0 * B] == (3, 0, None)  # no predecessor bucket in data
+    assert out[(b0 + 1) * B] == (4, 2, round(2 / 3, 6))
+    assert out[(b0 + 2) * B] == (1, 1, 0.25)
+    # gap week: bucket b0+4 has no predecessor data -> rate NULL, retained 0
+    assert out[(b0 + 4) * B] == (1, 0, None)
+
+
+def test_retention_cohorts_dedupes_events(spark):
+    from parconnect_spark.operators.events import retention_cohorts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(hours=h)) for h in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = retention_cohorts(df).collect()
+    assert len(out) == 1 and out[0]["n_active"] == 1
