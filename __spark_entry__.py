@@ -67,6 +67,9 @@ HOP_SIZE_US = 86_400_000_000
 HOP_SLIDE_US = 43_200_000_000
 # retention contract: weekly activity buckets (int64 µs floor division)
 RETENTION_BUCKET_US = 7 * 86_400_000_000
+# synchronous Louvain move rounds (plans/louvain.py): compared at a fixed
+# round count like pagerank/labelprop; gains are exact integer comparisons
+LOUVAIN_ROUNDS = 2
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -758,6 +761,34 @@ def _q_msf(spark, sf_dir):
             F.col("a_name").alias("a"), F.col("b_name").alias("b"), "weight"
         )
         .orderBy("a", "b")
+    )
+
+
+def _q_louvain(spark, sf_dir):
+    """Synchronous Louvain move phase (plans/louvain.py) over the
+    co-occurrence-weighted undirected entity graph — the
+    modularity-OPTIMIZING community step beside labelprop (plain
+    propagation), community_graph (the contraction level) and modularity
+    (the scoring aggregate). Gains compare as exact integers
+    (2m·k_in − k·Σtot'), ties to the smallest community id; the oracle
+    unrolls the same LOUVAIN_ROUNDS synchronous rounds."""
+    from parconnect_spark.operators.derive import derive_weighted_undirected_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.louvain import louvain_move
+
+    t = _transcripts(spark, sf_dir)
+    wu = derive_weighted_undirected_edges(t)
+    edges, id_map = relabel_edges(wu, "a", "b", keep_cols=("weight",))
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    cm, _m2 = louvain_move(sym, rounds=LOUVAIN_ROUNDS)
+    return (
+        cm.join(id_map, cm["v"] == id_map["id"])
+        .select("name", F.col("c").alias("community"))
+        .orderBy("name")
     )
 
 
@@ -1773,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": _q_msf,
         "mis": _q_mis,
         "anf": _q_anf,
+        "louvain": _q_louvain,
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
@@ -2242,6 +2274,78 @@ SELECT i.name AS name, nz AS nonzero_regs, raw_sum,
                   THEN {float(m)!r} * LN({float(m)!r} / ({m} - nz))
                   ELSE est_raw END, 4) AS estimate
 FROM fin JOIN ids i ON i.id = fin.v
+ORDER BY name"""
+    return sql
+
+
+def _louvain_oracle(rounds: int = None) -> str:
+    """Unrolled synchronous Louvain move rounds (plans/louvain.py
+    semantics): per round k_in per (vertex, neighbour community), Σtot per
+    community, exact-integer gains G = m2·kin − k·(tot − k·[cc = c]), and
+    ROW_NUMBER(ORDER BY g DESC, cc) = the engine's max(struct(g, −cc))
+    argmax; a vertex moves only on a STRICT improvement over its stay
+    gain. Every SUM is cast back to BIGINT (DuckDB widens to HUGEINT)."""
+    rounds = LOUVAIN_ROUNDS if rounds is None else rounds
+    sql = _GRAPH_PREFIX + """,
+wund2 AS MATERIALIZED (
+  SELECT s.id AS a, d.id AS b, CAST(COUNT(*) AS BIGINT) AS wt
+  FROM (SELECT LEAST(a, b) AS na, GREATEST(a, b) AS nb
+        FROM pairs WHERE a <> b) p
+  JOIN ids s ON p.na = s.name JOIN ids d ON p.nb = d.name
+  GROUP BY s.id, d.id
+),
+wsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, wt FROM wund2
+  UNION ALL
+  SELECT b AS src, a AS dst, wt FROM wund2
+),
+wdeg AS MATERIALIZED (
+  SELECT src AS v, CAST(SUM(wt) AS BIGINT) AS k FROM wsym GROUP BY src
+),
+msum AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM wdeg),
+cm0 AS MATERIALIZED (SELECT v, v AS c FROM wdeg)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+kin{r} AS MATERIALIZED (
+  SELECT e.src AS v, cm.c AS cc, CAST(SUM(e.wt) AS BIGINT) AS kin
+  FROM wsym e JOIN cm{r - 1} cm ON cm.v = e.dst GROUP BY e.src, cm.c
+),
+tot{r} AS MATERIALIZED (
+  SELECT cm.c AS cc, CAST(SUM(d.k) AS BIGINT) AS tot
+  FROM cm{r - 1} cm JOIN wdeg d ON d.v = cm.v GROUP BY cm.c
+),
+cand{r} AS MATERIALIZED (
+  SELECT v, cc, MAX(kin) AS kin FROM (
+    SELECT v, cc, kin FROM kin{r}
+    UNION ALL
+    SELECT v, c AS cc, CAST(0 AS BIGINT) AS kin FROM cm{r - 1}
+  ) u GROUP BY v, cc
+),
+g{r} AS MATERIALIZED (
+  SELECT cd.v, cd.cc, cm.c,
+         m.m2 * cd.kin
+         - d.k * (t.tot - CASE WHEN cd.cc = cm.c THEN d.k ELSE 0 END) AS g
+  FROM cand{r} cd
+  JOIN cm{r - 1} cm ON cm.v = cd.v
+  JOIN wdeg d ON d.v = cd.v
+  JOIN tot{r} t ON t.cc = cd.cc, msum m
+),
+best{r} AS MATERIALIZED (
+  SELECT v, cc AS c_best, g AS g_best FROM (
+    SELECT v, cc, g,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY g DESC, cc) AS rn
+    FROM g{r} WHERE cc <> c
+  ) x WHERE rn = 1
+),
+cm{r} AS MATERIALIZED (
+  SELECT s.v,
+         CASE WHEN b.g_best > s.g THEN b.c_best ELSE s.c END AS c
+  FROM (SELECT v, c, g FROM g{r} WHERE cc = c) s
+  LEFT JOIN best{r} b ON b.v = s.v
+)"""
+    sql += f"""
+SELECT i.name AS name, cm.c AS community
+FROM cm{rounds} cm JOIN ids i ON i.id = cm.v
 ORDER BY name"""
     return sql
 
@@ -3181,6 +3285,7 @@ ORDER BY a, b""",
         "mis": _mis_oracle(),
         "anf": _anf_oracle(),
         "kmeans": _kmeans_oracle(),
+        "louvain": _louvain_oracle(),
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
