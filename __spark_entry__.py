@@ -70,6 +70,9 @@ RETENTION_BUCKET_US = 7 * 86_400_000_000
 # synchronous Louvain move rounds (plans/louvain.py): compared at a fixed
 # round count like pagerank/labelprop; gains are exact integer comparisons
 LOUVAIN_ROUNDS = 2
+# fixed unroll for the maximal-matching oracle: rounds past the empty live
+# set are no-ops; sf0.01 finishes in 2 rounds, 5 is headroom
+MATCHING_ORACLE_ROUNDS = 5
 # densest-subgraph peel: (1+eps)*avg-degree batch removal, O(log n) rounds
 # (sf0.01 empties in 2; unroll 6 — empty tail rounds contribute no stats)
 DENSEST_EPSILON = 0.1
@@ -759,6 +762,32 @@ def _q_msf(spark, sf_dir):
         .join(ib, "b")
         .select(
             F.col("a_name").alias("a"), F.col("b_name").alias("b"), "weight"
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _q_matching(spark, sf_dir):
+    """Locally-minimum maximal matching (plans/matching.py) over the
+    undirected entity graph. Fixed portable md5 edge priorities make the
+    fixpoint equal the sequential greedy matching in (p, a, b) order
+    (tested against exactly that independent algorithm); the oracle
+    replays the parallel rounds (MATCHING_ORACLE_ROUNDS unroll — no-op
+    once the live edge set empties; sf0.01 finishes in 2)."""
+    from parconnect_spark.plans.matching import maximal_matching
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    m, _rounds = maximal_matching(und)
+    ia = id_map.select(F.col("id").alias("a"), F.col("name").alias("a_name"))
+    ib = id_map.select(F.col("id").alias("b"), F.col("name").alias("b_name"))
+    return (
+        m.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            F.col("a_name").alias("a"), F.col("b_name").alias("b"), "round"
         )
         .orderBy("a", "b")
     )
@@ -1805,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "anf": _q_anf,
         "louvain": _q_louvain,
+        "matching": _q_matching,
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "pseudo_diameter": _q_pseudo_diameter,
@@ -2347,6 +2377,57 @@ cm{r} AS MATERIALIZED (
 SELECT i.name AS name, cm.c AS community
 FROM cm{rounds} cm JOIN ids i ON i.id = cm.v
 ORDER BY name"""
+    return sql
+
+
+def _matching_oracle(rounds: int = None) -> str:
+    """Unrolled locally-minimum matching rounds: per round the per-vertex
+    minimum incident edge key (p, a, b) via ROW_NUMBER — the engine's
+    lexicographic min(struct) — then the both-endpoints test and the
+    retirement of matched vertices' edges. Priorities are FIXED (computed
+    once in le0), exactly like the engine."""
+    rounds = MATCHING_ORACLE_ROUNDS if rounds is None else rounds
+    fold = _md5int_duck(
+        "'match:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 1, 15
+    )
+    sql = _GRAPH_PREFIX + f""",
+le0 AS MATERIALIZED (
+  SELECT src AS a, dst AS b, {fold} AS p
+  FROM (SELECT src, dst FROM undl) e0
+)"""
+    for r in range(rounds):
+        sql += f""",
+vmin{r} AS MATERIALIZED (
+  SELECT v, a, b FROM (
+    SELECT v, p, a, b,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY p, a, b) AS rn
+    FROM (
+      SELECT a AS v, p, a, b FROM le{r}
+      UNION ALL
+      SELECT b AS v, p, a, b FROM le{r}
+    ) i
+  ) x WHERE rn = 1
+),
+mt{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM le{r} e
+  JOIN vmin{r} va ON va.v = e.a AND va.a = e.a AND va.b = e.b
+  JOIN vmin{r} vb ON vb.v = e.b AND vb.a = e.a AND vb.b = e.b
+),
+mv{r} AS MATERIALIZED (
+  SELECT a AS v FROM mt{r} UNION SELECT b AS v FROM mt{r}
+),
+le{r + 1} AS MATERIALIZED (
+  SELECT a, b, p FROM le{r}
+  WHERE a NOT IN (SELECT v FROM mv{r}) AND b NOT IN (SELECT v FROM mv{r})
+)"""
+    unions = " UNION ALL ".join(
+        f"SELECT a, b, {r} AS round FROM mt{r}" for r in range(rounds)
+    )
+    sql += f""",
+allm AS ({unions})
+SELECT ia.name AS a, ib.name AS b, CAST(m.round AS INT) AS round
+FROM allm m JOIN ids ia ON ia.id = m.a JOIN ids ib ON ib.id = m.b
+ORDER BY a, b"""
     return sql
 
 
@@ -3286,6 +3367,7 @@ ORDER BY a, b""",
         "anf": _anf_oracle(),
         "kmeans": _kmeans_oracle(),
         "louvain": _louvain_oracle(),
+        "matching": _matching_oracle(),
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
