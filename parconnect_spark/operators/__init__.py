@@ -22,6 +22,8 @@ from parconnect_spark.operators.events import (
     sessionize,
     session_rollup,
     asof_join,
+    hopping_rollup,
+    retention_cohorts,
 )
 
 __all__ = [
@@ -45,4 +47,6 @@ __all__ = [
     "sessionize",
     "session_rollup",
     "asof_join",
+    "hopping_rollup",
+    "retention_cohorts",
 ]

@@ -28,6 +28,8 @@ from parconnect_spark.plans.kcore import kcore, coreness
 from parconnect_spark.plans.linkpred import link_prediction
 from parconnect_spark.plans.walks import random_walks
 from parconnect_spark.plans.msf import boruvka_msf
+from parconnect_spark.plans.matching import maximal_matching
+from parconnect_spark.plans.louvain import louvain_move
 from parconnect_spark.plans.mis import luby_mis
 from parconnect_spark.plans.anf import (
     neighborhood_registers,
@@ -62,6 +64,8 @@ __all__ = [
     "link_prediction",
     "random_walks",
     "boruvka_msf",
+    "maximal_matching",
+    "louvain_move",
     "luby_mis",
     "neighborhood_registers",
     "anf_estimates",
