@@ -40,6 +40,16 @@ KCORE_ORACLE_ROUNDS = 16
 # entity graph converges in 2 rounds (measured; max coreness 14); 8 is
 # asserted-ample headroom.
 CORENESS_ORACLE_ROUNDS = 8
+# Katz centrality: exact int64 fixed point (plans/katz.py) — alpha_inv of
+# the order of the hub in-degree (1513 at sf0.1), so the truncated series
+# contracts and the recurrence stays far inside int64 (measured max
+# 2.53e6 at K=6, sf0.1)
+KATZ_ITERS = 6
+KATZ_ALPHA_INV = 1000
+# First-touch funnel over the events table: step chain within 7 days of
+# the signup anchor (150 -> 139 -> 117 -> 85 users at sf0.01)
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_WITHIN_S = 7 * 86_400
 # fixed unroll for the Brandes betweenness oracle: exact when >= the true
 # BFS depth from the source sample (measured 2 at sf0.01; empty tail
 # levels are no-op CTEs)
@@ -490,6 +500,28 @@ def _q_hits(spark, sf_dir):
             F.round("hub", 6).alias("hub"),
             F.round("authority", 6).alias("authority"),
         )
+        .orderBy("name")
+    )
+
+
+def _q_katz(spark, sf_dir):
+    """Katz centrality over the DIRECTED entity graph (plans/katz.py):
+    truncated path counting in exact int64 fixed point — β=1, α=1/1000,
+    floor division per hop as declared semantics, so ``katz6`` is an
+    exact-hash column (a Σ of int64 is partition-order-free where the
+    textbook double recurrence is not) and the oracle replays the
+    identical unrolled integer recurrence."""
+    from parconnect_spark.operators.derive import derive_directed_string_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.katz import katz
+
+    t = _transcripts(spark, sf_dir)
+    directed = derive_directed_string_edges(t)
+    edges, id_map = relabel_edges(directed, "a", "b")
+    scores = katz(edges, num_iters=KATZ_ITERS, alpha_inv=KATZ_ALPHA_INV)
+    return (
+        scores.join(id_map, scores["v"] == id_map["id"])
+        .select("name", "katz6", "katz")
         .orderBy("name")
     )
 
@@ -1764,6 +1796,35 @@ def _q_retention(spark, sf_dir):
     return out.orderBy("bucket_start_us")
 
 
+def _q_funnel(spark, sf_dir):
+    """First-touch funnel (operators/events.funnel): signup → view →
+    click → purchase, each step strictly after the previous step's
+    earliest qualifying event and within 7 days of the signup anchor.
+    K−1 shrinking equi-joins + MIN aggregates — no per-user ordered
+    window; all time arithmetic exact int64 µs."""
+    from parconnect_spark.operators.events import funnel
+
+    _views(spark, sf_dir, ("events",))
+    out = funnel(
+        spark.table("events"),
+        steps=FUNNEL_STEPS,
+        within_seconds=FUNNEL_WITHIN_S,
+    )
+    return out.orderBy("step_idx")
+
+
+def _q_lm_score(spark, sf_dir):
+    """Per-document NLL under the corpus's own bigram LM
+    (functions/text.lm_score) — the CCNet-style perplexity quality
+    filter. ``nll6`` is the exact int64 Σ of per-bigram
+    round(−ln(p)·10^6) (the tfidf integer-ranking discipline), ``ppl``
+    the one derived double."""
+    from parconnect_spark.functions.text import lm_score
+
+    _views(spark, sf_dir, ("documents",))
+    return lm_score(spark.table("documents")).orderBy("doc_id")
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-based sessionization rollup (operators/events.session_rollup):
     one hash shuffle on user_id, one ordered window pass (lag → gap flag →
@@ -1844,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "scc": _q_scc,
         "hits": _q_hits,
+        "katz": _q_katz,
         "link_prediction": _q_link_prediction,
         "kcore": _q_kcore,
         "coreness": _q_coreness,
@@ -1877,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "tfidf_topk": _q_tfidf,
         "bigram_lm": _q_bigram_lm,
+        "lm_score": _q_lm_score,
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
         "sample_k": _q_sample_k,
@@ -1896,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping": _q_events_hopping,
         "retention": _q_retention,
         "sessions": _q_sessions,
+        "funnel": _q_funnel,
         "events_asof": _q_events_asof,
     }
 
@@ -2041,6 +2105,81 @@ h{k} AS (
         f"\nFROM ids i JOIN h{iters} h ON h.v = i.id"
         f" JOIN a{iters} a ON a.v = i.id ORDER BY name"
     )
+    return sql
+
+
+def _katz_oracle(
+    iters: int = KATZ_ITERS, alpha_inv: int = KATZ_ALPHA_INV
+) -> str:
+    """Unrolled Katz fixed-point recurrence (plans/katz.py semantics,
+    exactly): s_1 = 10^6, s_k = 10^6 + (Σ in-neighbor s_{k-1}) // alpha_inv
+    — every intermediate an exact non-negative int64, so ``//`` (floor)
+    here ≡ Spark's ``div`` (truncate). Each CTE is referenced once
+    (linear expansion; the hits-oracle lesson)."""
+    sql = _GRAPH_PREFIX + """,
+dedges AS (
+  SELECT DISTINCT s.id AS src, d.id AS dst
+  FROM pairs p JOIN ids s ON p.a = s.name JOIN ids d ON p.b = d.name
+  WHERE p.a <> p.b
+),
+ks1 AS (SELECT id AS v, CAST(1000000 AS BIGINT) AS s FROM ids)"""
+    for k in range(2, iters + 1):
+        sql += f""",
+kr{k} AS (
+  SELECT e.dst AS v, CAST(SUM(p.s) AS BIGINT) AS si
+  FROM dedges e JOIN ks{k - 1} p ON e.src = p.v GROUP BY e.dst
+),
+ks{k} AS (
+  SELECT i.id AS v,
+         CAST(1000000 + COALESCE(r.si, 0) // {alpha_inv} AS BIGINT) AS s
+  FROM ids i LEFT JOIN kr{k} r ON r.v = i.id
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, k.s AS katz6,"
+        f" CAST(k.s AS DOUBLE) / 1000000 AS katz"
+        f"\nFROM ids i JOIN ks{iters} k ON k.v = i.id ORDER BY name"
+    )
+    return sql
+
+
+def _funnel_oracle(
+    steps: tuple = FUNNEL_STEPS, within_s: int = FUNNEL_WITHIN_S
+) -> str:
+    """Chained first-touch funnel (operators/events.funnel semantics,
+    exactly): step k = MIN qualifying event strictly after step k-1's
+    time and at-or-before the signup-anchored deadline, all in int64 µs.
+    Every fk is MATERIALIZED (referenced by the next step AND its own
+    count)."""
+    win_us = within_s * 1_000_000
+    sql = f"""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS us FROM events
+),
+f1 AS MATERIALIZED (
+  SELECT u, MIN(us) AS t, MIN(us) + {win_us} AS dl
+  FROM ev WHERE ty = '{steps[0]}' GROUP BY u
+)"""
+    for i, st in enumerate(steps[1:], start=2):
+        sql += f""",
+f{i} AS MATERIALIZED (
+  SELECT e.u, MIN(e.us) AS t, MIN(s.dl) AS dl
+  FROM ev e JOIN f{i - 1} s
+    ON e.u = s.u AND e.us > s.t AND e.us <= s.dl
+  WHERE e.ty = '{st}' GROUP BY e.u
+)"""
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{st}' AS step,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM f{i + 1}) AS n_users"
+        for i, st in enumerate(steps)
+    )
+    sql += f""",
+srows AS (
+  {unions}
+)
+SELECT step_idx, step, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM f1), 6)
+         AS conversion
+FROM srows ORDER BY step_idx"""
     return sql
 
 
@@ -3330,6 +3469,8 @@ SELECT i.name AS name, CAST(LEAST(i.id, COALESCE(MIN(m.u), i.id)) AS BIGINT) AS 
 FROM ids i LEFT JOIN mutual m ON m.v = i.id
 GROUP BY i.name, i.id ORDER BY name""",
         "hits": _hits_oracle(),
+        "katz": _katz_oracle(),
+        "funnel": _funnel_oracle(),
         "link_prediction": _linkpred_oracle(),
         "kcore": _kcore_oracle(),
         "coreness": _coreness_oracle(),
@@ -3693,6 +3834,37 @@ FROM ex e JOIN sc s ON s.vec_id = e.vec_id
 ORDER BY e.vec_id, e.dim""",
         "sketch_counts": _cms_oracle(),
         "sketch_distinct": _hll_oracle(),
+        # lm_score: the per-bigram −ln(p)·10^6 is rounded to an int64 by
+        # the IDENTICAL expression on both engines (non-negative, so
+        # HALF_UP ≡ half-away-from-zero), and the document aggregate is an
+        # exact int64 Σ — the tfidf_topk integer discipline. ``big`` is
+        # MATERIALIZED: referenced by the LM build AND the scoring join.
+        "lm_score": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w1
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents)
+),
+big AS MATERIALIZED (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+lm AS (
+  SELECT a.w1, a.w2,
+         CAST(ROUND(-LN(CAST(a.c12 AS DOUBLE) / b.c1) * 1000000) AS BIGINT)
+           AS nll6
+  FROM c12 a JOIN c1 b ON a.w1 = b.w1
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(l.nll6) AS BIGINT) AS nll6,
+       ROUND(EXP(CAST(SUM(l.nll6) AS DOUBLE) / COUNT(*) / 1000000), 6)
+         AS ppl
+FROM big g JOIN lm l ON g.w1 = l.w1 AND g.w2 = l.w2
+GROUP BY g.doc_id ORDER BY g.doc_id""",
         "bigram_lm": f"""
 WITH toks AS (
   SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w1

@@ -334,3 +334,84 @@ def bigram_lm(
             F.round(F.col("c12") / F.col("c1"), 6).alias("p"),
         )
     )
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's OWN bigram
+    language model — the CCNet-style perplexity quality filter, self-scored
+    (documents whose bigrams are unusual for the corpus score high and are
+    filter candidates; boilerplate scores low).
+
+    Returns DataFrame[id_col, n_bigrams: long, nll6: long, ppl: double]
+    for every document with at least one bigram: ``nll6`` is the EXACT
+    integer Σ round(−ln(p(w2|w1))·10^6) over the document's bigrams
+    (p = corpus c12/c1 — never smoothed: self-scoring guarantees every
+    document bigram exists in the corpus table), and
+    ``ppl = exp(nll6 / n_bigrams / 10^6)`` rounded to 6dp is the one
+    derived double.
+
+    Determinism (the tfidf_top_terms discipline): the per-bigram quantity
+    is rounded to an int64 immediately — −ln(·) is non-negative (p ≤ 1),
+    so Spark's HALF_UP and DuckDB's half-away-from-zero ROUND agree — and
+    the document aggregate is an exact int64 Σ, commutative under any
+    partitioning where a Σ of raw doubles is not.
+
+    Scale shape: one window-lead per document (partitioned by doc), two
+    map-side-combined hash aggregates for the LM, one (w1, w2) equi-join
+    back to the document bigrams, one final hash aggregate per doc. The
+    bigram table is scope-persisted (consumed by both the LM build and
+    the scoring join). A stop-bigram's join key is skewed but
+    AQE-splittable; nothing windows over it.
+    """
+    from pyspark.sql import Window
+
+    from parconnect_spark.cache import scoped_persist
+
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("_ts"),
+    ).select(id_col, F.posexplode("_ts").alias("_pos", "w1"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    big = scoped_persist(
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # the EXACT expression the DuckDB oracle replays, via expr() so both
+    # engines parse the same arithmetic tree
+    lm = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            "CAST(ROUND(-LN(CAST(c12 AS DOUBLE) / c1) * 1000000) AS BIGINT)"
+        ).alias("_nll6"),
+    )
+    return (
+        big.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_nll6").alias("nll6"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll6",
+            F.round(
+                F.exp(
+                    F.col("nll6").cast("double")
+                    / F.col("n_bigrams")
+                    / 1_000_000
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )

@@ -23,6 +23,7 @@ from parconnect_spark.operators.events import (
     session_rollup,
     asof_join,
     hopping_rollup,
+    funnel,
     retention_cohorts,
 )
 
@@ -48,5 +49,6 @@ __all__ = [
     "session_rollup",
     "asof_join",
     "hopping_rollup",
+    "funnel",
     "retention_cohorts",
 ]

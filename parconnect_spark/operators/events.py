@@ -305,3 +305,89 @@ def retention_cohorts(
             ).alias("retention_rate"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = ("signup", "view", "click", "purchase"),
+    within_seconds: int | None = 7 * 86_400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel analysis — the product-analytics sequence query
+    ("of the users who signed up, how many then viewed, then clicked,
+    then purchased — in that order, within a week of signup?").
+
+    A user reaches step k if they have an event of type ``steps[k]``
+    STRICTLY AFTER their step-(k-1) completion time, where each step's
+    completion time is the EARLIEST qualifying event (first-touch
+    semantics — the standard product-analytics definition, and the one
+    that makes the result order-deterministic). ``within_seconds`` (None
+    = unbounded) anchors a deadline at the FIRST step's completion: every
+    later step must land at or before ``t_1 + within``.
+
+    Returns DataFrame[step_idx: int, step: string, n_users: long,
+    conversion: double] — one row per step, ``conversion`` =
+    n_users(step)/n_users(step 1) rounded to 6dp.
+
+    Determinism: all time comparisons are exact int64 µs
+    (the sessionize/asof rule); counts are exact; the conversion ratio is
+    the one rounded double.
+
+    Physical plan: step k is one equi-join of the (small, shrinking)
+    per-user step-(k-1) table against the type-filtered event scan plus a
+    map-side-combined MIN aggregate — K-1 joins total for a K-step
+    funnel, never a per-user ordered window over the full history (a bot
+    user's events hash-partition across the join; nothing serializes).
+    The per-step tables shrink monotonically, so AQE upgrades the later
+    joins to broadcasts on its own.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("_ty"),
+        _ts_us(events, ts_col).alias("_us"),
+    )
+    dl_expr = (
+        (F.min("_us") + within_seconds * 1_000_000)
+        if within_seconds is not None
+        else F.lit(None).cast("long")
+    )
+    cur = (
+        ev.where(F.col("_ty") == steps[0])
+        .groupBy("u")
+        .agg(F.min("_us").alias("_t"), dl_expr.alias("_dl"))
+    )
+    counts = [cur.groupBy().agg(F.count(F.lit(1)).alias("n_users"))]
+    for st in steps[1:]:
+        nxt = ev.where(F.col("_ty") == st).withColumnsRenamed(
+            {"_us": "_eus"}
+        )
+        cond = nxt["u"] == cur["u"]
+        joined = nxt.join(cur, cond).where(F.col("_eus") > F.col("_t"))
+        if within_seconds is not None:
+            joined = joined.where(F.col("_eus") <= F.col("_dl"))
+        cur = joined.groupBy(nxt["u"].alias("u")).agg(
+            F.min("_eus").alias("_t"), F.min("_dl").alias("_dl")
+        )
+        counts.append(cur.groupBy().agg(F.count(F.lit(1)).alias("n_users")))
+    rows = counts[0].select(
+        F.lit(1).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_users"
+    )
+    for i, c in enumerate(counts[1:], start=2):
+        rows = rows.unionByName(
+            c.select(
+                F.lit(i).alias("step_idx"),
+                F.lit(steps[i - 1]).alias("step"),
+                "n_users",
+            )
+        )
+    base = counts[0].select(F.col("n_users").alias("_n1"))
+    return rows.crossJoin(F.broadcast(base)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_n1"), 6).alias("conversion"),
+    )

@@ -24,6 +24,7 @@ from parconnect_spark.plans.sssp import sssp
 from parconnect_spark.plans.densest import densest_subgraph
 from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
 from parconnect_spark.plans.hits import hits
+from parconnect_spark.plans.katz import katz
 from parconnect_spark.plans.kcore import kcore, coreness
 from parconnect_spark.plans.linkpred import link_prediction
 from parconnect_spark.plans.walks import random_walks
@@ -59,6 +60,7 @@ __all__ = [
     "should_run_bfs",
     "powerlaw_ks_distance",
     "hits",
+    "katz",
     "kcore",
     "coreness",
     "link_prediction",
