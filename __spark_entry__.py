@@ -50,6 +50,10 @@ KATZ_ALPHA_INV = 1000
 # the signup anchor (150 -> 139 -> 117 -> 85 users at sf0.01)
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 FUNNEL_WITHIN_S = 7 * 86_400
+# Duplicated-span detection: 8-token grams in >= 2 distinct docs (1015
+# duplicated grams across 47 docs at sf0.01 — measured, non-vacuous)
+DUPSPAN_N = 8
+DUPSPAN_MIN_DOCS = 2
 # fixed unroll for the Brandes betweenness oracle: exact when >= the true
 # BFS depth from the source sample (measured 2 at sf0.01; empty tail
 # levels are no-op CTEs)
@@ -663,6 +667,31 @@ def _q_modularity(spark, sf_dir):
     out = modularity(edges, labels)
     return out.select(
         F.round("modularity", 6).alias("modularity"), "n_communities", "two_m"
+    )
+
+
+def _q_conductance(spark, sf_dir):
+    """Per-community conductance of the labelprop_min communities
+    (plans/labelprop.conductance) — the cut-quality score beside
+    modularity: exact int64 cut/volume counts per community, the ratio
+    the one rounded double."""
+    from parconnect_spark.plans.labelprop import conductance, label_propagation
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    # depth 1, the community_graph rationale: deeper lp-min collapses this
+    # graph to one community and the contract would only ever exercise the
+    # whole-graph 0.0 branch
+    labels = label_propagation(edges, num_iters=COMMUNITY_GRAPH_ITERS, rule="min")
+    out = conductance(edges, labels)
+    return (
+        out.join(id_map, out["label"] == id_map["id"])
+        .select(
+            F.col("name").alias("community"),
+            "cut",
+            "volume",
+            F.round("conductance", 6).alias("conductance"),
+        )
+        .orderBy("community")
     )
 
 
@@ -1813,6 +1842,19 @@ def _q_funnel(spark, sf_dir):
     return out.orderBy("step_idx")
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated 8-gram span statistics
+    (functions/dedup.duplicated_spans) — the substring-level dedup signal
+    document-level MinHash misses. Exact per-doc occurrence and
+    coverage counts; the two ratios are the only doubles."""
+    from parconnect_spark.functions.dedup import duplicated_spans
+
+    _views(spark, sf_dir, ("documents",))
+    return duplicated_spans(
+        spark.table("documents"), n=DUPSPAN_N, min_docs=DUPSPAN_MIN_DOCS
+    ).orderBy("doc_id")
+
+
 def _q_lm_score(spark, sf_dir):
     """Per-document NLL under the corpus's own bigram LM
     (functions/text.lm_score) — the CCNet-style perplexity quality
@@ -1914,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
         "modularity": _q_modularity,
+        "conductance": _q_conductance,
         "community_graph": _q_community_graph,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -1928,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dup_spans": _q_dup_spans,
         "dedup_embedding": _q_dedup_embedding,
         "quality_features": _q_quality_features,
         "language_id": _q_language_id,
@@ -2843,6 +2887,94 @@ FROM t1 CROSS JOIN t2"""
     return sql
 
 
+def _conductance_oracle(iters: int = COMMUNITY_GRAPH_ITERS) -> str:
+    """Per-community conductance of the unrolled lp-min communities
+    (plans/labelprop.conductance semantics, exactly). ``comm`` is
+    MATERIALIZED for the _modularity_oracle reason (two endpoint joins
+    over a quadratic-to-inline label chain); cut/volume are exact BIGINTs
+    and the ratio is the one rounded double."""
+    sql = _GRAPH_PREFIX + ",\nl0 AS (SELECT id AS v, id AS label FROM ids)"
+    for k in range(1, iters + 1):
+        sql += f""",
+l{k} AS (
+  SELECT l.v, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+  FROM l{k-1} l LEFT JOIN (
+    SELECT e.src AS v2, MIN(x.label) AS mn
+    FROM edges e JOIN l{k-1} x ON e.dst = x.v GROUP BY e.src
+  ) m ON m.v2 = l.v
+)"""
+    sql += f""",
+comm AS MATERIALIZED (SELECT v, label FROM l{iters}),
+per AS (
+  SELECT cs.label AS label, CAST(COUNT(*) AS BIGINT) AS volume,
+         CAST(SUM(CASE WHEN cs.label <> cd.label THEN 1 ELSE 0 END) AS BIGINT) AS cut
+  FROM edges e JOIN comm cs ON cs.v = e.src JOIN comm cd ON cd.v = e.dst
+  GROUP BY cs.label
+),
+tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM edges)
+SELECT i.name AS community, p.cut, p.volume,
+       CASE WHEN LEAST(p.volume, tm.two_m - p.volume) > 0
+            THEN ROUND(CAST(p.cut AS DOUBLE)
+                       / LEAST(p.volume, tm.two_m - p.volume), 6)
+            ELSE 0.0 END AS conductance
+FROM per p CROSS JOIN tm JOIN ids i ON i.id = p.label
+ORDER BY community"""
+    return sql
+
+
+def _dup_spans_oracle(
+    n: int = DUPSPAN_N, min_docs: int = DUPSPAN_MIN_DOCS
+) -> str:
+    """Duplicated n-gram spans (functions/dedup.duplicated_spans
+    semantics, exactly): positions are 1-based on both engines
+    (Spark sequence/slice ≡ DuckDB range/list-slice), the gram key is the
+    md5 of the space-joined tokens, and coverage is the distinct union of
+    each duplicated occurrence's n token positions. ``grams``/``dgrams``
+    are MATERIALIZED (each referenced more than once)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, pos,
+         md5(array_to_string(l[pos : pos + {n} - 1], ' ')) AS g
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS pos
+        FROM toks)
+),
+dupg AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+  WHERE nd >= {min_docs}
+),
+dgrams AS MATERIALIZED (
+  SELECT doc_id, pos FROM grams JOIN dupg USING (g)
+),
+perg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+  FROM dgrams GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens FROM (
+    SELECT DISTINCT d.doc_id, d.pos + o.off AS i
+    FROM dgrams d CROSS JOIN (SELECT unnest(range(0, {n})) AS off) o
+  ) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM grams GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       ROUND(CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE) / b.n_grams, 6)
+         AS dup_gram_ratio,
+       ROUND(CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         AS dup_token_ratio
+FROM base b LEFT JOIN perg p USING (doc_id) LEFT JOIN cov c USING (doc_id)
+ORDER BY b.doc_id"""
+
+
 def _community_graph_oracle(iters: int = COMMUNITY_GRAPH_ITERS) -> str:
     """Weighted super-graph of the unrolled lp-min communities. ``comm`` is
     MATERIALIZED for the same reason as _modularity_oracle's (two endpoint
@@ -3515,6 +3647,7 @@ ORDER BY a, b""",
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
         "modularity": _modularity_oracle(),
+        "conductance": _conductance_oracle(),
         "community_graph": _community_graph_oracle(COMMUNITY_GRAPH_ITERS),
         "triangle_count": _GRAPH_PREFIX
         + _TRI_CTE
@@ -3657,6 +3790,7 @@ ORDER BY id_a, id_b""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dup_spans": _dup_spans_oracle(),
         "leakage_split": _leakage_split_oracle(),
         # media_features: the decode itself (PPM/BMP/WAV/Y4M byte parsing)
         # is not expressible in SQL, so the oracle is a GOLDEN FIXTURE — a

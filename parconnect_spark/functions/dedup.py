@@ -495,3 +495,107 @@ def boilerplate_dedup(
         )
         .select(group_col, order_col, text_col, "n_groups")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics at token n-gram
+    granularity — the substring-level dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") that
+    document-level MinHash/SimHash misses: a boilerplate paragraph pasted
+    into otherwise-distinct documents.
+
+    A token n-gram is DUPLICATED when it occurs in ≥ ``min_docs`` distinct
+    documents. Per document (with ≥ n tokens) this returns
+
+        DataFrame[id_col, n_tokens, n_grams, n_dup_grams, n_dup_tokens,
+                  dup_gram_ratio, dup_token_ratio]
+
+    where ``n_dup_grams`` counts the document's duplicated n-gram
+    OCCURRENCES (with multiplicity) and ``n_dup_tokens`` the distinct
+    token positions covered by at least one duplicated gram (the
+    interval-union coverage a span-removal pass would excise). Counts are
+    exact int64; the two ratios are the only doubles (rounded 6dp).
+
+    Scale shape: grams are derived per document with a narrow
+    transform+slice projection (no self-join, no window); the corpus
+    document-frequency table is ONE distinct + ONE map-side-combined
+    aggregate on the gram's md5 (64-hex-truncated) key; everything joins
+    back on that hash equi-key. A viral boilerplate gram is an
+    AQE-splittable join key — never a window partition. Coverage is one
+    bounded explode (n rows per duplicated gram occurrence) + a distinct.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    toked = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("_ts"),
+    ).select(
+        id_col,
+        F.size("_ts").alias("n_tokens"),
+        # guard: Spark's sequence(1, k) DESCENDS for k < 1, so short docs
+        # must take the empty branch explicitly
+        F.expr(
+            f"CASE WHEN size(_ts) >= {n} THEN "
+            f"transform(sequence(1, size(_ts) - {n} + 1), "
+            f"i -> struct(i AS pos, md5(concat_ws(' ', slice(_ts, i, {n}))) AS g)) "
+            f"ELSE array() END"
+        ).alias("_grams"),
+    )
+    grams = scoped_persist(
+        toked.where(F.size("_grams") > 0).select(
+            id_col,
+            "n_tokens",
+            F.explode("_grams").alias("_e"),
+        ).select(id_col, "n_tokens", F.col("_e.pos").alias("pos"), F.col("_e.g").alias("g"))
+    )
+    dup = (
+        grams.select(id_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("g")
+    )
+    dgrams = grams.join(dup, "g", "left_semi")
+    per_gram = dgrams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    covered = (
+        dgrams.select(
+            id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("_i")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    base = grams.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return (
+        base.join(per_gram, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("dup_gram_ratio"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+        )
+    )

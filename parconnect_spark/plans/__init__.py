@@ -5,7 +5,7 @@ from parconnect_spark.plans.connectivity import (
     CCResult,
 )
 from parconnect_spark.plans.pagerank import pagerank
-from parconnect_spark.plans.labelprop import label_propagation
+from parconnect_spark.plans.labelprop import label_propagation, modularity, conductance
 from parconnect_spark.plans.triangles import (
     enumerate_triangles,
     triangle_count,
@@ -45,6 +45,8 @@ __all__ = [
     "CCResult",
     "pagerank",
     "label_propagation",
+    "modularity",
+    "conductance",
     "triangle_count",
     "triangles_per_vertex",
     "transitivity",
