@@ -118,6 +118,10 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_TOPK = 20
 HLL_P = 10
+# rolling HLL window: "7-day distinct users as of each day" by register
+# merge over per-day sketches (one raw scan; windows never re-scan)
+ROLL_BUCKET_US = 86_400_000_000
+ROLL_WINDOW_BUCKETS = 7
 QUANT_VECS = 50
 SAMPLE_K = 25
 BIGRAM_MIN_HEAD = 5
@@ -1625,6 +1629,31 @@ def _q_sketch_distinct(spark, sf_dir):
     )
 
 
+def _q_sketch_rolling(spark, sf_dir):
+    """Rolling 7-day distinct users by HLL register merge
+    (functions/sketch.hll_rolling_distinct): one raw scan builds per-day
+    register tables; each trailing window is a register-max merge of ≤
+    7·2^p rows — the mergeability property as a query, not just a pytest.
+    raw_sum pins the merged register state exactly; the estimate is the
+    one derived double."""
+    from parconnect_spark.functions.sketch import hll_rolling_distinct
+
+    _views(spark, sf_dir, ("events",))
+    out = hll_rolling_distinct(
+        spark.table("events"),
+        bucket_us=ROLL_BUCKET_US,
+        window_buckets=ROLL_WINDOW_BUCKETS,
+        p=HLL_P,
+    )
+    return out.select(
+        "asof_bucket_us",
+        "n_buckets",
+        "nonzero_regs",
+        "raw_sum",
+        F.round("estimate", 4).alias("estimate"),
+    ).orderBy("asof_bucket_us")
+
+
 def _q_bigram_lm(spark, sf_dir):
     """Corpus bigram LM table (functions/text.bigram_lm): top-3
     continuations per head token with conditional probability, bigrams
@@ -1992,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
         "sketch_distinct": _q_sketch_distinct,
+        "sketch_rolling": _q_sketch_rolling,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
@@ -3124,6 +3154,71 @@ SELECT CAST({m} AS INT) AS m, nz AS nonzero_regs, raw_sum,
 FROM fin"""
 
 
+def _hll_rolling_oracle(
+    p: int = None,
+    bucket_us: int = None,
+    window_buckets: int = None,
+) -> str:
+    """Rebuilds the per-day register tables and the trailing-window
+    register-max merge in SQL (functions/sketch.hll_rolling_distinct
+    semantics, exactly): same md5 fold on CAST(user_id AS VARCHAR), int64
+    µs floor-division buckets (non-negative epochs), the window explode a
+    constant-table cross join, and the identical exact-bigint estimator
+    per window."""
+    p = HLL_P if p is None else p
+    bucket_us = ROLL_BUCKET_US if bucket_us is None else bucket_us
+    window_buckets = (
+        ROLL_WINDOW_BUCKETS if window_buckets is None else window_buckets
+    )
+    m = 1 << p
+    wbits = 60 - p
+    rmax = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    k_lit = repr(alpha * m * m * float(1 << rmax))
+    fold15 = _md5int_duck("k", 1, 15)
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // {bucket_us} AS b, CAST(user_id AS VARCHAR) AS k
+  FROM events
+),
+dk AS (SELECT DISTINCT b, k FROM ev),
+hv AS (SELECT b, {fold15} AS h FROM dk),
+rv AS (SELECT b, h % {m} AS reg, h // {m} AS w FROM hv),
+rb AS MATERIALIZED (
+  SELECT b, reg,
+         MAX(CASE WHEN w = 0 THEN {rmax}
+                  ELSE {wbits} - length(bin(w)) + 1 END) AS rho
+  FROM rv GROUP BY b, reg
+),
+offs AS (SELECT unnest(range(0, {window_buckets})) AS off),
+mg AS (
+  SELECT rb.b + o.off AS wd, rb.reg, MAX(rb.rho) AS rho
+  FROM rb CROSS JOIN offs o GROUP BY rb.b + o.off, rb.reg
+),
+nb AS (
+  SELECT db.b + o.off AS wd, CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM (SELECT DISTINCT b FROM ev) db CROSS JOIN offs o
+  GROUP BY db.b + o.off
+),
+agg AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS nz,
+         CAST(SUM(CAST(POWER(2.0, {rmax} - rho) AS BIGINT)) AS BIGINT) AS s_occ
+  FROM mg GROUP BY wd
+),
+fin AS (
+  SELECT wd, nz, s_occ + ({m} - nz) * {1 << rmax} AS raw_sum,
+         {k_lit} / (s_occ + ({m} - nz) * {1 << rmax}) AS est_raw
+  FROM agg
+)
+SELECT f.wd * {bucket_us} AS asof_bucket_us, nb.n_buckets,
+       f.nz AS nonzero_regs, f.raw_sum,
+       ROUND(CASE WHEN f.est_raw <= {2.5 * m} AND ({m} - f.nz) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - f.nz))
+                  ELSE f.est_raw END, 4) AS estimate
+FROM fin f JOIN nb ON nb.wd = f.wd
+ORDER BY asof_bucket_us"""
+
+
 # shared DuckDB shingle CTE (4-gram whitespace shingles, distinct per doc) —
 # mirrors functions/dedup.py shingles()
 _DUCK_SHINGLES = """
@@ -3968,6 +4063,7 @@ FROM ex e JOIN sc s ON s.vec_id = e.vec_id
 ORDER BY e.vec_id, e.dim""",
         "sketch_counts": _cms_oracle(),
         "sketch_distinct": _hll_oracle(),
+        "sketch_rolling": _hll_rolling_oracle(),
         # lm_score: the per-bigram −ln(p)·10^6 is rounded to an int64 by
         # the IDENTICAL expression on both engines (non-negative, so
         # HALF_UP ≡ half-away-from-zero), and the document aggregate is an

@@ -104,11 +104,15 @@ def cms_estimate(
     )
 
 
-def hll_registers(items: DataFrame, key_col: str, p: int = 10) -> DataFrame:
-    """DataFrame[reg: long, rho: int] — the 2^p occupied HLL registers and
-    their max rank. reg = h mod m; rho = 1 + leading zeros of the
-    remaining ``HASH_BITS − p`` hash bits. One map-side-combined max
-    aggregate over ≤ m groups."""
+def hll_registers(
+    items: DataFrame, key_col: str, p: int = 10, group_cols: tuple = ()
+) -> DataFrame:
+    """DataFrame[*group_cols, reg: long, rho: int] — the 2^p occupied HLL
+    registers and their max rank (per group when ``group_cols`` is given —
+    the pre-aggregated per-bucket sketch shape that rolling merges build
+    on). reg = h mod m; rho = 1 + leading zeros of the remaining
+    ``HASH_BITS − p`` hash bits. One map-side-combined max aggregate over
+    ≤ m groups per group key."""
     m = 1 << p
     h = md5int(F.col(key_col), 1, HASH_HEX_CHARS)
     wbits = HASH_BITS - p
@@ -118,7 +122,11 @@ def hll_registers(items: DataFrame, key_col: str, p: int = 10) -> DataFrame:
     # beyond double's 2^53 — a float quotient truncates wrong.
     bitlen = F.length(F.conv(F.col("w").cast("string"), 10, 2))
     return (
-        items.select(F.pmod(h, F.lit(m)).alias("reg"), h.alias("_h"))
+        items.select(
+            *[F.col(c) for c in group_cols],
+            F.pmod(h, F.lit(m)).alias("reg"),
+            h.alias("_h"),
+        )
         .withColumn("w", F.expr(f"_h div {m}"))
         .withColumn(
             "rho",
@@ -126,7 +134,7 @@ def hll_registers(items: DataFrame, key_col: str, p: int = 10) -> DataFrame:
                 F.lit(wbits) - bitlen + 1
             ),
         )
-        .groupBy("reg")
+        .groupBy(*group_cols, "reg")
         .agg(F.max("rho").cast("int").alias("rho"))
     )
 
@@ -162,6 +170,92 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
         agg.withColumn("raw_sum", raw_sum.cast("long"))
         .select(
             F.lit(m).alias("m"),
+            F.col("nonzero_regs").cast("long").alias("nonzero_regs"),
+            "raw_sum",
+            corrected.alias("estimate"),
+        )
+    )
+
+
+def hll_rolling_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    window_buckets: int = 7,
+    p: int = 10,
+) -> DataFrame:
+    """Trailing-window distinct counting by HLL register MERGE — the
+    rolling "7-day distinct users as of each day" rollup, computed the way
+    a 100-TB pipeline must: raw events are scanned ONCE into per-bucket
+    register tables (the pre-aggregation a daily batch job would persist),
+    and every trailing window is then a register-max merge over ≤
+    window_buckets × 2^p tiny rows — never a re-scan of the raw data, and
+    never a distinct over the window's raw keys (which a GROUP BY over
+    overlapping windows would recount window_buckets times).
+
+    Window wd (labeled by its LAST bucket: "as of day wd, the trailing
+    ``window_buckets`` days") covers buckets wd−window_buckets+1 … wd;
+    every window touched by at least one occupied bucket is emitted.
+
+    Returns DataFrame[asof_bucket_us: long, n_buckets: long,
+    nonzero_regs: long, raw_sum: long, estimate: double]: ``raw_sum`` is
+    the exact bigint Σ 2^(RMAX−rho) over all m registers (the pinnable
+    sketch state — the mergeability contract), ``estimate`` the one
+    derived double (identical expression to :func:`hll_estimate`,
+    linear-counting correction included).
+
+    Scale shape: one map-side-combined (bucket, reg) max over the raw
+    scan, one bounded explode (window_buckets rows per REGISTER, not per
+    event), one (window, reg) max merge, one per-window aggregate."""
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    m = 1 << p
+    rmax = HASH_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    keyed = events.select(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}"
+        ).alias("b"),
+        F.col(key_col).cast("string").alias("_k"),
+    )
+    per_bucket = hll_registers(keyed, "_k", p=p, group_cols=("b",))
+    win = F.expr(f"sequence(b, b + {window_buckets - 1})")
+    merged = (
+        per_bucket.select(F.explode(win).alias("wd"), "reg", "rho")
+        .groupBy("wd", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    nb = (
+        keyed.select("b")
+        .distinct()
+        .select(F.explode(win).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+    agg = merged.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("nonzero_regs"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(rmax) - F.col("rho")).cast("long")
+        ).alias("_s_occ"),
+    )
+    raw_sum = F.col("_s_occ") + (F.lit(m) - F.col("nonzero_regs")) * F.lit(
+        1 << rmax
+    )
+    est_raw = F.lit(alpha * m * m * float(1 << rmax)) / F.col("raw_sum")
+    zeros = F.lit(m) - F.col("nonzero_regs")
+    corrected = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    return (
+        agg.withColumn("raw_sum", raw_sum.cast("long"))
+        .join(nb, "wd")
+        .select(
+            (F.col("wd") * bucket_us).alias("asof_bucket_us"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
             F.col("nonzero_regs").cast("long").alias("nonzero_regs"),
             "raw_sum",
             corrected.alias("estimate"),
