@@ -122,6 +122,11 @@ HLL_P = 10
 # merge over per-day sketches (one raw scan; windows never re-scan)
 ROLL_BUCKET_US = 86_400_000_000
 ROLL_WINDOW_BUCKETS = 7
+# heavy-hitters threshold over the pair-stream endpoint multiset: sf0.01
+# has 164 distinct endpoints; >=80 keeps 27 (roles, tools, and only the
+# longest conversations) so both the sketch prune and the exact verify
+# branch carry real weight
+HH_MIN_COUNT = 80
 QUANT_VECS = 50
 SAMPLE_K = 25
 BIGRAM_MIN_HEAD = 5
@@ -1654,6 +1659,34 @@ def _q_sketch_rolling(spark, sf_dir):
     ).orderBy("asof_bucket_us")
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters over the pair-stream endpoint multiset
+    (functions/sketch.heavy_hitters): every graph entity whose endpoint
+    multiplicity (degree with multiplicity, pre-dedup) reaches
+    HH_MIN_COUNT, with its exact count. The count-min grid prunes the
+    shuffle — light keys are dropped before the exact groupBy — but the
+    RESULT is exact (CM never underestimates), so the oracle is the plain
+    GROUP BY ... HAVING over the same endpoint stream. This is the
+    sketch-as-physical-optimization discipline: hub detection whose
+    answer a 100-TB corpus can afford."""
+    from parconnect_spark.functions.sketch import heavy_hitters
+    from parconnect_spark.operators.derive import transcripts_to_entity_turns
+
+    turns = transcripts_to_entity_turns(_transcripts(spark, sf_dir))
+    seq = turns.where(F.col("next_entity").isNotNull())
+    eps = (
+        seq.select(F.col("entity").alias("k"))
+        .unionByName(seq.select(F.col("next_entity").alias("k")))
+        .unionByName(
+            turns.select(F.concat(F.lit("c:"), F.col("conv_id")).alias("k"))
+        )
+        .unionByName(turns.select(F.col("entity").alias("k")))
+    )
+    return heavy_hitters(
+        eps, "k", min_count=HH_MIN_COUNT, depth=CMS_DEPTH, width=CMS_WIDTH
+    ).orderBy("k")
+
+
 def _q_bigram_lm(spark, sf_dir):
     """Corpus bigram LM table (functions/text.bigram_lm): top-3
     continuations per head token with conditional probability, bigrams
@@ -2022,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_counts": _q_sketch_counts,
         "sketch_distinct": _q_sketch_distinct,
         "sketch_rolling": _q_sketch_rolling,
+        "heavy_hitters": _q_heavy_hitters,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
@@ -4064,6 +4098,14 @@ ORDER BY e.vec_id, e.dim""",
         "sketch_counts": _cms_oracle(),
         "sketch_distinct": _hll_oracle(),
         "sketch_rolling": _hll_rolling_oracle(),
+        # heavy_hitters: the sketch is a shuffle-pruning physical plan,
+        # not a semantic approximation — the oracle is the exact
+        # GROUP BY ... HAVING over the identical endpoint multiset
+        "heavy_hitters": _GRAPH_PREFIX
+        + f"""
+, eps AS (SELECT a AS k FROM pairs UNION ALL SELECT b AS k FROM pairs)
+SELECT k, COUNT(*) AS cnt FROM eps GROUP BY k
+HAVING COUNT(*) >= {HH_MIN_COUNT} ORDER BY k""",
         # lm_score: the per-bigram −ln(p)·10^6 is rounded to an int64 by
         # the IDENTICAL expression on both engines (non-negative, so
         # HALF_UP ≡ half-away-from-zero), and the document aggregate is an

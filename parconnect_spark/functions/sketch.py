@@ -104,6 +104,65 @@ def cms_estimate(
     )
 
 
+def heavy_hitters(
+    items: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy hitters — every key occurring ≥ ``min_count`` times,
+    with its exact count — computed the way a 100-TB corpus must: the
+    count–min sketch prunes the shuffle, not the answer.
+
+    Physical plan:
+
+    1. one map-side-combined aggregate builds the d×w counter grid
+       (:func:`count_min_sketch` — output ≤ d·w rows no matter the input);
+    2. the grid (≤ d·w ints, a few KB) is collected and embedded as d
+       array literals, so each row's CM estimate
+       ``est = min_i grid_i[slot_i(key)]`` is ONE zero-shuffle projection
+       (``element_at`` lookups + ``least`` — no join, no window);
+    3. rows with ``est < min_count`` are dropped BEFORE the exact
+       ``groupBy`` — CM never underestimates, so no true heavy hitter is
+       lost — and the exact count over the survivors removes the false
+       positives. The only shuffle keyed on raw keys carries candidate
+       rows only; with a Zipf-shaped corpus that is a small fraction of
+       the input, and the surviving key cardinality is ≤ N/min_count by
+       pigeonhole, so the final aggregate is always tiny.
+
+    The RESULT is exactly ``{key: count(key) ≥ min_count}`` — the sketch
+    is a physical optimization, not a semantic approximation, which is
+    why the driver oracle is the plain ``GROUP BY … HAVING`` SQL (this is
+    the same approximate-filter / exact-verify discipline as the MinHash
+    and ANN paths: candidates from a sketch, truth from an exact pass).
+
+    Returns DataFrame[key_col, cnt: long]. Parallels the reference's
+    exact grouped aggregates (A1/A4 family,
+    /root/reference/src/coloring/labelProp.hpp:122-139) with the
+    bounded-communication discipline its MPI allreduce enforces.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    sketch_rows = count_min_sketch(items, key_col, depth, width).collect()
+    grids = [[0] * width for _ in range(depth)]
+    for r in sketch_rows:
+        grids[r["row"]][r["slot"]] = r["cnt"]
+    key = F.col(key_col)
+    est = F.least(
+        *[
+            F.element_at(F.lit(grids[i]), (_cms_slot(key, i, width) + 1).cast("int"))
+            for i in range(depth)
+        ]
+    )
+    candidates = items.where(est >= F.lit(min_count))
+    return (
+        candidates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
 def hll_registers(
     items: DataFrame, key_col: str, p: int = 10, group_cols: tuple = ()
 ) -> DataFrame:

@@ -4,6 +4,7 @@ import pytest
 from parconnect_spark.functions.sketch import (
     cms_estimate,
     count_min_sketch,
+    heavy_hitters,
     hll_estimate,
     hll_registers,
 )
@@ -99,3 +100,57 @@ def test_hll_merge_via_register_max(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    # Zipf-ish: key i appears 200//(i+1) times
+    rows = [(f"k{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    items = spark.createDataFrame(rows, "term string")
+    got = {
+        (r["term"], r["cnt"])
+        for r in heavy_hitters(items, "term", min_count=25).collect()
+    }
+    import collections
+
+    cnt = collections.Counter(t for t, in rows)
+    want = {(k, c) for k, c in cnt.items() if c >= 25}
+    assert got == want
+
+
+def test_heavy_hitters_collisions_cannot_add_false_positives(spark):
+    """A deliberately tiny grid (width=2) makes every CM estimate wildly
+    inflated — the exact-verify pass must still return exactly the true
+    heavy set."""
+    rows = [("hot",)] * 50 + [(f"cold{i}",) for i in range(60)]
+    items = spark.createDataFrame(rows, "term string")
+    out = heavy_hitters(items, "term", min_count=10, depth=2, width=2).collect()
+    assert [(r["term"], r["cnt"]) for r in out] == [("hot", 50)]
+
+
+def test_heavy_hitters_partition_invariance_and_threshold_edge(spark):
+    rows = [("a",)] * 10 + [("b",)] * 9 + [("c",)] * 11
+    items = spark.createDataFrame(rows, "term string")
+    a = sorted(map(tuple, heavy_hitters(items, "term", 10).collect()))
+    b = sorted(
+        map(tuple, heavy_hitters(items.repartition(7), "term", 10).collect())
+    )
+    # >= is inclusive: a (exactly 10) is in, b (9) is out
+    assert a == b == [("a", 10), ("c", 11)]
+
+
+def test_heavy_hitters_prunes_before_the_exact_aggregate(spark):
+    """The scale claim itself: the candidate filter must drop light rows
+    BEFORE the exact groupBy. Verified on the physical plan — the
+    pre-aggregate Filter contains the least(element_at(...)) estimate."""
+    rows = [("hot",)] * 64 + [(f"cold{i}",) for i in range(64)]
+    items = spark.createDataFrame(rows, "term string")
+    df = heavy_hitters(items, "term", min_count=32, depth=2, width=512)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "least(" in plan and "element_at" in plan
+    assert [(r["term"], r["cnt"]) for r in df.collect()] == [("hot", 64)]
+
+
+def test_heavy_hitters_rejects_bad_min_count(spark):
+    items = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError):
+        heavy_hitters(items, "term", 0)
