@@ -1528,6 +1528,27 @@ def _q_sample_k(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Exactly-k token-weighted reproducible sample
+    (functions/sampling.weighted_sample_k): Efraimidis–Spirakis
+    exponential race with md5-derived uniforms and the integer-quantized
+    race key round(-ln(u)/w * 1e6) — weighting by text length makes
+    document sampling uniform at the character/token level, the
+    training-data mixing primitive. Deterministic across engines,
+    partitionings, and retries; physically a TakeOrderedAndProject."""
+    from parconnect_spark.functions.sampling import weighted_sample_k
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id", "text", F.length("text").alias("w")
+    )
+    return (
+        weighted_sample_k(docs, SAMPLE_K, "w", salt="r5w")
+        .select("doc_id", F.md5("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_quality_trim(spark, sf_dir):
     """Percentile-band corpus trim by exact ORDER STATISTIC
     (functions/sampling.quantile_trim): drop the shortest 5% and longest
@@ -2049,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "redact": _q_redact,
         "sample_k": _q_sample_k,
+        "weighted_sample": _q_weighted_sample,
         "quality_trim": _q_quality_trim,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
@@ -4057,6 +4079,21 @@ SELECT doc_id, md5(text) AS fp FROM (
   SELECT doc_id, text
   FROM documents
   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r5'), doc_id
+  LIMIT {SAMPLE_K}
+) ORDER BY doc_id""",
+        # weighted_sample: the Efraimidis–Spirakis race replayed exactly —
+        # u from the same 13-hex-char md5 fold (52 bits: u and the key are
+        # exact doubles), key = ROUND(-LN(u)/w * 1e6) AS BIGINT (non-negative,
+        # so HALF_UP ≡ half-away-from-zero), id tiebreak
+        "weighted_sample": f"""
+SELECT doc_id, md5(text) AS fp FROM (
+  SELECT doc_id, text
+  FROM documents
+  WHERE LENGTH(text) > 0
+  ORDER BY CAST(ROUND(-LN(({_md5int_duck("CAST(doc_id AS VARCHAR) || ':r5w'", 1, 13)} + 0.5)
+                      / 4503599627370496.0)
+                / LENGTH(text) * 1000000) AS BIGINT),
+           doc_id
   LIMIT {SAMPLE_K}
 ) ORDER BY doc_id""",
         # quality_trim: band membership by integer rank; the FLOOR/CEIL

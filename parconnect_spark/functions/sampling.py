@@ -236,3 +236,54 @@ def deterministic_sample_k(
         .limit(k)
         .drop("_pri")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement — the
+    Efraimidis–Spirakis exponential race, made deterministic: row i is
+    kept iff its key ``-ln(u_i)/w_i`` is among the k smallest, where
+    ``u_i`` is a uniform derived from ``md5(id:salt)`` instead of an RNG.
+    P(row wins) is proportional to its weight, and because the race is a
+    pure function of (id, salt, weight), the sample is identical across
+    runs, engines, partitionings, and retries. This is the training-data
+    mixing primitive: ``weight_col = token count`` makes document
+    sampling uniform at the TOKEN level; a per-domain multiplier
+    implements mixture reweighting — all without a shuffle of the corpus.
+
+    Engine-exact ordering (the lm_score/tfidf discipline): ``u`` is built
+    from 13 md5 hex chars — 52 bits, so both u and the quantized key are
+    exactly representable doubles — and the race key is the INTEGER
+    ``round(-ln(u)/w * 1e6)`` (non-negative, so Spark HALF_UP ≡ DuckDB
+    half-away-from-zero) with ``id`` as the final tiebreak, so a last-ulp
+    ``ln`` difference between engines cannot flip the selection.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight row
+    has selection probability 0; a negative weight is meaningless in a
+    race). Physically a top-k, never a sort: TakeOrderedAndProject keeps
+    k rows per partition and merges, like :func:`deterministic_sample_k`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = md5int(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)), 1, 13
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**52))
+    pri = (
+        F.round(-F.log(u) / w.cast("double") * F.lit(1e6))
+        .cast("long")
+        .alias("_pri")
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .select("*", pri)
+        .orderBy("_pri", id_col)
+        .limit(k)
+        .drop("_pri")
+    )

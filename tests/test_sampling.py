@@ -206,3 +206,67 @@ def test_deterministic_sample_k(spark):
     # k > n returns everything
     small = spark.range(3).withColumnRenamed("id", "doc_id")
     assert deterministic_sample_k(small, 10).count() == 3
+
+
+def test_weighted_sample_k_matches_pure_python_race(spark):
+    """The race is a pure function of (id, salt, weight): recomputing the
+    exact documented formula with hashlib/math must select the same rows —
+    the engine-independence claim as an executable fact."""
+    import hashlib
+    import math
+
+    from parconnect_spark.functions.sampling import weighted_sample_k
+
+    rows = [(i, (i % 10) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        r["doc_id"] for r in weighted_sample_k(df, 20, "w", salt="s").collect()
+    )
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"{i}:s".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 2**52
+        return (round(-math.log(u) / w * 1e6), i)
+
+    want = sorted(i for i, w in sorted(rows, key=lambda t: pri(*t))[:20])
+    assert got == want
+
+
+def test_weighted_sample_k_weights_drive_inclusion(spark):
+    from parconnect_spark.functions.sampling import weighted_sample_k
+
+    # one row with overwhelming weight is in essentially every draw
+    rows = [(0, 10**9)] + [(i, 1) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for salt in ("a", "b", "c"):
+        ids = {r["doc_id"] for r in weighted_sample_k(df, 5, "w", salt=salt).collect()}
+        assert 0 in ids
+    # across many salts, heavy keys win more often than light ones
+    heavy_light = [(i, 50 if i < 20 else 1) for i in range(200)]
+    df2 = spark.createDataFrame(heavy_light, "doc_id long, w long")
+    wins = {"heavy": 0, "light": 0}
+    for salt in map(str, range(8)):
+        for r in weighted_sample_k(df2, 10, "w", salt=salt).collect():
+            wins["heavy" if r["doc_id"] < 20 else "light"] += 1
+    assert wins["heavy"] > wins["light"]
+
+
+def test_weighted_sample_k_partition_invariance_and_guards(spark):
+    import pytest
+
+    from parconnect_spark.functions.sampling import weighted_sample_k
+
+    rows = [(i, float(i % 7) - 1.0) for i in range(100)]  # some <=0 weights
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(map(tuple, weighted_sample_k(df, 15, "w").collect()))
+    b = sorted(map(tuple, weighted_sample_k(df.repartition(9), 15, "w").collect()))
+    assert a == b and len(a) == 15
+    # non-positive / NULL weights never selected
+    assert all(w > 0 for _, w in a)
+    nul = spark.createDataFrame([(1, None), (2, 3.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample_k(nul, 5, "w").collect()] == [2]
+    # physically a top-k
+    plan = weighted_sample_k(df, 15, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        weighted_sample_k(df, 0, "w")
