@@ -1570,6 +1570,28 @@ def _q_quality_trim(spark, sf_dir):
     )
 
 
+def _q_group_trim(spark, sf_dir):
+    """Per-source quality cutoff (functions/sampling.group_quantile_filter):
+    within each source, keep the smallest score-closed top set holding at
+    least floor(n·3/10) documents by whitespace-token count — the
+    per-domain curation pass. All rank arithmetic is rational/integer
+    ((n*3) div 10), the window runs over per-(source, score) counts (score
+    cardinality, not rows), and the one-row-per-source threshold broadcasts
+    back into a map-side filter."""
+    from parconnect_spark.functions.sampling import group_quantile_filter
+    from parconnect_spark.functions.text import token_count
+
+    _views(spark, sf_dir, ("documents",))
+    scored = spark.table("documents").select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return (
+        group_quantile_filter(scored, "source", "score", 3, 10)
+        .select("doc_id", "source", "score")
+        .orderBy("doc_id")
+    )
+
+
 def _q_kmeans(spark, sf_dir):
     """Fixed-iteration Lloyd k-means on the integer grid
     (functions/cluster.kmeans_quantized): quantized non-negative vectors,
@@ -2072,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": _q_sample_k,
         "weighted_sample": _q_weighted_sample,
         "quality_trim": _q_quality_trim,
+        "group_trim": _q_group_trim,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
@@ -4115,6 +4138,32 @@ SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
 FROM rk, n
 WHERE rank >= FLOOR({TRIM_LO} * n.n) AND rank < CEIL({TRIM_HI} * n.n)
 ORDER BY rank""",
+        # group_trim: per-source top-30% by token count; rank arithmetic is
+        # pure integer ((n*3)//10) and the threshold is the largest score
+        # whose inclusive descending count reaches it — tie-closed, exact
+        "group_trim": """
+WITH sc AS (
+  SELECT doc_id, source,
+         CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS score
+  FROM documents
+),
+cnts AS (SELECT source, score, COUNT(*) AS c FROM sc GROUP BY source, score),
+cum AS (
+  SELECT source, score,
+         SUM(c) OVER (PARTITION BY source ORDER BY score DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+  FROM cnts
+),
+tot AS (SELECT source, SUM(c) AS n FROM cnts GROUP BY source),
+thr AS (
+  SELECT cum.source, MAX(cum.score) AS thr
+  FROM cum JOIN tot ON cum.source = tot.source
+  WHERE (tot.n * 3) // 10 > 0 AND cum.cge >= (tot.n * 3) // 10
+  GROUP BY cum.source
+)
+SELECT sc.doc_id, sc.source, sc.score
+FROM sc JOIN thr ON sc.source = thr.source AND sc.score >= thr.thr
+ORDER BY sc.doc_id""",
         # quantize: floor(x*127/s + 0.5) written as the same IEEE double
         # expression on both engines; scale is the float32 max|x| exactly
         # widened to double.

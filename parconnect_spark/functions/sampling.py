@@ -287,3 +287,62 @@ def weighted_sample_k(
         .limit(k)
         .drop("_pri")
     )
+
+
+def group_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Keep, within each group, the smallest score-closed top set holding
+    at least ``floor(n_g * q_num / q_den)`` rows — the per-group quality
+    cutoff ("top 30% by quality per source/language") that corpus
+    curation applies after :func:`quantile_trim`'s global pass.
+
+    Exactness: the quantile is a RATIONAL (q_num/q_den) and every rank
+    comparison is integer arithmetic (``(n*q_num) div q_den``), so
+    membership is bit-identical on any engine — no interpolated
+    threshold, no double rounding. Ties share a fate: the kept set is
+    ``score >= thr_g`` where ``thr_g`` is the largest score whose
+    inclusive descending count reaches the required rank, so the result
+    is closed under score equality (≥ the required count, never an
+    arbitrary tie split). Groups too small for one row
+    (``floor(n*q/den) == 0``) are dropped entirely.
+
+    Scale shape: the window runs over the per-(group, score) COUNT table
+    — bounded by score cardinality, not corpus rows, so a billion-row
+    group with integer scores costs the same window as a thousand-row
+    one — and the threshold table (one row per group) broadcasts back
+    into a map-side filter. The raw corpus is shuffled exactly once, by
+    the count aggregate's hash exchange.
+    """
+    if q_den < 1 or q_num < 0 or q_num > q_den:
+        raise ValueError(f"need 0 <= q_num <= q_den, got {q_num}/{q_den}")
+    counts = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        group_col, score_col, F.sum("_c").over(w).alias("_cge")
+    )
+    tot = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    thr = (
+        cum.join(tot, group_col)
+        .where(
+            (F.expr(f"(_n * {q_num}) div {q_den}") > 0)
+            & (F.col("_cge") >= F.expr(f"(_n * {q_num}) div {q_den}"))
+        )
+        .groupBy(group_col)
+        .agg(F.max(score_col).alias("_thr"))
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

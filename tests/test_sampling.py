@@ -270,3 +270,72 @@ def test_weighted_sample_k_partition_invariance_and_guards(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError):
         weighted_sample_k(df, 0, "w")
+
+
+def test_group_quantile_filter_vs_brute_force(spark):
+    from parconnect_spark.functions.sampling import group_quantile_filter
+
+    rows = [
+        (f"g{g}", i, (i * 7 + g) % 13) for g in range(4) for i in range(30 + g * 17)
+    ]
+    df = spark.createDataFrame(rows, "grp string, rid long, score long")
+    got = sorted(
+        (r["grp"], r["rid"]) for r in group_quantile_filter(df, "grp", "score", 3, 10).collect()
+    )
+
+    # brute force: smallest score-closed top set with >= floor(n*3/10) rows
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, i, s in rows:
+        by_g[g].append((s, i))
+    want = []
+    for g, items in by_g.items():
+        needed = len(items) * 3 // 10
+        if needed == 0:
+            continue
+        scores = sorted({s for s, _ in items}, reverse=True)
+        cge = 0
+        thr = None
+        for s in scores:
+            cge += sum(1 for x, _ in items if x == s)
+            if cge >= needed:
+                thr = s
+                break
+        want += [(g, i) for s, i in items if s >= thr]
+    assert got == sorted(want)
+    # every group keeps at least its required count and the set is tie-closed
+    kept = collections.Counter(g for g, _ in got)
+    for g, items in by_g.items():
+        needed = len(items) * 3 // 10
+        assert kept[g] >= needed
+
+
+def test_group_quantile_filter_ties_and_small_groups(spark):
+    from parconnect_spark.functions.sampling import group_quantile_filter
+
+    rows = [("a", i, 5) for i in range(10)] + [("tiny", 99, 7)]
+    df = spark.createDataFrame(rows, "grp string, rid long, score long")
+    out = group_quantile_filter(df, "grp", "score", 1, 2).collect()
+    # all of group a ties at 5 -> the whole group survives; tiny has
+    # floor(1*1/2)=0 -> dropped
+    assert sorted(r["rid"] for r in out) == list(range(10))
+
+
+def test_group_quantile_filter_partition_invariance_and_guards(spark):
+    import pytest
+
+    from parconnect_spark.functions.sampling import group_quantile_filter
+
+    rows = [("g", i, i % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, rid long, score long")
+    a = sorted(r["rid"] for r in group_quantile_filter(df, "grp", "score", 1, 4).collect())
+    b = sorted(
+        r["rid"]
+        for r in group_quantile_filter(df.repartition(13), "grp", "score", 1, 4).collect()
+    )
+    assert a == b and len(a) >= 50
+    with pytest.raises(ValueError):
+        group_quantile_filter(df, "grp", "score", 5, 4)
+    with pytest.raises(ValueError):
+        group_quantile_filter(df, "grp", "score", 1, 0)
