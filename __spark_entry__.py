@@ -433,6 +433,19 @@ def _q_reciprocity(spark, sf_dir):
     return reciprocity(derive_directed_string_edges(t))
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient table (operators/graph.rich_club): φ(k) =
+    density of the subgraph induced by vertices of degree > k, for every
+    degree value with ≥ 2 rich vertices — do heavy roles/tools
+    preferentially interlink? All thresholds come from TWO histograms +
+    strict suffix sums in one bounded window (≤ #distinct degrees rows);
+    no per-k subgraph scan. Counts exact int64; φ the one rounded double."""
+    from parconnect_spark.operators.graph import rich_club
+
+    _, edges, _ = _graph(spark, sf_dir)
+    return rich_club(edges).orderBy("k")
+
+
 def _q_bfs_distances(spark, sf_dir):
     """Hop distances from vertex 0 (the lexicographically-smallest entity)
     over the undirected entity graph — distance labeling as a feature."""
@@ -2071,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": _q_butterflies,
         "turn_dedup": _q_turn_dedup,
         "reciprocity": _q_reciprocity,
+        "rich_club": _q_rich_club,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
@@ -3919,6 +3933,34 @@ SELECT n_edges, n_reciprocal,
             THEN ROUND(n_reciprocal / CAST(n_edges AS DOUBLE), 6)
             ELSE 0.0 END AS reciprocity
 FROM tot, rec""",
+        # rich_club: strict suffix sums over the merged degree-value
+        # histogram (undl rows already have src<dst — ids are dense ranks
+        # of lexicographically ordered names, so the canonical half is
+        # undl itself); phi is the identical 2.0*e/(n*(n-1)) IEEE expression
+        "rich_club": _GRAPH_PREFIX
+        + """,
+deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+vh AS (SELECT degree AS k, COUNT(*) AS vc FROM deg GROUP BY degree),
+eh AS (
+  SELECT LEAST(d1.degree, d2.degree) AS k, COUNT(*) AS ec
+  FROM undl JOIN deg d1 ON undl.src = d1.v JOIN deg d2 ON undl.dst = d2.v
+  GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(vh.k, eh.k) AS k, COALESCE(vc, 0) AS vc, COALESCE(ec, 0) AS ec
+  FROM vh FULL OUTER JOIN eh ON vh.k = eh.k
+),
+suff AS (
+  SELECT k,
+         CAST(COALESCE(SUM(vc) OVER (ORDER BY k DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_k,
+         CAST(COALESCE(SUM(ec) OVER (ORDER BY k DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS e_k
+  FROM merged
+)
+SELECT k, n_k, e_k,
+       ROUND(2.0 * e_k / CAST(n_k * (n_k - 1) AS DOUBLE), 6) AS phi
+FROM suff WHERE n_k >= 2 ORDER BY k""",
         # turn_dedup: the oracle picks the canonical keeper with a window
         # (fine at oracle scale); the engine uses the skew-safe
         # hash-aggregate + join-back (no windows) — same keeper by the

@@ -288,3 +288,73 @@ def reciprocity(
         .otherwise(F.lit(0.0))
         .alias("reciprocity"),
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient φ(k) for every degree value present in the
+    graph: with N_k = #vertices of degree > k and E_k = #undirected edges
+    whose BOTH endpoints have degree > k, φ(k) = 2·E_k / (N_k·(N_k−1)) —
+    the density of the subgraph induced by the "rich" vertices (Zhou &
+    Mondragón 2004). Rising φ(k) means hubs preferentially interlink —
+    for a transcript link graph, whether heavy tools/roles form a core.
+
+    All thresholds are computed in ONE pass — no per-k subgraph scan:
+    E_k and N_k are complementary cumulative counts, so two histograms
+    suffice. (1) the vertex degree histogram; (2) the edge min-endpoint-
+    degree histogram (canonical src<dst half joined to the degree table
+    twice — co-partitioned equi-joins, broadcast when |V| is small). The
+    suffix sums run in a window over the MERGED HISTOGRAM rows (≤
+    #distinct degree values — thousands at web scale, never corpus-sized),
+    the same bounded-window discipline as group_quantile_filter.
+
+    ``edges`` must be symmetric deduplicated (the CC/pagerank input
+    shape). Returns DataFrame[k, n_k, e_k, phi] for every k in the union
+    of observed vertex/min-edge degree values with n_k ≥ 2 (φ undefined
+    below two rich vertices); counts are exact int64, φ is the one
+    derived double (rounded 6dp, identical IEEE expression on any
+    engine)."""
+    from pyspark.sql import Window
+
+    # no persist: the function returns a LAZY frame, so a scoped persist
+    # could never be released safely; the degree aggregate appears three
+    # times in the plan and Spark's ReuseExchange collapses the repeated
+    # shuffle instead (asserted in test)
+    deg = degrees(edges)
+    vh = deg.groupBy(F.col("degree").alias("k")).agg(
+        F.count(F.lit(1)).alias("_vc")
+    )
+    canon = edges.where(F.col("src") < F.col("dst"))
+    du = deg.select(F.col("v").alias("src"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("v").alias("dst"), F.col("degree").alias("_dv"))
+    eh = (
+        canon.join(du, "src")
+        .join(dv, "dst")
+        .select(F.least("_du", "_dv").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_ec"))
+    )
+    merged = vh.join(eh, "k", "full_outer").select(
+        "k",
+        F.coalesce("_vc", F.lit(0)).alias("_vc"),
+        F.coalesce("_ec", F.lit(0)).alias("_ec"),
+    )
+    # strict suffix sums: rows with degree value > k, i.e. the preceding
+    # rows in descending order, current row excluded
+    w = (
+        Window.orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = merged.select(
+        "k",
+        F.coalesce(F.sum("_vc").over(w), F.lit(0)).alias("n_k"),
+        F.coalesce(F.sum("_ec").over(w), F.lit(0)).alias("e_k"),
+    )
+    return out.where(F.col("n_k") >= 2).select(
+        "k",
+        "n_k",
+        "e_k",
+        F.round(
+            2.0 * F.col("e_k") / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+            6,
+        ).alias("phi"),
+    )

@@ -331,3 +331,48 @@ def test_reciprocity_vs_networkx(spark):
     g = nx.DiGraph((a, b) for a, b in pairs if a != b)
     row = reciprocity(d).collect()[0]
     assert abs(row["reciprocity"] - round(nx.reciprocity(g), 6)) < 1e-9
+
+
+def test_rich_club_vs_definition(spark):
+    import networkx as nx
+
+    from parconnect_spark.operators.graph import rich_club, symmetrize
+    from parconnect_spark.sources.generators import kronecker_edges
+
+    edges = symmetrize(
+        kronecker_edges(spark, scale=6, edgefactor=4).where("src != dst")
+    )
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    g = nx.Graph(pairs)
+    degs = dict(g.degree())
+
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"]) for r in rich_club(edges).collect()}
+    assert got, "rich club table empty on a Kronecker graph"
+    for k, (n_k, e_k, phi) in got.items():
+        rich = [v for v, d in degs.items() if d > k]
+        sub = g.subgraph(rich)
+        assert n_k == len(rich)
+        assert e_k == sub.number_of_edges()
+        assert abs(phi - round(2 * e_k / (n_k * (n_k - 1)), 6)) < 1e-12
+    # every observed degree value with >= 2 richer vertices is reported
+    for d in set(degs.values()):
+        n = sum(1 for x in degs.values() if x > d)
+        assert (d in got) == (n >= 2)
+
+
+def test_rich_club_small_graph_and_reuse(spark):
+    from parconnect_spark.operators.graph import rich_club, symmetrize
+
+    # 4-clique plus a pendant: at k=1 the rich set is the clique (+0 more),
+    # phi(1) = density of K4 = 1.0
+    base = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = symmetrize(spark.createDataFrame(base, "src long, dst long"))
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"]) for r in rich_club(edges).collect()}
+    assert got[1] == (4, 6, 1.0)
+    # degree aggregate appears three times in the plan; the shuffle must be
+    # reused, not recomputed (the documented no-persist justification).
+    # AQE only materializes reuse in the FINAL plan, so run the query
+    # first and inspect the same frame's executed plan.
+    df = rich_club(edges)
+    df.collect()
+    assert "ReusedExchange" in df._jdf.queryExecution().executedPlan().toString()
