@@ -127,6 +127,8 @@ ROLL_WINDOW_BUCKETS = 7
 # longest conversations) so both the sketch prune and the exact verify
 # branch carry real weight
 HH_MIN_COUNT = 80
+# trending terms: top-k per trailing ROLL_WINDOW_BUCKETS-day window
+TREND_K = 5
 QUANT_VECS = 50
 SAMPLE_K = 25
 BIGRAM_MIN_HEAD = 5
@@ -1743,6 +1745,24 @@ def _q_heavy_hitters(spark, sf_dir):
     ).orderBy("k")
 
 
+def _q_trending_terms(spark, sf_dir):
+    """Trending terms per trailing 7-day window
+    (functions/text.rolling_topk_terms): top-5 terms by exact count
+    (term-asc tiebreak) as of every touched day — the exact-count
+    companion to sketch_rolling, same one-raw-scan /
+    per-(bucket, term) pre-aggregate / bounded-window-merge shape. No
+    doubles anywhere: the ranking is a total (int, string) order."""
+    from parconnect_spark.functions.text import rolling_topk_terms
+
+    t = _transcripts(spark, sf_dir)
+    return rolling_topk_terms(
+        t,
+        bucket_us=ROLL_BUCKET_US,
+        window_buckets=ROLL_WINDOW_BUCKETS,
+        k=TREND_K,
+    ).orderBy("asof_bucket_us", "rank")
+
+
 def _q_bigram_lm(spark, sf_dir):
     """Corpus bigram LM table (functions/text.bigram_lm): top-3
     continuations per head token with conditional probability, bigrams
@@ -2115,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "sketch_rolling": _q_sketch_rolling,
         "heavy_hitters": _q_heavy_hitters,
+        "trending_terms": _q_trending_terms,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
@@ -4234,6 +4255,33 @@ ORDER BY e.vec_id, e.dim""",
 , eps AS (SELECT a AS k FROM pairs UNION ALL SELECT b AS k FROM pairs)
 SELECT k, COUNT(*) AS cnt FROM eps GROUP BY k
 HAVING COUNT(*) >= {HH_MIN_COUNT} ORDER BY k""",
+        # trending_terms: per-(day, term) pre-aggregation merged per
+        # trailing window (constant-table cross join, the sketch_rolling
+        # shape); ranking is the total (cnt DESC, term ASC) integer/string
+        # order — no doubles to reconcile
+        "trending_terms": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + f""",
+ev AS (
+  SELECT epoch_us(ts) // {ROLL_BUCKET_US} AS b,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+),
+pb AS (SELECT b, term, COUNT(*) AS c FROM ev GROUP BY b, term),
+offs AS (SELECT unnest(range(0, {ROLL_WINDOW_BUCKETS})) AS off),
+mg AS (
+  SELECT pb.b + o.off AS wd, term, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM pb CROSS JOIN offs o GROUP BY pb.b + o.off, term
+),
+rk AS (
+  SELECT wd, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY wd ORDER BY cnt DESC, term) AS rank
+  FROM mg
+)
+SELECT wd * {ROLL_BUCKET_US} AS asof_bucket_us, CAST(rank AS INT) AS rank,
+       term, cnt
+FROM rk WHERE rank <= {TREND_K}
+ORDER BY asof_bucket_us, rank""",
         # lm_score: the per-bigram −ln(p)·10^6 is rounded to an int64 by
         # the IDENTICAL expression on both engines (non-negative, so
         # HALF_UP ≡ half-away-from-zero), and the document aggregate is an

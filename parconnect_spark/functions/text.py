@@ -415,3 +415,69 @@ def lm_score(
             ).alias("ppl"),
         )
     )
+
+
+def rolling_topk_terms(
+    turns: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    window_buckets: int = 7,
+    k: int = 5,
+) -> DataFrame:
+    """Trending terms: the top-``k`` terms (by exact count, term-asc
+    tiebreak) in every trailing ``window_buckets``-bucket window — the
+    companion to :func:`~parconnect_spark.functions.sketch.
+    hll_rolling_distinct`, with the same pre-aggregate-then-merge shape:
+    raw text is scanned and tokenized ONCE into per-(bucket, term)
+    counts, and each window is a bounded merge of ≤ window_buckets rows
+    PER TERM — overlapping windows never re-scan or re-tokenize raw
+    turns. Window wd covers buckets wd−window_buckets+1 … wd; every
+    window touched by an occupied bucket is emitted.
+
+    Ranking is (count DESC, term ASC) — a total integer/string order, so
+    the top-k set is engine-independent with no double anywhere.
+
+    Scale note: the per-window rank partitions over DISTINCT TERMS in the
+    window (vocabulary-, not event-sized). For web-scale open
+    vocabularies, pre-prune the term table with
+    :func:`~parconnect_spark.functions.sketch.heavy_hitters` (CM prune,
+    exact survivors) before the window merge; the contract query's
+    closed vocabulary doesn't need it.
+
+    Returns DataFrame[asof_bucket_us: long, rank: int, term, cnt: long].
+    """
+    from pyspark.sql import Window
+
+    if window_buckets < 1 or k < 1:
+        raise ValueError("window_buckets and k must be >= 1")
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    keyed = turns.select(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}"
+        ).alias("b"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    per_bucket = keyed.groupBy("b", "term").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    win = F.expr(f"sequence(b, b + {window_buckets - 1})")
+    merged = (
+        per_bucket.select(F.explode(win).alias("wd"), "term", "_c")
+        .groupBy("wd", "term")
+        .agg(F.sum("_c").alias("cnt"))
+    )
+    w = Window.partitionBy("wd").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            (F.col("wd") * bucket_us).alias("asof_bucket_us"),
+            "rank",
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
