@@ -410,6 +410,16 @@ def main() -> None:
             "slice_efficiency_max": round(s4["max"] / sn["max"] / 4.0, 3),
             "spread_n": sn,
             "spread_4n": s4,
+            # prior recorded run of THIS default protocol (BASELINE.md
+            # round-5 section) — context for reading a single fresh draw
+            # against host weather, not a substitute for it
+            "recorded_protocol_r5": {
+                "ratio_of_medians": 0.917,
+                "pair_efficiencies": [0.875, 0.951, 0.810],
+                "throughput_n": 1274000.0,
+                "throughput_4n": 4672000.0,
+                "where": "BASELINE.md 'Final recorded protocol' table",
+            },
         }
 
     print(
