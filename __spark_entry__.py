@@ -129,6 +129,10 @@ ROLL_WINDOW_BUCKETS = 7
 HH_MIN_COUNT = 80
 # trending terms: top-k per trailing ROLL_WINDOW_BUCKETS-day window
 TREND_K = 5
+# term bursts: >=2x the trailing-7-day per-day baseline at >=8 occurrences
+# (56 bursts at sf0.01 — selective but non-vacuous)
+BURST_RATIO = (2, 1)
+BURST_MIN_COUNT = 8
 QUANT_VECS = 50
 SAMPLE_K = 25
 BIGRAM_MIN_HEAD = 5
@@ -1763,6 +1767,25 @@ def _q_trending_terms(spark, sf_dir):
     ).orderBy("asof_bucket_us", "rank")
 
 
+def _q_term_bursts(spark, sf_dir):
+    """Bursting terms (functions/text.term_bursts): a (day, term) bursts
+    at ≥ BURST_MIN_COUNT occurrences AND ≥ 2× its trailing-7-day per-day
+    baseline (new terms burst with baseline 0, NULL ratio). The burst
+    predicate is pure integer arithmetic (cnt·W·den ≥ baseline·num) —
+    membership can never flip on a double ulp; ratio is display only."""
+    from parconnect_spark.functions.text import term_bursts
+
+    t = _transcripts(spark, sf_dir)
+    return term_bursts(
+        t,
+        bucket_us=ROLL_BUCKET_US,
+        window_buckets=ROLL_WINDOW_BUCKETS,
+        ratio_num=BURST_RATIO[0],
+        ratio_den=BURST_RATIO[1],
+        min_count=BURST_MIN_COUNT,
+    ).orderBy("asof_bucket_us", "term")
+
+
 def _q_bigram_lm(spark, sf_dir):
     """Corpus bigram LM table (functions/text.bigram_lm): top-3
     continuations per head token with conditional probability, bigrams
@@ -2136,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rolling": _q_sketch_rolling,
         "heavy_hitters": _q_heavy_hitters,
         "trending_terms": _q_trending_terms,
+        "term_bursts": _q_term_bursts,
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
@@ -4282,6 +4306,35 @@ SELECT wd * {ROLL_BUCKET_US} AS asof_bucket_us, CAST(rank AS INT) AS rank,
        term, cnt
 FROM rk WHERE rank <= {TREND_K}
 ORDER BY asof_bucket_us, rank""",
+        # term_bursts: same per-(day, term) table, baseline = forward-
+        # shifted constant-fan-out window merge; the burst predicate is
+        # integer arithmetic, the ratio a display double (NULL for new terms)
+        "term_bursts": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + f""",
+ev AS (
+  SELECT epoch_us(ts) // {ROLL_BUCKET_US} AS b,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+),
+pb AS (SELECT b, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY b, term),
+offs AS (SELECT unnest(range(1, {ROLL_WINDOW_BUCKETS + 1})) AS off),
+base AS (
+  SELECT pb.b + o.off AS b, term, CAST(SUM(cnt) AS BIGINT) AS baseline
+  FROM pb CROSS JOIN offs o GROUP BY pb.b + o.off, term
+),
+j AS (
+  SELECT pb.b, pb.term, pb.cnt, COALESCE(base.baseline, 0) AS baseline
+  FROM pb LEFT JOIN base ON pb.b = base.b AND pb.term = base.term
+)
+SELECT b * {ROLL_BUCKET_US} AS asof_bucket_us, term, cnt, baseline,
+       CASE WHEN baseline > 0
+            THEN ROUND(cnt * {float(ROLL_WINDOW_BUCKETS)!r} / baseline, 6)
+            END AS ratio
+FROM j
+WHERE cnt >= {BURST_MIN_COUNT}
+  AND cnt * {ROLL_WINDOW_BUCKETS * BURST_RATIO[1]} >= baseline * {BURST_RATIO[0]}
+ORDER BY asof_bucket_us, term""",
         # lm_score: the per-bigram −ln(p)·10^6 is rounded to an int64 by
         # the IDENTICAL expression on both engines (non-negative, so
         # HALF_UP ≡ half-away-from-zero), and the document aggregate is an

@@ -481,3 +481,86 @@ def rolling_topk_terms(
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+def term_bursts(
+    turns: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    window_buckets: int = 7,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+    min_count: int = 5,
+) -> DataFrame:
+    """Bursting terms: a (bucket, term) bursts when its count reaches
+    ``min_count`` AND is at least ``ratio_num/ratio_den`` times its
+    trailing per-bucket baseline (the mean of the prior ``window_buckets``
+    buckets, absent buckets counting zero). A term with NO prior
+    occurrences is a "new term" burst: ``baseline = 0`` and ``ratio``
+    NULL. The spike-detection twin of :func:`rolling_topk_terms`, on the
+    same per-(bucket, term) pre-aggregation — raw text is tokenized once,
+    the baseline is the same constant-fan-out window merge shifted
+    forward one bucket (bucket b feeds baselines b+1 … b+window_buckets).
+
+    The burst PREDICATE is pure integer arithmetic
+    (``cnt · W · ratio_den ≥ baseline · ratio_num``) so membership can
+    never flip on an engine's double ulp; the reported ``ratio``
+    (cnt·W/baseline, 6dp) is derived display only.
+
+    Returns DataFrame[asof_bucket_us, term, cnt, baseline, ratio].
+    """
+    if window_buckets < 1 or min_count < 1:
+        raise ValueError("window_buckets and min_count must be >= 1")
+    if bucket_us <= 0 or ratio_num < 1 or ratio_den < 1:
+        raise ValueError("bucket_us and ratio terms must be positive")
+    keyed = turns.select(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}"
+        ).alias("b"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    per_bucket = keyed.groupBy("b", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    base = (
+        per_bucket.select(
+            F.explode(
+                F.expr(f"sequence(b + 1, b + {window_buckets})")
+            ).alias("b"),
+            "term",
+            "cnt",
+        )
+        .groupBy("b", "term")
+        .agg(F.sum("cnt").alias("baseline"))
+    )
+    j = per_bucket.join(base, ["b", "term"], "left").select(
+        "b",
+        "term",
+        "cnt",
+        F.coalesce("baseline", F.lit(0)).cast("long").alias("baseline"),
+    )
+    w = window_buckets
+    return (
+        j.where(
+            (F.col("cnt") >= min_count)
+            & (
+                F.col("cnt") * F.lit(w * ratio_den)
+                >= F.col("baseline") * F.lit(ratio_num)
+            )
+        )
+        .select(
+            (F.col("b") * bucket_us).alias("asof_bucket_us"),
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            "baseline",
+            F.when(
+                F.col("baseline") > 0,
+                F.round(
+                    F.col("cnt") * F.lit(float(w)) / F.col("baseline"), 6
+                ),
+            ).alias("ratio"),
+        )
+    )

@@ -49,3 +49,60 @@ def test_rolling_topk_terms_guards(spark):
         rolling_topk_terms(df, k=0)
     with pytest.raises(ValueError):
         rolling_topk_terms(df, bucket_us=0)
+
+
+def test_term_bursts_vs_brute_force(spark):
+    import collections
+    import datetime
+
+    from parconnect_spark.functions.text import term_bursts
+
+    day = 86_400_000_000
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    # "bg" hums along at 3/day; "spike" bursts on day 6; "fresh" first
+    # appears on day 8
+    for d in range(10):
+        rows.append((base + datetime.timedelta(days=d), "bg bg bg"))
+        if d == 6:
+            rows.append((base + datetime.timedelta(days=d), " ".join(["spike"] * 9)))
+        elif d in (2, 3):
+            rows.append((base + datetime.timedelta(days=d), "spike"))
+        if d == 8:
+            rows.append((base + datetime.timedelta(days=d), "fresh fresh fresh fresh fresh"))
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    W, RN, RD, MC = 3, 2, 1, 4
+    got = {
+        (r["asof_bucket_us"], r["term"]): (r["cnt"], r["baseline"], r["ratio"])
+        for r in term_bursts(
+            df, window_buckets=W, ratio_num=RN, ratio_den=RD, min_count=MC
+        ).collect()
+    }
+
+    per = collections.defaultdict(collections.Counter)
+    for ts, text in rows:
+        per[(int(ts.timestamp()) * 1_000_000) // day].update(text.split())
+    want = {}
+    for b, c in per.items():
+        for term, cnt in c.items():
+            bl = sum(per.get(pb, {}).get(term, 0) for pb in range(b - W, b))
+            if cnt >= MC and cnt * W * RD >= bl * RN:
+                ratio = round(cnt * float(W) / bl, 6) if bl > 0 else None
+                want[(b * day, term)] = (cnt, bl, ratio)
+    assert got == want
+    # the spike and the new term are both caught; the background never is
+    assert any(t == "spike" for _, t in got) and any(t == "fresh" for _, t in got)
+    assert not any(t == "bg" for _, t in got)
+
+
+def test_term_bursts_guards(spark):
+    import pytest
+
+    from parconnect_spark.functions.text import term_bursts
+
+    df = spark.createDataFrame([], "ts timestamp, text string")
+    assert term_bursts(df).count() == 0
+    with pytest.raises(ValueError):
+        term_bursts(df, min_count=0)
+    with pytest.raises(ValueError):
+        term_bursts(df, ratio_num=0)
