@@ -1749,6 +1749,20 @@ def _q_heavy_hitters(spark, sf_dir):
     ).orderBy("k")
 
 
+def _q_profile(spark, sf_dir):
+    """One-row exact numeric profile of events.value
+    (operators/events.profile_numeric): counts, min/max, mean, population
+    variance and the EXACT lower-median — every moment computed over the
+    int64 µ-unit quantization with DECIMAL(38,0) accumulators, because
+    floating-point SUMs are shuffle-order-dependent and a profile that
+    changes between runs is worse than none. The median is an order
+    statistic via the two-phase global rank (no single-partition window)."""
+    from parconnect_spark.operators.events import profile_numeric
+
+    _views(spark, sf_dir, ("events",))
+    return profile_numeric(spark.table("events"), "value", "event_id")
+
+
 def _q_trending_terms(spark, sf_dir):
     """Trending terms per trailing 7-day window
     (functions/text.rolling_topk_terms): top-5 terms by exact count
@@ -2158,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "sketch_rolling": _q_sketch_rolling,
         "heavy_hitters": _q_heavy_hitters,
+        "profile": _q_profile,
         "trending_terms": _q_trending_terms,
         "term_bursts": _q_term_bursts,
         "streaming_edges": _q_streaming_edges,
@@ -4279,6 +4294,38 @@ ORDER BY e.vec_id, e.dim""",
 , eps AS (SELECT a AS k FROM pairs UNION ALL SELECT b AS k FROM pairs)
 SELECT k, COUNT(*) AS cnt FROM eps GROUP BY k
 HAVING COUNT(*) >= {HH_MIN_COUNT} ORDER BY k""",
+        # profile: int64 µ-unit quantization + DECIMAL(38,0) accumulators
+        # (double SUMs are shuffle-order-dependent); derived doubles mirror
+        # the Spark expressions division-by-division; median = lower order
+        # statistic under (q, event_id)
+        "profile": """
+WITH nn AS (
+  SELECT event_id, CAST(ROUND(value * 1000000) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM events
+),
+agg AS (
+  SELECT MIN(q) AS qmin, MAX(q) AS qmax,
+         SUM(CAST(q AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM nn
+),
+rk AS (SELECT q, ROW_NUMBER() OVER (ORDER BY q, event_id) - 1 AS r FROM nn),
+med AS (SELECT MAX(rk.q) AS qmed FROM rk, agg WHERE rk.r = (agg.nv - 1) // 2)
+SELECT m.n, m.n_null,
+       agg.qmin / 1000000 AS vmin,
+       agg.qmax / 1000000 AS vmax,
+       ROUND((CAST(agg.s1 AS DOUBLE) / agg.nv) / 1000000, 6) AS mean,
+       ROUND(((CAST(agg.s2 AS DOUBLE) * agg.nv
+               - CAST(agg.s1 AS DOUBLE) * CAST(agg.s1 AS DOUBLE))
+              / (CAST(agg.nv AS DOUBLE) * agg.nv)) / 1000000000000.0, 6) AS variance,
+       med.qmed / 1000000 AS median
+FROM m, agg, med""",
         # trending_terms: per-(day, term) pre-aggregation merged per
         # trailing window (constant-table cross join, the sketch_rolling
         # shape); ranking is the total (cnt DESC, term ASC) integer/string

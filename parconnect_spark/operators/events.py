@@ -391,3 +391,80 @@ def funnel(
         "n_users",
         F.round(F.col("n_users") / F.col("_n1"), 6).alias("conversion"),
     )
+
+
+def profile_numeric(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One-row exact profile of a numeric column — the data-quality
+    summary every ingestion pipeline runs first: row/null counts, min,
+    max, mean, population variance, and the EXACT median (lower order
+    statistic, not an interpolation).
+
+    Cross-engine determinism is the whole design: floating-point SUMs are
+    shuffle-order-dependent, so every moment is computed over the
+    ``round(value · quant)`` int64 quantization with DECIMAL(38,0)
+    accumulators — Σq and Σq² are exact integers on any engine, and the
+    derived mean/variance doubles come from ONE division expression each
+    (rounded 6dp). The median is the value whose (quantized value, id)
+    rank is (n−1)/2 — order-statistic membership, the quality_trim
+    discipline, via one TakeOrderedAndProject-sized window-free path:
+    rank = count of rows strictly below + tie id ordering, computed with
+    the same two-phase global rank used by quantile_trim.
+
+    Returns DataFrame[n, n_null, vmin, vmax, mean, variance, median]
+    (vmin/vmax/median in original units at ``quant`` resolution).
+    """
+    from parconnect_spark.functions.sampling import global_row_number
+
+    v = F.col(value_col)
+    q = F.round(v * F.lit(quant)).cast("long")
+    nn = df.where(v.isNotNull()).select(
+        q.alias("_q"), F.col(id_col).alias("_id")
+    )
+    moments = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+    ).crossJoin(
+        nn.agg(
+            F.min("_q").alias("_qmin"),
+            F.max("_q").alias("_qmax"),
+            F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s1"),
+            F.sum(
+                (F.col("_q").cast("decimal(38,0)") * F.col("_q")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_s2"),
+            F.count(F.lit(1)).alias("_nv"),
+        )
+    )
+    ranked = global_row_number(nn, ["_q", "_id"], out_col="_r")
+    # aggregate form so an all-null column still yields the one profile
+    # row (a filter-then-crossJoin would yield zero rows instead)
+    med = (
+        ranked.crossJoin(F.broadcast(nn.agg(F.count(F.lit(1)).alias("_n"))))
+        .where(F.col("_r") == F.expr("(_n - 1) div 2"))
+        .agg(F.max("_q").alias("_qmed"))
+    )
+    return moments.crossJoin(med).select(
+        "n",
+        "n_null",
+        (F.col("_qmin") / quant).alias("vmin"),
+        (F.col("_qmax") / quant).alias("vmax"),
+        F.round(F.col("_s1").cast("double") / F.col("_nv") / quant, 6).alias(
+            "mean"
+        ),
+        F.round(
+            (
+                F.col("_s2").cast("double") * F.col("_nv")
+                - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+            )
+            / (F.col("_nv").cast("double") * F.col("_nv"))
+            / (float(quant) * quant),
+            6,
+        ).alias("variance"),
+        (F.col("_qmed") / quant).alias("median"),
+    )

@@ -318,3 +318,43 @@ def test_retention_cohorts_dedupes_events(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out = retention_cohorts(df).collect()
     assert len(out) == 1 and out[0]["n_active"] == 1
+
+
+def test_profile_numeric_vs_python(spark):
+    from parconnect_spark.operators.events import profile_numeric
+
+    vals = [((i * 37) % 100) / 4.0 for i in range(101)]
+    rows = [(i, v if i % 10 else None) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    r = profile_numeric(df, "value", "event_id").collect()[0]
+
+    present = sorted(v for i, v in rows if v is not None)
+    n = len(present)
+    assert r["n"] == 101 and r["n_null"] == 101 - n
+    assert r["vmin"] == min(present) and r["vmax"] == max(present)
+    assert abs(r["mean"] - round(sum(present) / n, 6)) < 1e-9
+    mu = sum(present) / n
+    var = sum((x - mu) ** 2 for x in present) / n
+    assert abs(r["variance"] - var) < 1e-6
+    assert r["median"] == present[(n - 1) // 2]
+
+
+def test_profile_numeric_partition_invariance_and_degenerate(spark):
+    from parconnect_spark.operators.events import profile_numeric
+
+    rows = [(i, float(i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    a = tuple(profile_numeric(df, "value", "event_id").collect()[0])
+    b = tuple(
+        profile_numeric(df.repartition(17), "value", "event_id").collect()[0]
+    )
+    assert a == b
+    # all-null column still produces the single profile row
+    nul = spark.createDataFrame([(1, None), (2, None)], "event_id long, value double")
+    r = profile_numeric(nul, "value", "event_id").collect()
+    assert len(r) == 1 and r[0]["n"] == 2 and r[0]["n_null"] == 2
+    assert r[0]["median"] is None
+    # empty frame: one row, zeros
+    empty = spark.createDataFrame([], "event_id long, value double")
+    r = profile_numeric(empty, "value", "event_id").collect()
+    assert len(r) == 1 and r[0]["n"] == 0
