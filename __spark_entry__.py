@@ -1749,6 +1749,58 @@ def _q_heavy_hitters(spark, sf_dir):
     ).orderBy("k")
 
 
+def _q_graph_summary(spark, sf_dir):
+    """The one-row link-graph dashboard: vertices, undirected edges,
+    density, max/avg degree, component count + largest component, and the
+    global triangle count — every number produced by the same engine
+    operators the dedicated queries verify (degrees, two_phase CC,
+    degree-ordered triangle enumeration) and cross-joined into a single
+    row of exact int64s plus two derived 6dp doubles. The executive
+    summary a 100-TB graph build publishes after every refresh."""
+    from parconnect_spark.operators.graph import degrees
+    from parconnect_spark.plans.connectivity import connected_components
+    from parconnect_spark.plans.triangles import enumerate_triangles
+
+    _, edges, _ = _graph(spark, sf_dir)
+    deg = degrees(edges).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum("degree").cast("long").alias("_sumdeg"),
+    )
+    comp = (
+        connected_components(edges, algorithm="two_phase")
+        .labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("components"),
+            F.max("_n").cast("long").alias("largest"),
+        )
+    )
+    tri = enumerate_triangles(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        deg.crossJoin(comp)
+        .crossJoin(tri)
+        .select(
+            "n_vertices",
+            (F.col("_sumdeg") / 2).cast("long").alias("n_edges"),
+            F.round(
+                F.col("_sumdeg")
+                / (F.col("n_vertices").cast("double") * (F.col("n_vertices") - 1)),
+                6,
+            ).alias("density"),
+            "max_degree",
+            F.round(
+                F.col("_sumdeg") / F.col("n_vertices").cast("double"), 6
+            ).alias("avg_degree"),
+            "components",
+            "largest",
+            "n_triangles",
+        )
+    )
+
+
 def _q_profile(spark, sf_dir):
     """One-row exact numeric profile of events.value
     (operators/events.profile_numeric): counts, min/max, mean, population
@@ -2172,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "sketch_rolling": _q_sketch_rolling,
         "heavy_hitters": _q_heavy_hitters,
+        "graph_summary": _q_graph_summary,
         "profile": _q_profile,
         "trending_terms": _q_trending_terms,
         "term_bursts": _q_term_bursts,
@@ -4294,6 +4347,31 @@ ORDER BY e.vec_id, e.dim""",
 , eps AS (SELECT a AS k FROM pairs UNION ALL SELECT b AS k FROM pairs)
 SELECT k, COUNT(*) AS cnt FROM eps GROUP BY k
 HAVING COUNT(*) >= {HH_MIN_COUNT} ORDER BY k""",
+        # graph_summary: the dedicated queries' oracle CTEs composed into
+        # one row — degree aggregate + recursive-CTE CC + the oriented
+        # triangle join; the two doubles mirror the Spark expressions
+        "graph_summary": _GRAPH_PREFIX
+        + _CC_REACH
+        + _TRI_CTE
+        + """,
+dg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(MAX(d) AS BIGINT) AS max_degree,
+         CAST(SUM(d) AS BIGINT) AS sumdeg
+  FROM (SELECT src, COUNT(*) AS d FROM edges GROUP BY src) x
+),
+cmp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS components, CAST(MAX(n) AS BIGINT) AS largest
+  FROM (SELECT label, COUNT(*) AS n FROM vlabels GROUP BY label) c
+),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri)
+SELECT dg.n_vertices,
+       CAST(dg.sumdeg / 2 AS BIGINT) AS n_edges,
+       ROUND(dg.sumdeg / (CAST(dg.n_vertices AS DOUBLE) * (dg.n_vertices - 1)), 6) AS density,
+       dg.max_degree,
+       ROUND(dg.sumdeg / CAST(dg.n_vertices AS DOUBLE), 6) AS avg_degree,
+       cmp.components, cmp.largest, tc.n_triangles
+FROM dg, cmp, tc""",
         # profile: int64 µ-unit quantization + DECIMAL(38,0) accumulators
         # (double SUMs are shuffle-order-dependent); derived doubles mirror
         # the Spark expressions division-by-division; median = lower order
