@@ -133,3 +133,98 @@ def test_cc_matches_networkx_on_random_graphs(spark, algorithm):
         assert got == _nx_min_labels(edges, verts)
 
     check()
+
+
+@pytest.mark.slow
+def test_weighted_sample_matches_python_race_on_arbitrary_weights(spark):
+    """weighted_sample_k's selection equals the documented pure-Python
+    exponential race for ARBITRARY positive integer weights, ids, k and
+    salt — the engine-independence claim as a property, not an example."""
+    import hashlib
+    import math
+
+    from parconnect_spark.functions.sampling import weighted_sample_k
+
+    @settings(max_examples=8, derandomize=True, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=1, max_value=10**6),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=10),
+        st.text(alphabet="abc", max_size=3),
+    )
+    def check(rows, k, salt):
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = sorted(
+            r["doc_id"]
+            for r in weighted_sample_k(df, k, "w", salt=salt).collect()
+        )
+
+        def pri(i, w):
+            h = int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:13], 16)
+            u = (h + 0.5) / 2**52
+            return (round(-math.log(u) / w * 1e6), i)
+
+        want = sorted(
+            i for i, w in sorted(rows, key=lambda t: pri(*t))[:k]
+        )
+        assert got == want
+
+    check()
+
+
+@pytest.mark.slow
+def test_group_quantile_filter_property(spark):
+    """group_quantile_filter keeps, per group, exactly the smallest
+    score-closed top set with >= floor(n*q) rows — for arbitrary groups,
+    scores, and rational q."""
+    import collections
+
+    from parconnect_spark.functions.sampling import group_quantile_filter
+
+    @settings(max_examples=8, derandomize=True, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(pairs, q_num, q_den):
+        if q_num > q_den:
+            q_num = q_den
+        rows = [(f"g{g}", i, s) for i, (g, s) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "grp string, rid long, score long")
+        got = collections.defaultdict(set)
+        for r in group_quantile_filter(df, "grp", "score", q_num, q_den).collect():
+            got[r["grp"]].add(r["rid"])
+
+        by_g = collections.defaultdict(list)
+        for g, i, s in rows:
+            by_g[g].append((s, i))
+        for g, items in by_g.items():
+            needed = len(items) * q_num // q_den
+            if needed == 0:
+                assert got.get(g, set()) == set()
+                continue
+            scores = sorted({s for s, _ in items}, reverse=True)
+            cge, thr = 0, None
+            for s in scores:
+                cge += sum(1 for x, _ in items if x == s)
+                if cge >= needed:
+                    thr = s
+                    break
+            assert got[g] == {i for s, i in items if s >= thr}
+
+    check()
