@@ -1967,6 +1967,43 @@ def _q_streaming_degrees(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_terms(spark, sf_dir):
+    """STREAMING event-time windowed aggregation
+    (streaming/stream.term_counts_stream): per (UTC-day tumbling window,
+    term) exact token counts over the transcript stream — the streaming
+    substrate under trending_terms/term_bursts. End-of-stream output
+    equals the batch per-day GROUP BY (the fourth stream≡batch contract:
+    derivation, keyed aggregation, custom session state, and now
+    event-time windows)."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.streaming.stream import (
+        stream_transcripts,
+        term_counts_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_terms_")
+    try:
+        _transcripts(spark, sf_dir).write.parquet(f"{tmp}/transcripts")
+        st = stream_transcripts(spark, f"{tmp}/transcripts")
+        q = (
+            term_counts_stream(st)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_term_counts")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            "SELECT bucket_us, term, cnt FROM stream_term_counts "
+            "ORDER BY bucket_us, term"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """STREAMING gap sessionization (streaming/stream.session_stream —
     applyInPandasWithState keyed by user_id, the canonical custom stateful
@@ -2231,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_edges": _q_streaming_edges,
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_terms": _q_streaming_terms,
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
@@ -4606,6 +4644,19 @@ FROM r WHERE rk <= 10 ORDER BY query_id, rank""",
         + """
 SELECT entity, CAST(COUNT(*) AS BIGINT) AS turns
 FROM turns GROUP BY entity ORDER BY entity""",
+        # streaming_terms: end-of-stream event-time day windows ≡ the
+        # batch per-day token counts (UTC session tz makes Spark's 1-day
+        # tumbling window the epoch_us floor-division bucket)
+        "streaming_terms": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+ev AS (
+  SELECT epoch_us(ts) // 86400000000 * 86400000000 AS bucket_us,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+)
+SELECT bucket_us, term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ev GROUP BY bucket_us, term ORDER BY bucket_us, term""",
         "neighbor_agg": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

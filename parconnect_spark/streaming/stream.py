@@ -289,3 +289,40 @@ def session_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def term_counts_stream(
+    transcripts: DataFrame, bucket: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """EVENT-TIME tumbling-window aggregation over the token stream: per
+    (day-window, term) exact counts — the streaming substrate under
+    trending_terms/term_bursts (their per-(bucket, term) pre-aggregation,
+    maintained incrementally by the state store instead of recomputed per
+    batch). With the UTC session timezone (session.py pins it) a
+    ``1 day`` tumbling window aligns exactly to the batch side's
+    ``epoch_us div 86400e6`` integer buckets, so end-of-stream output ≡
+    the batch GROUP BY — the third stream≡batch contract shape
+    (derivation: streaming_edges; keyed aggregation: streaming_degrees;
+    event-time windows: this).
+
+    Returns streaming DataFrame[bucket_us: long, term, cnt: long]
+    (bucket_us = window start in unix µs). The watermark bounds window
+    state in append-mode deployments; the contract query reads the
+    complete-mode memory sink, where it is inert but still declared —
+    production would run append mode with exactly this plan.
+    """
+    toks = transcripts.withWatermark("ts", watermark).select(
+        "ts",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy(F.window("ts", bucket), "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("bucket_us"),
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

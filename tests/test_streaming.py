@@ -223,3 +223,43 @@ def test_session_stream_equals_batch_multi_batch(spark, tmp_path):
     _run_stream(session_stream(st, gap_seconds=600), "sess_multi")
     batch = spark.createDataFrame(ev, schema)
     assert _final_sessions(spark, "sess_multi") == _batch_sessions(spark, batch)
+
+
+def test_term_counts_stream_equals_batch(spark, tmp_path):
+    from parconnect_spark.sources import synth_transcripts
+    from parconnect_spark.streaming.stream import (
+        stream_transcripts,
+        term_counts_stream,
+    )
+
+    t = synth_transcripts(spark, n_convs=40)
+    t.write.parquet(str(tmp_path / "transcripts"))
+    st = stream_transcripts(spark, str(tmp_path / "transcripts"))
+    q = (
+        term_counts_stream(st)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_term_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["bucket_us"], r["term"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM t_term_counts").collect()
+    }
+    import pyspark.sql.functions as F
+
+    exp = {
+        (r["b"], r["term"]): r["cnt"]
+        for r in t.select(
+            F.expr("unix_micros(ts) div 86400000000 * 86400000000").alias("b"),
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("b", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == exp and got
