@@ -135,6 +135,11 @@ BURST_RATIO = (2, 1)
 BURST_MIN_COUNT = 8
 QUANT_VECS = 50
 SAMPLE_K = 25
+# sequence packing: chunk capacity 64 tokens with a 1-token separator —
+# docs average ~55 whitespace tokens at sf0.01, so roughly half of them
+# cross a chunk boundary and both the spanning and in-chunk branches of
+# the map carry weight
+PACK_SEQ_LEN = 64
 BIGRAM_MIN_HEAD = 5
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOPK = 50
@@ -1611,6 +1616,25 @@ def _q_group_trim(spark, sf_dir):
     )
 
 
+def _q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing map (functions/packing.sequence_pack):
+    concatenate the corpus in doc_id order (one EOS separator per doc) and
+    chunk every PACK_SEQ_LEN tokens — the last step of an LLM data
+    pipeline. Each doc's global offset comes from the two-phase
+    distributed exscan (range shuffle + per-partition cumsum + broadcast
+    partition totals — no single-partition window, so the plan survives a
+    10^14-token stream), and every boundary is int64 div/% — no doubles
+    anywhere, so two engines cannot disagree on a chunk id."""
+    from parconnect_spark.functions.packing import sequence_pack
+    from parconnect_spark.functions.text import token_count
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sequence_pack(docs, PACK_SEQ_LEN, sep_tokens=1).orderBy("doc_id")
+
+
 def _q_kmeans(spark, sf_dir):
     """Fixed-iteration Lloyd k-means on the integer grid
     (functions/cluster.kmeans_quantized): quantized non-negative vectors,
@@ -2255,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "quality_trim": _q_quality_trim,
         "group_trim": _q_group_trim,
+        "sequence_pack": _q_sequence_pack,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
@@ -4357,6 +4382,27 @@ thr AS (
 SELECT sc.doc_id, sc.source, sc.score
 FROM sc JOIN thr ON sc.source = thr.source AND sc.score >= thr.thr
 ORDER BY sc.doc_id""",
+        # sequence_pack: concatenate-then-chunk packing map — exscan of
+        # (tokens + 1 separator) in doc_id order, chunk ids by int64
+        # floor division. All-integer arithmetic on both engines.
+        "sequence_pack": f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {PACK_SEQ_LEN} AS seq_first,
+       (start_tok + n_tokens + 1 - 1) // {PACK_SEQ_LEN} AS seq_last,
+       start_tok % {PACK_SEQ_LEN} AS head_offset,
+       (start_tok + n_tokens) // {PACK_SEQ_LEN} - start_tok // {PACK_SEQ_LEN} + 1 AS n_seqs
+FROM cum ORDER BY doc_id""",
         # quantize: floor(x*127/s + 0.5) written as the same IEEE double
         # expression on both engines; scale is the float32 max|x| exactly
         # widened to double.
