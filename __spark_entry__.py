@@ -135,6 +135,14 @@ BURST_RATIO = (2, 1)
 BURST_MIN_COUNT = 8
 QUANT_VECS = 50
 SAMPLE_K = 25
+# PMI collocations: df band [2, 390] (the 5 hottest boilerplate terms of
+# sf0.01's 31-term vocabulary drop out, so the band filter carries
+# weight), pair floor 20 (108 of 120 candidate pairs survive), top 50 (a
+# real top-k cut)
+COLLOC_MIN_DF = 2
+COLLOC_MAX_DF = 390
+COLLOC_MIN_COUNT = 20
+COLLOC_TOPK = 50
 # sequence packing: chunk capacity 64 tokens with a 1-token separator —
 # docs average ~55 whitespace tokens at sf0.01, so roughly half of them
 # cross a chunk boundary and both the spanning and in-chunk branches of
@@ -1635,6 +1643,26 @@ def _q_sequence_pack(spark, sf_dir):
     return sequence_pack(docs, PACK_SEQ_LEN, sep_tokens=1).orderBy("doc_id")
 
 
+def _q_collocations(spark, sf_dir):
+    """Top-k PMI collocations (functions/text.collocations): distinct-term
+    pairs co-occurring per document, df-banded against boilerplate and
+    hapaxes, ranked by floor(n_pair·N·10^6 / (n_a·n_b)) — exact int64
+    products widened to doubles (correctly-rounded division, so floor is
+    engine-independent; no logarithm crosses the engine boundary). The
+    pair join is keyed on doc_id (per-doc quadratic in KEPT terms, never
+    corpus-quadratic) and the final cut is a TakeOrderedAndProject."""
+    from parconnect_spark.functions.text import collocations
+
+    _views(spark, sf_dir, ("documents",))
+    return collocations(
+        spark.table("documents"),
+        min_count=COLLOC_MIN_COUNT,
+        top_k=COLLOC_TOPK,
+        min_df=COLLOC_MIN_DF,
+        max_df=COLLOC_MAX_DF,
+    )
+
+
 def _q_kmeans(spark, sf_dir):
     """Fixed-iteration Lloyd k-means on the integer grid
     (functions/cluster.kmeans_quantized): quantized non-negative vectors,
@@ -2280,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trim": _q_quality_trim,
         "group_trim": _q_group_trim,
         "sequence_pack": _q_sequence_pack,
+        "collocations": _q_collocations,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
@@ -4382,6 +4411,34 @@ thr AS (
 SELECT sc.doc_id, sc.source, sc.score
 FROM sc JOIN thr ON sc.source = thr.source AND sc.score >= thr.thr
 ORDER BY sc.doc_id""",
+        # collocations: PMI rank key = floor of an exact-int64-product
+        # double division — identical IEEE result on both engines; no ln.
+        "collocations": f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+df AS (SELECT term, COUNT(*) AS n_t FROM tok GROUP BY term),
+band AS (
+  SELECT term, n_t FROM df
+  WHERE n_t >= {COLLOC_MIN_DF} AND n_t <= {COLLOC_MAX_DF}
+),
+kept AS (SELECT tok.doc_id, tok.term, band.n_t FROM tok JOIN band USING (term)),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pair AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.n_t AS n_a, b.n_t AS n_b, COUNT(*) AS n_pair
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+)
+SELECT term_a, term_b, n_pair, n_a, n_b,
+       CAST(FLOOR(CAST(n_pair * n_docs * 1000000 AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE)) AS BIGINT) AS pmi_score
+FROM pair CROSS JOIN n
+ORDER BY pmi_score DESC, term_a, term_b
+LIMIT {COLLOC_TOPK}""",
         # sequence_pack: concatenate-then-chunk packing map — exscan of
         # (tokens + 1 separator) in doc_id order, chunk ids by int64
         # floor division. All-integer arithmetic on both engines.

@@ -564,3 +564,82 @@ def term_bursts(
             ).alias("ratio"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    min_df: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k PMI-ranked term collocations: pairs of distinct whitespace
+    tokens co-occurring in the same document, ranked by pointwise mutual
+    information — the corpus-level phrase/topic discovery pass of a text
+    pipeline.
+
+    Determinism discipline: the rank key is ``pmi_score =
+    floor(n_pair·N·10^6 / (n_a·n_b))`` where the numerator and denominator
+    are exact int64 products widened to IEEE doubles — exact while
+    ``n_pair·N·10^6 < 2^53`` (N·n_pair < 9·10^9; past that, swap the
+    widening for DECIMAL(38,0) division) — and double division is
+    correctly rounded on every engine, so floor can never disagree. No
+    logarithm crosses an engine boundary (log is monotone in the ratio,
+    so the ranking is the PMI ranking; emit ln(score/10^6) caller-side
+    for display).
+
+    Scale shape: the pair join is keyed on ``id_col`` (per-doc fan-out =
+    k_d^2 over the doc's KEPT distinct terms — bounded by doc length,
+    never by corpus size), and the df band is the skew guard:
+    ``max_df`` drops boilerplate terms (a term in every doc contributes
+    every doc's quadratic blow-up), ``min_df`` drops hapaxes that can
+    never reach ``min_count``. Final ranking is a TakeOrderedAndProject
+    top-k, never a global sort of the pair table."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+            "term"
+        ),
+    )
+    df_tbl = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    band = df_tbl.where(F.col("_df") >= min_df)
+    if max_df is not None:
+        band = band.where(F.col("_df") <= max_df)
+    from parconnect_spark.cache import scoped_persist
+
+    # consumed twice (both sides of the pair join) — without the persist
+    # the tokenize+df-band subtree recomputes per side
+    kept = scoped_persist(tok.join(band, "term"))
+    a = kept.select("id", F.col("term").alias("term_a"),
+                    F.col("_df").alias("n_a"))
+    b = kept.select("id", F.col("term").alias("term_b"),
+                    F.col("_df").alias("n_b"))
+    pairs = (
+        a.join(b, "id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.floor(
+                (F.col("n_pair") * F.col("_n_docs") * F.lit(1_000_000))
+                .cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            )
+            .cast("long")
+            .alias("pmi_score"),
+        )
+        .orderBy(F.desc("pmi_score"), "term_a", "term_b")
+        .limit(top_k)
+    )

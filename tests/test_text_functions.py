@@ -183,3 +183,61 @@ def test_bigram_lm_partition_invariance(spark):
     a = sorted(map(tuple, bigram_lm(df, k=2).collect()))
     b = sorted(map(tuple, bigram_lm(df.repartition(7), k=2).collect()))
     assert a == b
+
+
+def test_collocations_matches_pure_python(spark):
+    from itertools import combinations
+
+    from parconnect_spark.functions.text import collocations
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "alpha gamma"),
+        (4, "beta delta epsilon"),
+        (5, "zeta"),  # hapax — min_df drops it
+        (6, "alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(
+        docs, min_count=2, top_k=5, min_df=2, max_df=None
+    ).collect()
+
+    # pure-python replay
+    tok = {i: set(t.split()) for i, t in rows}
+    df = {}
+    for terms in tok.values():
+        for t in terms:
+            df[t] = df.get(t, 0) + 1
+    kept = {t for t, n in df.items() if n >= 2}
+    pair = {}
+    for terms in tok.values():
+        for a, b in combinations(sorted(terms & kept), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    n_docs = len(rows)
+    want = []
+    for (a, b), np_ in pair.items():
+        if np_ < 2:
+            continue
+        import math
+
+        score = math.floor(np_ * n_docs * 1_000_000 / (df[a] * df[b]))
+        want.append((a, b, np_, df[a], df[b], score))
+    want.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = want[:5]
+    assert [tuple(r) for r in got] == want
+
+
+def test_collocations_max_df_drops_boilerplate(spark):
+    from parconnect_spark.functions.text import collocations
+
+    rows = [(i, f"stop word{i % 2} tail") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(docs, min_count=2, top_k=10, min_df=2, max_df=9)
+    terms = {r["term_a"] for r in out.collect()} | {
+        r["term_b"] for r in out.collect()
+    }
+    # 'stop' and 'tail' appear in all 10 docs -> dropped by max_df=9
+    assert "stop" not in terms and "tail" not in terms
+    assert terms == {"word0", "word1"} or terms == set()
