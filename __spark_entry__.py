@@ -1643,6 +1643,21 @@ def _q_sequence_pack(spark, sf_dir):
     return sequence_pack(docs, PACK_SEQ_LEN, sep_tokens=1).orderBy("doc_id")
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source overlap matrix (functions/dedup.source_overlap):
+    exact distinct-4-token-shingle intersection + integer per-mille
+    Jaccard for every source pair sharing a shingle (32 of 190 pairs at
+    sf0.01 — non-vacuous and sparse, as a real corpus is). Candidates by
+    shared-shingle equi-join with the group-frequency skew guard; all set
+    arithmetic integer-exact."""
+    from parconnect_spark.functions.dedup import source_overlap
+
+    _views(spark, sf_dir, ("documents",))
+    return source_overlap(spark.table("documents"), n=4).orderBy(
+        "group_a", "group_b"
+    )
+
+
 def _q_collocations(spark, sf_dir):
     """Top-k PMI collocations (functions/text.collocations): distinct-term
     pairs co-occurring per document, df-banded against boilerplate and
@@ -2309,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_trim": _q_group_trim,
         "sequence_pack": _q_sequence_pack,
         "collocations": _q_collocations,
+        "source_overlap": _q_source_overlap,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
@@ -4411,6 +4427,32 @@ thr AS (
 SELECT sc.doc_id, sc.source, sc.score
 FROM sc JOIN thr ON sc.source = thr.source AND sc.score >= thr.thr
 ORDER BY sc.doc_id""",
+        # source_overlap: DuckDB 1-based inclusive list slice ts[i:i+3]
+        # = Spark slice(_toks, i, 4); both sides join 4 tokens by ' '.
+        "source_overlap": """
+WITH tok AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, list_aggregate(ts[i:i+3], 'string_agg', ' ') AS shingle
+  FROM tok, UNNEST(range(1, len(ts) - 2)) AS r(i)
+  WHERE len(ts) >= 4
+),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+common AS (
+  SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.group_a, c.group_b,
+       c.n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       (c.n_common * 1000) // (sa.n_sh + sb.n_sh - c.n_common) AS jaccard_pm
+FROM common c
+JOIN sizes sa ON sa.source = c.group_a
+JOIN sizes sb ON sb.source = c.group_b
+ORDER BY c.group_a, c.group_b""",
         # collocations: PMI rank key = floor of an exact-int64-product
         # double division — identical IEEE result on both engines; no ln.
         "collocations": f"""

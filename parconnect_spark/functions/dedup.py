@@ -599,3 +599,71 @@ def duplicated_spans(
             ).alias("dup_token_ratio"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    n: int = 4,
+    text_col: str = "text",
+    max_groups_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """Pairwise corpus overlap between groups (sources / domains /
+    snapshots): for every group pair that shares at least one distinct
+    n-token shingle, the exact intersection size and Jaccard — the
+    cross-source contamination/redundancy matrix a corpus-mixing pass
+    reads before setting sampling weights.
+
+    All set sizes are exact integers over DISTINCT (group, shingle) pairs;
+    ``jaccard_pm`` is the integer per-mille ``n_common·1000 div
+    (n_a + n_b − n_common)`` so no engine ever compares a float. Scale
+    shape: candidate pairs come from the shared-shingle equi-join (the
+    ngram_jaccard_pairs discipline) — a shingle present in g groups fans
+    out g², so ``max_groups_per_shingle`` drops ubiquitous boilerplate
+    shingles first (for a 10⁶-domain web corpus this is the load-bearing
+    skew guard; the filter is a near-free map-side-combined aggregate).
+    Dropped shingles leave numerator AND denominator, so the reported
+    value is the exact Jaccard of the post-filter shingle sets."""
+    sh = shingles(docs, id_col=group_col, text_col=text_col, n=n).select(
+        F.col("id").alias("g"), "shingle"
+    )
+    if max_groups_per_shingle is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_gf"))
+            .where(F.col("_gf") > max_groups_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    # consumed three ways (two join sides + per-group sizes)
+    sh = scoped_persist(sh)
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("g").alias("group_a"), "shingle")
+    b = sh.select(F.col("g").alias("group_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("g", "group_a")), "group_a"
+        )
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("g", "group_b")), "group_b"
+        )
+        .withColumnRenamed("n_sh", "n_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(n_common * 1000 AS BIGINT) div "
+                "CAST(n_a + n_b - n_common AS BIGINT)"
+            ).alias("jaccard_pm"),
+        )
+    )

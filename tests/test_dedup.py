@@ -231,3 +231,54 @@ def test_boilerplate_dedup_partition_invariance(spark):
     a = boilerplate_dedup(rows, max_groups=6)
     b = boilerplate_dedup(rows.repartition(17, "turn_idx"), max_groups=6)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_source_overlap_matches_pure_python(spark):
+    rows = [
+        (0, "a1", "w x y z q"),        # shingles(4): "w x y z","x y z q"
+        (1, "a1", "p q r s"),
+        (2, "b2", "w x y z k"),        # shares "w x y z" with a1
+        (3, "c3", "completely different text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from parconnect_spark.functions.dedup import source_overlap
+
+    got = {
+        (r["group_a"], r["group_b"]): r.asDict()
+        for r in source_overlap(docs, n=4).collect()
+    }
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i : i + 4]) for i in range(len(t) - 3)}
+
+    sets = {}
+    for _, s, t in rows:
+        sets.setdefault(s, set()).update(sh(t))
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b])
+        if c:
+            want[(a, b)] = {
+                "n_common": c,
+                "n_a": len(sets[a]),
+                "n_b": len(sets[b]),
+                "jaccard_pm": c * 1000 // (len(sets[a]) + len(sets[b]) - c),
+            }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        for f, v in w.items():
+            assert got[k][f] == v, (k, f)
+
+
+def test_source_overlap_hot_shingle_guard(spark):
+    # a shingle in every source is dropped when the guard is tighter
+    rows = [(i, f"s{i}", "common boiler plate text") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from parconnect_spark.functions.dedup import source_overlap
+
+    assert source_overlap(docs, n=4, max_groups_per_shingle=3).count() == 0
+    full = source_overlap(docs, n=4, max_groups_per_shingle=None)
+    assert full.count() == 6  # all pairs share the one shingle
