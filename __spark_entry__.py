@@ -135,6 +135,10 @@ BURST_RATIO = (2, 1)
 BURST_MIN_COUNT = 8
 QUANT_VECS = 50
 SAMPLE_K = 25
+# mutual-kNN embedding clustering: k=2 keeps the graph sparse enough for
+# real structure at sf0.01 (188 clusters, largest 14, 90 singletons —
+# measured; k=5 merges 493 of 500 vectors into one blob)
+KNN_CLUSTER_K = 2
 # PMI collocations: df band [2, 390] (the 5 hottest boilerplate terms of
 # sf0.01's 31-term vocabulary drop out, so the band filter carries
 # weight), pair floor 20 (108 of 120 candidate pairs survive), top 50 (a
@@ -1643,6 +1647,23 @@ def _q_sequence_pack(spark, sf_dir):
     return sequence_pack(docs, PACK_SEQ_LEN, sep_tokens=1).orderBy("doc_id")
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Mutual-kNN embedding clustering
+    (functions/similarity.mutual_knn_clusters): connect vectors that are
+    in EACH OTHER's top-k cosine neighbors, components via the two_phase
+    CC plan, cluster = min member id. The kNN table here is the exact
+    brute-force baseline (the declared quadratic contract path); at scale
+    the ``neighbors=`` hook takes lsh_topk's bucketed candidates and the
+    rest of the plan is unchanged. Mutuality is the hub-vector guard —
+    k=2 yields 188 clusters at sf0.01, not one blob."""
+    from parconnect_spark.functions.similarity import mutual_knn_clusters
+
+    _views(spark, sf_dir, ("embeddings",))
+    return mutual_knn_clusters(
+        spark.table("embeddings"), k=KNN_CLUSTER_K
+    ).orderBy("vec_id")
+
+
 def _q_source_overlap(spark, sf_dir):
     """Cross-source overlap matrix (functions/dedup.source_overlap):
     exact distinct-4-token-shingle intersection + integer per-mille
@@ -2325,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "collocations": _q_collocations,
         "source_overlap": _q_source_overlap,
+        "embedding_clusters": _q_embedding_clusters,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
@@ -4427,6 +4449,40 @@ thr AS (
 SELECT sc.doc_id, sc.source, sc.score
 FROM sc JOIN thr ON sc.source = thr.source AND sc.score >= thr.thr
 ORDER BY sc.doc_id""",
+        # embedding_clusters: exact kNN ranks (the brute-force contract
+        # baseline), mutuality by self-join, components by recursive CTE.
+        "embedding_clusters": f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, list_cosine_similarity(a.v, b.v) AS cosine
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qa, qb,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cosine DESC, qb ASC) AS rk
+  FROM s
+),
+nn AS (SELECT qa, qb FROM r WHERE rk <= {KNN_CLUSTER_K}),
+mut AS (
+  SELECT a.qa AS s0, a.qb AS d0
+  FROM nn a JOIN nn b ON a.qa = b.qb AND a.qb = b.qa
+  WHERE a.qa < a.qb
+),
+de AS (SELECT s0 AS src, d0 AS dst FROM mut
+       UNION ALL SELECT d0, s0 FROM mut),
+reach(v, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r2.lbl FROM reach r2 JOIN de e ON e.src = r2.v
+),
+canon AS (SELECT v, MIN(lbl) AS cluster FROM reach GROUP BY v),
+sizes AS (SELECT cluster, COUNT(*) AS n_members FROM canon GROUP BY cluster)
+SELECT CAST(c.v AS BIGINT) AS vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+       s2.n_members
+FROM canon c JOIN sizes s2 ON s2.cluster = c.cluster
+ORDER BY vec_id""",
         # source_overlap: DuckDB 1-based inclusive list slice ts[i:i+3]
         # = Spark slice(_toks, i, 4); both sides join 4 tokens by ' '.
         "source_overlap": """

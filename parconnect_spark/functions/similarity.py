@@ -595,3 +595,49 @@ def quantize_int8(
         .withColumn("qvec", q)
         .drop(vec_col)
     )
+
+
+def mutual_knn_clusters(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space clustering via the mutual-kNN graph: connect two
+    vectors when EACH is among the other's top-k cosine neighbors, then
+    take connected components — the semantic-dedup / topic-grouping pass
+    of an embedding pipeline (mutuality is the standard guard against
+    hub vectors chaining unrelated regions together).
+
+    Returns DataFrame[<id_col>, cluster, n_members] — cluster = the
+    minimum member id, singletons cluster with themselves.
+
+    ``neighbors`` injects a precomputed (query_id, neighbor_id, …) kNN
+    table: at contract scale the default is the exact ``brute_force_topk``
+    over the corpus against itself (quadratic by construction — the
+    declared baseline), at 100 TB pass ``lsh_topk(corpus, corpus, k)``
+    (bucketed candidates) and the rest of the plan is unchanged. The
+    mutuality check is a self-equi-join on the directed pair, and the
+    components run on the same two_phase CC plan as the graph queries, so
+    a hub cluster is exactly the hub case that engine already splits."""
+    if neighbors is None:
+        neighbors = brute_force_topk(corpus, corpus, k, id_col, vec_col)
+    fwd = neighbors.select(
+        F.col("query_id").cast("long").alias("src"),
+        F.col("neighbor_id").cast("long").alias("dst"),
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = fwd.join(rev, ["src", "dst"]).where(F.col("src") < F.col("dst"))
+    from parconnect_spark.functions.dedup import near_dup_clusters
+
+    ids = corpus.select(F.col(id_col).cast("long").alias(id_col))
+    canon = near_dup_clusters(
+        ids,
+        mutual.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+        id_col=id_col,
+    ).withColumnRenamed("canonical_id", "cluster")
+    sizes = canon.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return canon.join(sizes, "cluster").select(
+        id_col, "cluster", F.col("n_members").cast("long").alias("n_members")
+    )

@@ -376,3 +376,44 @@ def test_quantize_int8_bounds_and_dequant_error(spark):
         for x, v in zip(r["embedding"], r["qvec"]):
             # dequantization error bound: half a quantization step
             assert abs(x - v * s / 127.0) <= s / 127.0 / 2 + 1e-12
+
+
+def test_mutual_knn_clusters_two_blobs(spark):
+    # two tight blobs + one outlier: mutual-kNN must separate them and
+    # the outlier stays a singleton cluster of itself
+    rows = []
+    for i in range(4):
+        rows.append((i, [10.0 + i * 0.01, 0.0, 1.0]))
+    for i in range(4, 8):
+        rows.append((i, [0.0, 10.0 + i * 0.01, 1.0]))
+    rows.append((8, [-5.0, -5.0, 9.0]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    from parconnect_spark.functions.similarity import mutual_knn_clusters
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["n_members"])
+        for r in mutual_knn_clusters(emb, k=2).collect()
+    }
+    assert len(got) == 9
+    assert all(got[i] == (0, 4) for i in range(4))
+    assert all(got[i] == (4, 4) for i in range(4, 8))
+    assert got[8] == (8, 1)
+
+
+def test_mutual_knn_clusters_mutuality_guard(spark):
+    # chain a-b-c where b is in a's and c's top-1 but a is NOT in b's
+    # (b's nearest is c): edge a-b must NOT form with k=1
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.35]),
+        (2, [1.0, 0.4]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    from parconnect_spark.functions.similarity import mutual_knn_clusters
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in mutual_knn_clusters(emb, k=1).collect()
+    }
+    # 1 and 2 are mutually nearest; 0's nearest (1) does not reciprocate
+    assert got[0] == 0 and got[1] == 1 and got[2] == 1
