@@ -1647,6 +1647,22 @@ def _q_sequence_pack(spark, sf_dir):
     return sequence_pack(docs, PACK_SEQ_LEN, sep_tokens=1).orderBy("doc_id")
 
 
+def _q_embedding_gram(spark, sf_dir):
+    """Exact Gram/second-moment matrix of the embedding corpus
+    (functions/cluster.embedding_gram): the distributed aggregate behind
+    PCA/whitening. One mapInPandas pass emits a 64×64 int64 partial per
+    Arrow batch (numpy MᵀM — the §2.9 vectorized hot loop), global sums
+    in DECIMAL(38,0) so the result is exact on any engine and any
+    partitioning (int64 would overflow past ~10^5 vectors). The oracle
+    replays the same integer grid by unnest self-join."""
+    from parconnect_spark.functions.cluster import embedding_gram
+
+    _views(spark, sf_dir, ("embeddings",))
+    return embedding_gram(spark.table("embeddings")).orderBy(
+        "dim_i", "dim_j"
+    )
+
+
 def _q_embedding_clusters(spark, sf_dir):
     """Mutual-kNN embedding clustering
     (functions/similarity.mutual_knn_clusters): connect vectors that are
@@ -2347,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "source_overlap": _q_source_overlap,
         "embedding_clusters": _q_embedding_clusters,
+        "embedding_gram": _q_embedding_gram,
         "quantize": _q_quantize,
         "kmeans": _q_kmeans,
         "sketch_counts": _q_sketch_counts,
@@ -4449,6 +4466,37 @@ thr AS (
 SELECT sc.doc_id, sc.source, sc.score
 FROM sc JOIN thr ON sc.source = thr.source AND sc.score >= thr.thr
 ORDER BY sc.doc_id""",
+        # embedding_gram: same quantize grid as kmeans; DECIMAL(38,0)
+        # sums are exact integers on both engines.
+        "embedding_gram": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) + 2000000) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS dim, UNNEST(qv) AS qq
+  FROM q
+),
+pair AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         SUM(CAST(a.qq AS DECIMAL(38,0)) * b.qq) AS s_ij
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+),
+sums AS (SELECT dim, SUM(CAST(qq AS DECIMAL(38,0))) AS s FROM ex GROUP BY dim),
+nn AS (SELECT COUNT(*) AS n FROM q)
+SELECT CAST(p.dim_i AS INT) AS dim_i, CAST(p.dim_j AS INT) AS dim_j,
+       nn.n,
+       CAST(sa.s AS DECIMAL(38,0)) AS s_i,
+       CAST(sb.s AS DECIMAL(38,0)) AS s_j,
+       CAST(p.s_ij AS DECIMAL(38,0)) AS s_ij
+FROM pair p
+JOIN sums sa ON sa.dim = p.dim_i
+JOIN sums sb ON sb.dim = p.dim_j
+CROSS JOIN nn
+ORDER BY dim_i, dim_j""",
         # embedding_clusters: exact kNN ranks (the brute-force contract
         # baseline), mutuality by self-join, components by recursive CTE.
         "embedding_clusters": f"""

@@ -121,3 +121,83 @@ def kmeans_quantized(
             for j, dims in sorted(by_cluster.items())
         ]
     return asg.select(id_col, "cluster", "dist"), centroids
+
+
+def embedding_gram(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = QUANT_SCALE,
+    shift: int = QUANT_SHIFT,
+) -> DataFrame:
+    """Exact corpus second-moment (Gram) matrix over the quantized grid —
+    the one aggregate PCA / whitening / covariance estimation needs from
+    a 10^12-vector corpus (the 64×64 eigendecomposition afterwards is a
+    driver-side triviality; THIS pass is the distributed work).
+
+    Returns the upper triangle (dim_i ≤ dim_j): ``(dim_i, dim_j, n, s_i,
+    s_j, s_ij)`` with Σq_i, Σq_j and Σq_i·q_j as DECIMAL(38,0) — exact on
+    any engine and any partitioning (int64 would overflow past ~10^5
+    vectors: q ≈ 3·10^6, so q_i·q_j ≈ 10^13 per row). Covariance/
+    correlation are derived caller-side by exact integer algebra
+    (n·s_ij − s_i·s_j).
+
+    Physical shape: one ``mapInPandas`` pass emits a d×d int64 partial
+    Gram per Arrow batch (a numpy ``MᵀM`` — the vectorized-UDF hot loop,
+    §2.9: no per-row Python), safe while batch_rows·q² < 2^63 (≈5·10^5
+    rows/batch at d=64 — Arrow batches default to 10^4); the global sum
+    over batch partials is a map-side-combined DECIMAL aggregate of
+    d(d+1)/2 rows per batch. Column sums ride a posexplode aggregate
+    (d·n rows mapped, d rows shuffled). Nothing data-sized crosses an
+    exchange."""
+    import numpy as np
+    import pandas as pd
+
+    qdf = quantize_grid(embeddings, vec_col, id_col, scale, shift)
+    d_probe = len(embeddings.select(vec_col).first()[0])
+    iu = np.triu_indices(d_probe)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0].astype("int32"),
+                    "dim_j": iu[1].astype("int32"),
+                    "partial": g[iu],
+                }
+            )
+
+    gram = (
+        qdf.mapInPandas(gen, schema="dim_i int, dim_j int, partial long")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("s_ij"))
+    )
+    sums = (
+        qdf.select(F.posexplode("qv").alias("dim", "q"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+    )
+    n = qdf.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        gram.join(
+            F.broadcast(sums.select(F.col("dim").alias("dim_i"),
+                                    F.col("s").alias("s_i"))),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(sums.select(F.col("dim").alias("dim_j"),
+                                    F.col("s").alias("s_j"))),
+            "dim_j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim_i", "dim_j", "n",
+            F.col("s_i").cast("decimal(38,0)").alias("s_i"),
+            F.col("s_j").cast("decimal(38,0)").alias("s_j"),
+            F.col("s_ij").cast("decimal(38,0)").alias("s_ij"),
+        )
+    )

@@ -104,3 +104,49 @@ def test_kmeans_rejects_bad_params(spark):
         kmeans_quantized(df, k=0)
     with pytest.raises(ValueError):
         kmeans_quantized(df, k=1, iters=0)
+
+
+def test_embedding_gram_matches_pure_python(spark):
+    import math
+
+    rows = [(i, [0.1 * i - 0.25, -0.5 + 0.07 * i, 0.33]) for i in range(9)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    from parconnect_spark.functions.cluster import (
+        QUANT_SCALE,
+        QUANT_SHIFT,
+        embedding_gram,
+    )
+
+    got = {
+        (r["dim_i"], r["dim_j"]): r.asDict()
+        for r in embedding_gram(emb.repartition(4)).collect()
+    }
+
+    # replay: float32-widened values, same floor(x*scale+0.5)+shift grid
+    import numpy as np
+
+    qs = []
+    for _, v in rows:
+        v32 = np.array(v, dtype=np.float32).astype(float)
+        qs.append(
+            [int(math.floor(x * QUANT_SCALE + 0.5)) + QUANT_SHIFT for x in v32]
+        )
+    d = 3
+    for i in range(d):
+        for j in range(i, d):
+            w = got[(i, j)]
+            assert int(w["n"]) == 9
+            assert int(w["s_i"]) == sum(q[i] for q in qs)
+            assert int(w["s_j"]) == sum(q[j] for q in qs)
+            assert int(w["s_ij"]) == sum(q[i] * q[j] for q in qs)
+    assert len(got) == d * (d + 1) // 2
+
+
+def test_embedding_gram_partition_invariant(spark):
+    rows = [(i, [0.01 * ((i * 7) % 13), 0.5 - 0.02 * i]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    from parconnect_spark.functions.cluster import embedding_gram
+
+    a = sorted(map(tuple, embedding_gram(emb.repartition(1)).collect()))
+    b = sorted(map(tuple, embedding_gram(emb.repartition(7)).collect()))
+    assert a == b
