@@ -64,6 +64,11 @@ SSSP_ORACLE_ROUNDS = 8
 # fixed unroll for the Luby MIS oracle: rounds past the empty active set
 # are no-ops (every CTE empty); sf0.01 finishes in 2 rounds, 5 is headroom
 MIS_ORACLE_ROUNDS = 5
+# fixed unroll for the Jones-Plassmann coloring oracle: rounds past the
+# empty active set are no-ops; sf0.01's entity graph colors in 27 rounds /
+# 15 colors (measured — per-conversation cliques serialize, a JP
+# property), 32 is headroom
+COLORING_ORACLE_ROUNDS = 32
 # HyperANF contract: per-vertex HLL registers of the distance-<=ANF_HOPS
 # ball, p = ANF_P (64 registers/vertex) — registers pinned exactly, the
 # estimate is the one deterministic double (rounded like sketch_distinct)
@@ -945,6 +950,25 @@ def _q_mis(spark, sf_dir):
     )
 
 
+def _q_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (plans/coloring.py) over the
+    undirected entity graph: fixed md5-fold priorities with id tie-break,
+    per-round ready set = local (priority, id) maxima among the uncolored,
+    color = mex of the earlier-colored neighborhood. The full trajectory
+    (color AND round per vertex) is engine-independent; the oracle unrolls
+    the identical rounds (COLORING_ORACLE_ROUNDS — no-ops once everyone
+    is colored)."""
+    from parconnect_spark.plans.coloring import jones_plassmann_coloring
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    col, _rounds = jones_plassmann_coloring(edges)
+    return (
+        col.join(id_map, col["v"] == id_map["id"])
+        .select("name", "color", "round")
+        .orderBy("name")
+    )
+
+
 def _q_anf(spark, sf_dir):
     """HyperANF registers (plans/anf.py): every vertex's HLL sketch of its
     distance-≤ANF_HOPS ball, max-merged one hop per round — the
@@ -1013,6 +1037,20 @@ def _q_cc_temporal(spark, sf_dir):
         F.substring_index("a", "|", 1).alias("week")
     ).agg(F.count(F.lit(1)).alias("n_edges"))
     return stats.join(ecnt, "week").orderBy("week")
+
+
+def _q_graph_diff(spark, sf_dir):
+    """Consecutive-snapshot structural churn (operators/graph.snapshot_diff
+    over derive_windowed_string_edges): distinct undirected edges added /
+    removed / kept between each pair of consecutive weekly snapshots —
+    exact integers, one full-outer join co-partitioned on (window pair,
+    edge), no driver loop over windows."""
+    from parconnect_spark.operators.derive import derive_windowed_string_edges
+    from parconnect_spark.operators.graph import snapshot_diff
+
+    t = _transcripts(spark, sf_dir)
+    se = derive_windowed_string_edges(t, granularity="week")
+    return snapshot_diff(se).orderBy("w_from")
 
 
 def _q_community_graph(spark, sf_dir):
@@ -2291,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels_salted_fused": _q_cc_labels_salted_fused,
         "cc_incremental": _q_cc_incremental,
         "cc_temporal": _q_cc_temporal,
+        "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
@@ -2303,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "msf": _q_msf,
         "mis": _q_mis,
+        "coloring": _q_coloring,
         "anf": _q_anf,
         "louvain": _q_louvain,
         "matching": _q_matching,
@@ -2819,6 +2859,80 @@ ae{r + 1} AS MATERIALIZED (
 allw AS ({unions})
 SELECT i.name AS name, CAST(w.round AS INT) AS round
 FROM allw w JOIN ids i ON i.id = w.v
+ORDER BY name"""
+    return sql
+
+
+def _coloring_oracle(rounds: int = None) -> str:
+    """Unrolled Jones-Plassmann rounds: per round the readiness test is the
+    lexicographic neighbor MAXIMUM of the fixed md5-fold priority (the
+    mirror of _mis_oracle's minimum), and the color is the mex of the
+    earlier-colored neighborhood — computed as the smallest candidate in
+    0..|used| absent from the used set (a per-ready-vertex lateral range
+    anti-join; |used| candidates always suffice by pigeonhole). Every
+    (vertex, color, round) row must match the engine bit-for-bit."""
+    rounds = COLORING_ORACLE_ROUNDS if rounds is None else rounds
+    fold_dst = _md5int_duck("'jp:' || CAST(dst AS VARCHAR)", 1, 15)
+    fold_edst = _md5int_duck("'jp:' || CAST(e.dst AS VARCHAR)", 1, 15)
+    fold_v = _md5int_duck("'jp:' || CAST(a.v AS VARCHAR)", 1, 15)
+    sql = _GRAPH_PREFIX + """,
+a0 AS MATERIALIZED (SELECT id AS v FROM ids),
+ae0 AS MATERIALIZED (SELECT src, dst FROM edges),
+col0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS INT) AS color,
+         CAST(NULL AS INT) AS round
+  WHERE FALSE
+)"""
+    for r in range(rounds):
+        sql += f""",
+nm{r} AS MATERIALIZED (
+  SELECT src, MAX({fold_dst}) AS mp FROM ae{r} GROUP BY src
+),
+nmv{r} AS MATERIALIZED (
+  SELECT n.src, n.mp, MAX(e.dst) AS mv
+  FROM nm{r} n JOIN ae{r} e ON e.src = n.src AND {fold_edst} = n.mp
+  GROUP BY n.src, n.mp
+),
+rdy{r} AS MATERIALIZED (
+  SELECT a.v FROM a{r} a LEFT JOIN nmv{r} n ON n.src = a.v
+  WHERE n.src IS NULL OR ({fold_v}, a.v) > (n.mp, n.mv)
+),
+used{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS v, c.color
+  FROM edges e
+  JOIN rdy{r} rd ON rd.v = e.src
+  JOIN col{r} c ON c.v = e.dst
+),
+mexc{r} AS MATERIALIZED (
+  SELECT t.v, u.c
+  FROM (
+    SELECT rd.v, COALESCE(k.k, 0) AS k
+    FROM rdy{r} rd
+    LEFT JOIN (SELECT v, COUNT(*) AS k FROM used{r} GROUP BY v) k
+      ON k.v = rd.v
+  ) t, UNNEST(range(0, t.k + 1)) AS u(c)
+),
+mex{r} AS MATERIALIZED (
+  SELECT m.v, CAST(MIN(m.c) AS INT) AS color
+  FROM mexc{r} m LEFT JOIN used{r} u ON u.v = m.v AND u.color = m.c
+  WHERE u.v IS NULL GROUP BY m.v
+),
+col{r + 1} AS MATERIALIZED (
+  SELECT v, color, round FROM col{r}
+  UNION ALL
+  SELECT v, color, CAST({r} AS INT) AS round FROM mex{r}
+),
+a{r + 1} AS MATERIALIZED (
+  SELECT v FROM a{r} WHERE v NOT IN (SELECT v FROM rdy{r})
+),
+ae{r + 1} AS MATERIALIZED (
+  SELECT src, dst FROM ae{r}
+  WHERE src NOT IN (SELECT v FROM rdy{r})
+    AND dst NOT IN (SELECT v FROM rdy{r})
+)"""
+    sql += f"""
+SELECT i.name AS name, c.color, c.round
+FROM col{rounds} c JOIN ids i ON i.id = c.v
 ORDER BY name"""
     return sql
 
@@ -3857,6 +3971,63 @@ FROM vlabels l JOIN ids i ON i.id = l.v ORDER BY name""",
         # window-tagged graph: same derivation chain as GRAPH_CTES with the
         # conversation's week prefixed onto every entity, then the cc_labels
         # min-reach, aggregated per window.
+        # graph_diff: same wund snapshot fragment as cc_temporal, then
+        # pure set algebra between consecutive weeks.
+        "graph_diff": "WITH "
+        + TRANSCRIPTS_CTE
+        + """,
+wturns AS (
+  SELECT conv_id, turn_idx,
+         CAST(CAST(date_trunc('week', ts) AS DATE) AS STRING) AS w,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS raw
+  FROM transcripts
+),
+wseq AS (
+  SELECT conv_id, w, raw,
+         LEAD(raw) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_raw
+  FROM wturns
+),
+wpairs AS (
+  SELECT w || '|' || raw AS a, w || '|' || next_raw AS b
+  FROM wseq WHERE next_raw IS NOT NULL
+  UNION ALL
+  SELECT w || '|' || 'c:' || conv_id AS a, w || '|' || raw AS b FROM wturns
+),
+wund AS (
+  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM wpairs WHERE a <> b
+),
+snap AS (
+  SELECT DISTINCT split_part(a, '|', 1) AS w,
+         split_part(a, '|', 2) AS ea, split_part(b, '|', 2) AS eb
+  FROM wund
+),
+wk AS (
+  SELECT w AS w_from, LEAD(w) OVER (ORDER BY w) AS w_to
+  FROM (SELECT DISTINCT w FROM snap) t
+),
+wkp AS (SELECT w_from, w_to FROM wk WHERE w_to IS NOT NULL),
+cur AS (
+  SELECT p.w_from, p.w_to, s.ea, s.eb, 1 AS c
+  FROM wkp p JOIN snap s ON s.w = p.w_from
+),
+nxt AS (
+  SELECT p.w_from, p.w_to, s.ea, s.eb, 1 AS n
+  FROM wkp p JOIN snap s ON s.w = p.w_to
+),
+j AS (
+  SELECT COALESCE(c.w_from, n.w_from) AS w_from,
+         COALESCE(c.w_to, n.w_to) AS w_to,
+         c.c AS c, n.n AS n
+  FROM cur c FULL OUTER JOIN nxt n
+    ON c.w_from = n.w_from AND c.w_to = n.w_to
+   AND c.ea = n.ea AND c.eb = n.eb
+)
+SELECT w_from, w_to,
+       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN c IS NOT NULL AND n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM j GROUP BY w_from, w_to ORDER BY w_from""",
         "cc_temporal": "WITH RECURSIVE "
         + TRANSCRIPTS_CTE
         + """,
@@ -4085,6 +4256,7 @@ WHERE NOT EXISTS (
 )
 ORDER BY a, b""",
         "mis": _mis_oracle(),
+        "coloring": _coloring_oracle(),
         "anf": _anf_oracle(),
         "kmeans": _kmeans_oracle(),
         "louvain": _louvain_oracle(),

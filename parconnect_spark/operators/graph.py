@@ -358,3 +358,57 @@ def rich_club(edges: DataFrame) -> DataFrame:
             6,
         ).alias("phi"),
     )
+
+
+def snapshot_diff(tagged_edges: DataFrame, sep: str = "|") -> DataFrame:
+    """Consecutive-snapshot edge-set delta over window-tagged edges (the
+    derive_windowed_string_edges shape, endpoints ``<window><sep><name>``
+    with both endpoints in the same window): for every consecutive window
+    pair, how many distinct undirected edges were added, removed, and
+    kept — the day-over-day structural-churn report of a temporal link
+    graph.
+
+    Exact integers throughout. Scale shape: one distinct over the tagged
+    edges (map-side combined), then ONE full-outer join co-partitioned on
+    (window pair, edge) — never a driver loop over windows; the
+    window-successor table is #windows rows (the only single-partition
+    window, same bound as the exscan offset table) and broadcasts."""
+    from pyspark.sql import Window
+    from parconnect_spark.cache import scoped_persist
+
+    strip = lambda c: F.expr(f"substring({c}, instr({c}, '{sep}') + 1)")
+    snap = scoped_persist(
+        tagged_edges.select(
+            F.substring_index("a", sep, 1).alias("w"),
+            strip("a").alias("ea"),
+            strip("b").alias("eb"),
+        ).distinct()
+    )
+    pairs = (
+        snap.select("w")
+        .distinct()
+        .withColumn("w_to", F.lead("w").over(Window.orderBy("w")))
+        .where(F.col("w_to").isNotNull())
+        .withColumnRenamed("w", "w_from")
+    )
+    cur = snap.join(F.broadcast(pairs), snap["w"] == pairs["w_from"]).select(
+        "w_from", "w_to", "ea", "eb", F.lit(1).alias("_c")
+    )
+    nxt = snap.join(F.broadcast(pairs), snap["w"] == pairs["w_to"]).select(
+        "w_from", "w_to", "ea", "eb", F.lit(1).alias("_n")
+    )
+    j = cur.join(nxt, ["w_from", "w_to", "ea", "eb"], "full_outer")
+    return j.groupBy("w_from", "w_to").agg(
+        F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_n").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )

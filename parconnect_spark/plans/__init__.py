@@ -32,6 +32,7 @@ from parconnect_spark.plans.msf import boruvka_msf
 from parconnect_spark.plans.matching import maximal_matching
 from parconnect_spark.plans.louvain import louvain_move
 from parconnect_spark.plans.mis import luby_mis
+from parconnect_spark.plans.coloring import jones_plassmann_coloring
 from parconnect_spark.plans.anf import (
     neighborhood_registers,
     anf_estimates,
@@ -71,6 +72,7 @@ __all__ = [
     "maximal_matching",
     "louvain_move",
     "luby_mis",
+    "jones_plassmann_coloring",
     "neighborhood_registers",
     "anf_estimates",
     "neighborhood_function",

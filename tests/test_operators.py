@@ -376,3 +376,33 @@ def test_rich_club_small_graph_and_reuse(spark):
     df = rich_club(edges)
     df.collect()
     assert "ReusedExchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_snapshot_diff_matches_set_algebra(spark):
+    from parconnect_spark.operators.graph import snapshot_diff
+
+    tagged = [
+        # window 1: {xy, yz}; window 2: {xy, zq}; window 3: {zq}
+        ("2024-01-01|x", "2024-01-01|y"),
+        ("2024-01-01|y", "2024-01-01|z"),
+        ("2024-01-08|x", "2024-01-08|y"),
+        ("2024-01-08|z", "2024-01-08|q"),
+        ("2024-01-08|z", "2024-01-08|q"),  # duplicate row — distinct'd
+        ("2024-01-15|z", "2024-01-15|q"),
+    ]
+    df = spark.createDataFrame(tagged, "a string, b string")
+    got = {
+        (r["w_from"], r["w_to"]): (r["n_added"], r["n_removed"], r["n_kept"])
+        for r in snapshot_diff(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", "2024-01-08"): (1, 1, 1),
+        ("2024-01-08", "2024-01-15"): (0, 1, 1),
+    }
+
+
+def test_snapshot_diff_single_window_empty(spark):
+    from parconnect_spark.operators.graph import snapshot_diff
+
+    df = spark.createDataFrame([("w1|a", "w1|b")], "a string, b string")
+    assert snapshot_diff(df).count() == 0
