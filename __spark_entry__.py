@@ -69,6 +69,9 @@ MIS_ORACLE_ROUNDS = 5
 # 15 colors (measured — per-conversation cliques serialize, a JP
 # property), 32 is headroom
 COLORING_ORACLE_ROUNDS = 32
+# fixed depth for the 1-WL refinement contract: round-R labels separate
+# rooted R-neighborhoods; 3 saturates the entity graph's shallow diameter
+WL_ORACLE_ROUNDS = 3
 # HyperANF contract: per-vertex HLL registers of the distance-<=ANF_HOPS
 # ball, p = ANF_P (64 registers/vertex) — registers pinned exactly, the
 # estimate is the one deterministic double (rounded like sketch_distinct)
@@ -965,6 +968,26 @@ def _q_coloring(spark, sf_dir):
     return (
         col.join(id_map, col["v"] == id_map["id"])
         .select("name", "color", "round")
+        .orderBy("name")
+    )
+
+
+def _q_wl_refinement(spark, sf_dir):
+    """1-WL color refinement (plans/wl.py) over the undirected entity
+    graph: round-0 color = degree, each round folds the vertex's label
+    with the commutative mod-2^60 multiset hash of its neighbors' labels
+    (md5 folds throughout — bit-replayable). Output: every vertex's
+    round-WL_ORACLE_ROUNDS structural label plus its equivalence-class
+    size; the oracle unrolls the identical rounds."""
+    from parconnect_spark.plans.wl import wl_refinement
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    wl = wl_refinement(edges, rounds=WL_ORACLE_ROUNDS)
+    cls = wl.groupBy("wl").agg(F.count("*").cast("long").alias("class_size"))
+    return (
+        wl.join(cls, "wl")
+        .join(id_map, wl["v"] == id_map["id"])
+        .select("name", "wl", "class_size")
         .orderBy("name")
     )
 
@@ -2343,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": _q_msf,
         "mis": _q_mis,
         "coloring": _q_coloring,
+        "wl_refinement": _q_wl_refinement,
         "anf": _q_anf,
         "louvain": _q_louvain,
         "matching": _q_matching,
@@ -2933,6 +2957,43 @@ ae{r + 1} AS MATERIALIZED (
     sql += f"""
 SELECT i.name AS name, c.color, c.round
 FROM col{rounds} c JOIN ids i ON i.id = c.v
+ORDER BY name"""
+    return sql
+
+
+def _wl_oracle(rounds: int = None) -> str:
+    """Unrolled 1-WL rounds: label_0 = degree; per round the neighbor
+    multiset hashes commutatively (SUM of md5 folds, DuckDB's HUGEINT sum
+    is exact, mod 2^60 matches Spark's DECIMAL(38,0) % path) and the new
+    label is the same positional md5 fold the engine computes. Every
+    (vertex, label, class size) row must match bit-for-bit."""
+    rounds = WL_ORACLE_ROUNDS if rounds is None else rounds
+    mod = 1 << 60
+    sql = _GRAPH_PREFIX + """,
+wl0 AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS lab FROM edges GROUP BY src
+)"""
+    for r in range(rounds):
+        fold_n = _md5int_duck(f"'wln{r}:' || CAST(l.lab AS VARCHAR)", 1, 15)
+        fold_l = _md5int_duck(
+            f"'wl{r}:' || CAST(l.lab AS VARCHAR) || ':' ||"
+            f" CAST(COALESCE(h.msum, 0) AS VARCHAR)",
+            1,
+            15,
+        )
+        sql += f""",
+wh{r} AS MATERIALIZED (
+  SELECT e.dst AS v, CAST(SUM({fold_n}) % {mod} AS BIGINT) AS msum
+  FROM edges e JOIN wl{r} l ON l.v = e.src GROUP BY e.dst
+),
+wl{r + 1} AS MATERIALIZED (
+  SELECT l.v, {fold_l} AS lab
+  FROM wl{r} l LEFT JOIN wh{r} h ON h.v = l.v
+)"""
+    sql += f"""
+SELECT i.name AS name, l.lab AS wl,
+       COUNT(*) OVER (PARTITION BY l.lab) AS class_size
+FROM wl{rounds} l JOIN ids i ON i.id = l.v
 ORDER BY name"""
     return sql
 
@@ -4257,6 +4318,7 @@ WHERE NOT EXISTS (
 ORDER BY a, b""",
         "mis": _mis_oracle(),
         "coloring": _coloring_oracle(),
+        "wl_refinement": _wl_oracle(),
         "anf": _anf_oracle(),
         "kmeans": _kmeans_oracle(),
         "louvain": _louvain_oracle(),

@@ -33,6 +33,7 @@ from parconnect_spark.plans.matching import maximal_matching
 from parconnect_spark.plans.louvain import louvain_move
 from parconnect_spark.plans.mis import luby_mis
 from parconnect_spark.plans.coloring import jones_plassmann_coloring
+from parconnect_spark.plans.wl import wl_refinement
 from parconnect_spark.plans.anf import (
     neighborhood_registers,
     anf_estimates,
@@ -73,6 +74,7 @@ __all__ = [
     "louvain_move",
     "luby_mis",
     "jones_plassmann_coloring",
+    "wl_refinement",
     "neighborhood_registers",
     "anf_estimates",
     "neighborhood_function",
