@@ -72,6 +72,11 @@ COLORING_ORACLE_ROUNDS = 32
 # fixed depth for the 1-WL refinement contract: round-R labels separate
 # rooted R-neighborhoods; 3 saturates the entity graph's shallow diameter
 WL_ORACLE_ROUNDS = 3
+# fixed unroll for the DAG-layering oracle: rounds past the fixpoint are
+# no-ops (GREATEST with an unchanged max); the sf0.01 condensation's
+# longest path is 1 edge (measured — the giant SCC absorbs nearly
+# everything, leaves hang off it), 12 is headroom for deeper fixtures
+DAG_ORACLE_ROUNDS = 12
 # HyperANF contract: per-vertex HLL registers of the distance-<=ANF_HOPS
 # ball, p = ANF_P (64 registers/vertex) — registers pinned exactly, the
 # estimate is the one deterministic double (rounded like sketch_distinct)
@@ -968,6 +973,46 @@ def _q_coloring(spark, sf_dir):
     return (
         col.join(id_map, col["v"] == id_map["id"])
         .select("name", "color", "round")
+        .orderBy("name")
+    )
+
+
+def _q_dag_layers(spark, sf_dir):
+    """Pipeline-depth layering of the directed entity graph: SCC
+    condensation (plans/scc.py — the feedback clusters) then longest-path
+    layers over the condensation DAG (plans/dag.py). Output: every
+    entity's component label and its component's topological layer —
+    which tools/roles sit in feedback loops vs pipeline stages. The
+    oracle replays SCC by recursive mutual reachability and the layering
+    by DAG_ORACLE_ROUNDS unrolled monotone-max rounds."""
+    from parconnect_spark.operators.derive import derive_directed_string_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+    from parconnect_spark.plans.dag import dag_layers
+    from parconnect_spark.plans.scc import strongly_connected_components
+
+    t = _transcripts(spark, sf_dir)
+    directed = derive_directed_string_edges(t)
+    edges, id_map = relabel_edges(directed, "a", "b")
+    scc = strongly_connected_components(edges)
+    sa = scc.select(F.col("v").alias("src"), F.col("scc").alias("_ca"))
+    sb = scc.select(F.col("v").alias("dst"), F.col("scc").alias("_cb"))
+    ce = (
+        edges.join(sa, "src")
+        .join(sb, "dst")
+        .where(F.col("_ca") != F.col("_cb"))
+        .select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
+        .distinct()
+    )
+    layers, _rounds = dag_layers(ce)
+    lay = layers.withColumnRenamed("v", "_lv")
+    return (
+        scc.join(lay, scc["scc"] == lay["_lv"], "left")
+        .join(id_map, scc["v"] == id_map["id"])
+        .select(
+            "name",
+            F.col("scc").alias("comp"),
+            F.coalesce("layer", F.lit(0)).cast("int").alias("layer"),
+        )
         .orderBy("name")
     )
 
@@ -2367,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "coloring": _q_coloring,
         "wl_refinement": _q_wl_refinement,
+        "dag_layers": _q_dag_layers,
         "anf": _q_anf,
         "louvain": _q_louvain,
         "matching": _q_matching,
@@ -2957,6 +3003,65 @@ ae{r + 1} AS MATERIALIZED (
     sql += f"""
 SELECT i.name AS name, c.color, c.round
 FROM col{rounds} c JOIN ids i ON i.id = c.v
+ORDER BY name"""
+    return sql
+
+
+def _dag_layers_oracle(rounds: int = None) -> str:
+    """SCC by recursive mutual reachability (the scc oracle's CTEs),
+    condensation edges by component-label join, then DAG_ORACLE_ROUNDS
+    unrolled monotone-max layer rounds — rounds past the fixpoint are
+    no-ops, so the unroll only needs to exceed the condensation depth.
+    Every (entity, component, layer) row must match bit-for-bit."""
+    rounds = DAG_ORACLE_ROUNDS if rounds is None else rounds
+    sql = _GRAPH_PREFIX + """,
+dedges AS (
+  SELECT DISTINCT s.id AS src, d.id AS dst
+  FROM pairs p JOIN ids s ON p.a = s.name JOIN ids d ON p.b = d.name
+  WHERE p.a <> p.b
+),
+dreach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM dreach r JOIN dedges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM dreach r1 JOIN dreach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+sccmap AS MATERIALIZED (
+  SELECT i.id, CAST(LEAST(i.id, COALESCE(MIN(m.u), i.id)) AS BIGINT) AS comp
+  FROM ids i LEFT JOIN mutual m ON m.v = i.id GROUP BY i.id
+),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT sa.comp AS src, sb.comp AS dst
+  FROM dedges e
+  JOIN sccmap sa ON sa.id = e.src
+  JOIN sccmap sb ON sb.id = e.dst
+  WHERE sa.comp <> sb.comp
+),
+dl0 AS MATERIALIZED (
+  SELECT v, CAST(0 AS INT) AS layer FROM (
+    SELECT DISTINCT src AS v FROM cedges
+    UNION
+    SELECT DISTINCT dst AS v FROM cedges
+  ) t
+)"""
+    for r in range(rounds):
+        sql += f""",
+dl{r + 1} AS MATERIALIZED (
+  SELECT l.v, CAST(GREATEST(l.layer, COALESCE(m.ml, 0)) AS INT) AS layer
+  FROM dl{r} l LEFT JOIN (
+    SELECT e.dst AS v, MAX(l2.layer) + 1 AS ml
+    FROM cedges e JOIN dl{r} l2 ON l2.v = e.src GROUP BY e.dst
+  ) m ON m.v = l.v
+)"""
+    sql += f"""
+SELECT i.name AS name, s.comp,
+       CAST(COALESCE(l.layer, 0) AS INT) AS layer
+FROM ids i
+JOIN sccmap s ON s.id = i.id
+LEFT JOIN dl{rounds} l ON l.v = s.comp
 ORDER BY name"""
     return sql
 
@@ -4319,6 +4424,7 @@ ORDER BY a, b""",
         "mis": _mis_oracle(),
         "coloring": _coloring_oracle(),
         "wl_refinement": _wl_oracle(),
+        "dag_layers": _dag_layers_oracle(),
         "anf": _anf_oracle(),
         "kmeans": _kmeans_oracle(),
         "louvain": _louvain_oracle(),

@@ -34,6 +34,8 @@ from parconnect_spark.plans.louvain import louvain_move
 from parconnect_spark.plans.mis import luby_mis
 from parconnect_spark.plans.coloring import jones_plassmann_coloring
 from parconnect_spark.plans.wl import wl_refinement
+from parconnect_spark.plans.dag import dag_layers
+from parconnect_spark.plans.scc import strongly_connected_components
 from parconnect_spark.plans.anf import (
     neighborhood_registers,
     anf_estimates,
@@ -75,6 +77,8 @@ __all__ = [
     "luby_mis",
     "jones_plassmann_coloring",
     "wl_refinement",
+    "dag_layers",
+    "strongly_connected_components",
     "neighborhood_registers",
     "anf_estimates",
     "neighborhood_function",
