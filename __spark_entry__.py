@@ -2214,6 +2214,43 @@ def _q_streaming_terms(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_seq_join(spark, sf_dir):
+    """STREAMING stream-stream event-time interval self-join
+    (streaming/stream.seq_join_edge_stream): turn i matches turn i+1 of
+    its conversation arriving within the interval SLA — state on BOTH
+    join sides, the fifth stream≡batch shape. End-of-stream transition
+    counts equal the batch LEAD() derivation (the oracle), because an
+    inner join's output is a set independent of micro-batch boundaries."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.streaming.stream import (
+        seq_join_edge_stream,
+        stream_transcripts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sj_")
+    try:
+        _transcripts(spark, sf_dir).write.parquet(f"{tmp}/transcripts")
+        sa = stream_transcripts(spark, f"{tmp}/transcripts")
+        sb = stream_transcripts(spark, f"{tmp}/transcripts")
+        q = (
+            seq_join_edge_stream(sa, sb)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_seq_join")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            "SELECT a, b, COUNT(*) AS n FROM stream_seq_join "
+            "GROUP BY a, b ORDER BY a, b"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """STREAMING gap sessionization (streaming/stream.session_stream —
     applyInPandasWithState keyed by user_id, the canonical custom stateful
@@ -2488,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_degrees": _q_streaming_degrees,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_terms": _q_streaming_terms,
+        "streaming_seq_join": _q_streaming_seq_join,
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
@@ -5246,6 +5284,25 @@ ev AS (
 )
 SELECT bucket_us, term, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM ev GROUP BY bucket_us, term ORDER BY bucket_us, term""",
+        # streaming_seq_join: the stream-stream interval self-join's
+        # end-of-stream content is exactly the batch LEAD() transition
+        # derivation (inner-join output is a set; the 90-day interval SLA
+        # is far above the fixtures' measured ~4-day max adjacent gap).
+        "streaming_seq_join": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+turns AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool ELSE 'r:' || role END AS entity
+  FROM transcripts
+),
+sq AS (
+  SELECT entity AS a,
+         LEAD(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+  FROM turns
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+FROM sq WHERE b IS NOT NULL GROUP BY a, b ORDER BY a, b""",
         "neighbor_agg": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

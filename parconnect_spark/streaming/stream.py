@@ -132,6 +132,53 @@ def sequential_edge_stream(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def seq_join_edge_stream(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: str = "90 days",
+) -> DataFrame:
+    """E1 consecutive-turn transitions via a STREAM-STREAM event-time
+    interval self-join — the fifth stream≡batch shape (after stateless
+    derivation, keyed aggregation, custom session state, and event-time
+    windows): state on BOTH join sides, bounded by the watermark + the
+    time-interval condition.
+
+    ``left``/``right`` are two independent readStream handles over the
+    SAME transcript directory (Spark requires distinct source nodes for a
+    self-join). Turn i joins turn i+1 of its conversation when the
+    successor arrives within ``max_gap`` of it — the interval bound is
+    what lets Spark evict join state instead of holding every turn
+    forever, so ``max_gap`` is the deployment's staleness SLA (here
+    defaulted far above the fixtures' measured ~4-day max gap; a match
+    missed because it exceeds the SLA is the operator's declared
+    semantics, same contract as any watermark). Emits one (a, b) entity
+    row per transition, self-transitions included (this is the Markov
+    transition feed, not the deduplicated edge table); inner-join output
+    is a set, so end-of-stream content equals the batch LEAD() derivation
+    regardless of micro-batch boundaries."""
+    a = left.withWatermark("ts", max_gap).select(
+        F.col("conv_id").alias("a_conv"),
+        F.col("turn_idx").alias("a_idx"),
+        _entity_col().alias("a_ent"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = right.withWatermark("ts", max_gap).select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("turn_idx").alias("b_idx"),
+        _entity_col().alias("b_ent"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (F.col("a_conv") == F.col("b_conv"))
+        & (F.col("b_idx") == F.col("a_idx") + 1)
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a_ent").alias("a"), F.col("b_ent").alias("b")
+    )
+
+
 def turn_rate_metrics(
     transcripts: DataFrame, window: str = "5 minutes", slide: str = "1 minute"
 ) -> DataFrame:

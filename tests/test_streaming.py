@@ -263,3 +263,49 @@ def test_term_counts_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp and got
+
+
+def test_seq_join_edge_stream_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.sources import synth_transcripts
+    from parconnect_spark.streaming.stream import (
+        seq_join_edge_stream,
+        stream_transcripts,
+    )
+
+    t = synth_transcripts(spark, n_convs=40)
+    t.write.parquet(str(tmp_path / "transcripts"))
+    # two independent source nodes over the same directory: a self-join
+    # needs distinct readStream handles
+    st_a = stream_transcripts(spark, str(tmp_path / "transcripts"))
+    st_b = stream_transcripts(spark, str(tmp_path / "transcripts"))
+    q = (
+        seq_join_edge_stream(st_a, st_b)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_seq_join")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["a"], r["b"])
+        for r in spark.sql("SELECT a, b FROM t_seq_join").collect()
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ent = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("r:"), F.col("role")))
+    exp = sorted(
+        (r["a"], r["b"])
+        for r in t.select(
+            ent.alias("a"), F.lead(ent).over(w).alias("b")
+        )
+        .where(F.col("b").isNotNull())
+        .collect()
+    )
+    assert got == exp and got
