@@ -1324,6 +1324,21 @@ def _q_dedup_ngram(spark, sf_dir):
     )
 
 
+def _q_dedup_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard join
+    (functions/dedup.prefix_filter_pairs): candidates from rarest-first
+    shingle prefixes (lossless by the prefix lemma), verification exact,
+    every threshold an integer comparison (den*inter >= num*union). The
+    oracle is algorithm-independent ground truth -- the brute shared-
+    shingle join over the FULL universe -- so it checks that the prefix
+    filter changed the plan, not the answer."""
+    from parconnect_spark.functions.dedup import prefix_filter_pairs
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return prefix_filter_pairs(docs, threshold=(3, 5)).orderBy("id_a", "id_b")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2484,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
+        "dedup_prefix": _q_dedup_prefix,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -4640,6 +4656,20 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
+ORDER BY id_a, id_b""",
+        "dedup_prefix": f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 5 * c >= 3 * (sa.n + sb.n - c)
 ORDER BY id_a, id_b""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

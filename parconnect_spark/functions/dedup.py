@@ -145,6 +145,107 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via PPJoin-style PREFIX
+    FILTERING (Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the
+    lossless alternative to ``ngram_jaccard_pairs``'s stop-shingle cap.
+
+    ``threshold`` is a RATIONAL (num, den) so every filter is integer
+    arithmetic: a pair qualifies iff den·|a∩b| ≥ num·|a∪b| — no float
+    boundary anywhere, hence bit-stable against any ANSI oracle.
+
+    Why this scales where shared-shingle joins don't: order the shingle
+    universe globally by (document frequency ASC, shingle) — rarest first —
+    and take from each doc only its first p = |s| − ceil(τ·|s|) + 1
+    shingles under that order. The prefix lemma guarantees two sets with
+    Jaccard ≥ τ share a token in BOTH prefixes (if all |a∩b| ≥ ceil(τ·|a|)
+    shared elements sat past a's prefix, the suffix — only ceil(τ·|a|) − 1
+    slots — couldn't hold them). So the candidate join runs on prefix
+    tokens only: at τ=0.6 that is ~40% of each doc's shingles, and they are
+    by construction the RAREST ones, so boilerplate shingles (the skew
+    keys that force ``max_shingle_df``'s lossy cap) fall out of the join
+    key distribution instead of out of the answer. A paired length filter
+    (den·min(|a|,|b|) ≥ num·max — Jaccard ≥ τ forces min ≥ τ·max) prunes
+    cross-size candidates before the distinct. Verification then computes
+    the exact intersection over candidates only. Result = the UNFILTERED
+    exact Jaccard join (``ngram_jaccard_pairs(max_shingle_df=None)``),
+    at bounded candidate volume.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ num/den,
+    computed over the full shingle universe."""
+    from pyspark.sql import Window
+
+    num, den = threshold
+    sh = scoped_persist(shingles(docs, id_col, text_col, n))
+    # global rarity order: df census is one map-side-combined aggregate
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc rank under (df, shingle); window partitions by DOC id —
+    # bounded by shingles-per-doc, no hot-key risk (contrast: a window
+    # over shingle would serialize boilerplate keys)
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfc, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    # p = n - ceil(num*n/den) + 1, all integer (`div` = floor division on
+    # longs; num*n + den - 1 stays far inside signed-64)
+    pre = ranked.where(
+        F.col("_rk")
+        <= F.col("_n") - F.expr(f"({num}*_n + {den} - 1) div {den}") + 1
+    ).select("id", "shingle", "_n")
+    pa = pre.select(
+        F.col("id").alias("id_a"), "shingle", F.col("_n").alias("_na")
+    )
+    pb = pre.select(
+        F.col("id").alias("id_b"), "shingle", F.col("_n").alias("_nb")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            den * F.least("_na", "_nb") >= num * F.greatest("_na", "_nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify over candidates only: fan candidates out by a's
+    # shingles, keep rows present in b — |a∩b| per pair
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            den * F.col("_c")
+            >= num * (F.col("_na") + F.col("_nb") - F.col("_c"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def _minhash_perm_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod _PERM_P,
     a ∈ [1, p), b ∈ [0, p)."""

@@ -282,3 +282,63 @@ def test_source_overlap_hot_shingle_guard(spark):
     assert source_overlap(docs, n=4, max_groups_per_shingle=3).count() == 0
     full = source_overlap(docs, n=4, max_groups_per_shingle=None)
     assert full.count() == 6  # all pairs share the one shingle
+
+
+def test_prefix_filter_equals_unfiltered_exact(spark):
+    # the prefix filter is LOSSLESS: output == the unfiltered exact
+    # shared-shingle Jaccard join on a corpus with near-dups, exact dups,
+    # and disjoint docs
+    from parconnect_spark.functions.dedup import prefix_filter_pairs
+
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)]
+    # widen the corpus: token-rotated and suffix-mutated variants
+    toks = BASE.split()
+    for i in range(4, 20):
+        rot = toks[i % len(toks) :] + toks[: i % len(toks)]
+        if i % 3 == 0:
+            rot = rot[:-1] + [f"mut{i}"]
+        rows.append((i, " ".join(rot)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_pairs(d, threshold=(3, 5)).collect()
+    )
+    exp = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            d, threshold=0.6, max_shingle_df=None
+        ).collect()
+    )
+    assert got == exp and (0, 3, 1.0) in [
+        (a, b, round(j, 1)) for a, b, j in got
+    ]
+
+
+def test_prefix_filter_integer_threshold_boundary(spark):
+    # n=1 shingles = distinct tokens: craft Jaccard EXACTLY 3/5 (inter 6,
+    # union 10) -> included; and a just-below pair -> excluded. Integer
+    # den*inter >= num*union arithmetic means no float-boundary flake.
+    from parconnect_spark.functions.dedup import prefix_filter_pairs
+
+    shared = [f"s{i}" for i in range(6)]
+    a = shared + ["a1", "a2"]
+    b = shared + ["b1", "b2"]
+    c = shared[:5] + ["c1", "c2", "c3"]  # vs a: inter 5, union 11 < 0.6
+    d = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(d, threshold=(3, 5), n=1).collect()
+    }
+    assert out == {(0, 1): 0.6}
+
+
+def test_prefix_filter_partition_invariance(spark):
+    from parconnect_spark.functions.dedup import prefix_filter_pairs
+
+    d = docs(spark)
+    one = sorted(map(tuple, prefix_filter_pairs(d).collect()))
+    many = sorted(map(tuple, prefix_filter_pairs(d.repartition(7)).collect()))
+    assert one == many and one
