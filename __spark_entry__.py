@@ -1339,6 +1339,29 @@ def _q_dedup_prefix(spark, sf_dir):
     return prefix_filter_pairs(docs, threshold=(3, 5)).orderBy("id_a", "id_b")
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """Bloom-prefiltered EXACT blocklist anti-join
+    (functions/dedup.bloom_blocklist_filter): the blocklist's bitmap
+    classifies every corpus row map-side (no false negatives -> "no" rows
+    never shuffle); only bloom-positives pay the exact anti-join that
+    kills false positives, so the output is exact regardless of bitmap
+    size. Blocklist = every 7th doc's content fingerprint, derived from
+    the corpus itself (deterministic, self-contained)."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.dedup import bloom_blocklist_filter
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    bl = docs.where("doc_id % 7 = 0").select(F.md5(norm).alias("fp"))
+    return (
+        bloom_blocklist_filter(docs, bl)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2500,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_prefix": _q_dedup_prefix,
+        "blocklist_filter": _q_blocklist_filter,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -4671,6 +4695,16 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE 5 * c >= 3 * (sa.n + sb.n - c)
 ORDER BY id_a, id_b""",
+        # blocklist_filter: ground truth is the plain exact anti-join by
+        # content fingerprint — algorithm-independent, so it proves the
+        # Bloom prefilter changed the shuffle, not the answer.
+        "blocklist_filter": r"""
+WITH fps AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+bl AS (SELECT fp FROM fps WHERE doc_id % 7 = 0)
+SELECT doc_id, fp FROM fps ANTI JOIN bl USING (fp) ORDER BY doc_id""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),

@@ -478,6 +478,127 @@ def near_dup_clusters(
     )
 
 
+def _bloom_positions(fp: F.Column, n_bits: int, n_hashes: int) -> list[F.Column]:
+    """k bit positions from an md5-hex fingerprint: disjoint 8-hex-digit
+    (32-bit) windows of the digest, each reduced mod n_bits — JVM-side,
+    and byte-replicable by the Python prefilter (int(fp[o:o+8], 16))."""
+    if n_hashes > 4:
+        raise ValueError("md5 hex has 32 digits: at most 4 disjoint 32-bit windows")
+    return [
+        F.conv(F.substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_bitmap(
+    blocklist: DataFrame,
+    fp_col: str = "fp",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> bytes:
+    """Distributed Bloom-filter build: per-Arrow-batch packed bitmaps
+    (mapInPandas), OR-reduced on the driver. The collect moves
+    n_batches × n_bits/8 bytes — never the keys themselves — which is the
+    treeAggregate shape a 10^9-row blocklist needs (the naive
+    collect-all-positions moves k rows per key)."""
+    import numpy as np
+
+    nb = n_bits
+    pos = blocklist.select(
+        *[
+            p.alias(f"_p{i}")
+            for i, p in enumerate(
+                _bloom_positions(F.col(fp_col), nb, n_hashes)
+            )
+        ]
+    )
+
+    def to_bitmaps(batches):
+        for pdf in batches:
+            bm = np.zeros(nb // 8, dtype=np.uint8)
+            for c in pdf.columns:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(bm, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+            import pandas as pd
+
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(nb // 8, dtype=np.uint8)
+    for row in pos.mapInPandas(to_bitmaps, schema="bm binary").collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bitmap: bytes,
+    fp_col: str = "fp",
+    n_hashes: int = 3,
+    out_col: str = "_might",
+) -> DataFrame:
+    """Adds a boolean ``out_col``: Bloom membership test of ``fp_col``
+    against ``bitmap`` (torch-free, one Arrow-vectorized pandas UDF over
+    the k JVM-computed positions; the bitmap ships once per executor via
+    SparkContext.broadcast, not per task in the closure)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = len(bitmap) * 8
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def _test(*cols):
+        import pandas as pd
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        ok = None
+        for c in cols:
+            p = c.to_numpy(dtype=np.int64)
+            bit = (bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+            ok = bit.astype(bool) if ok is None else (ok & bit.astype(bool))
+        return pd.Series(ok)
+
+    return df.withColumn(
+        out_col, _test(*_bloom_positions(F.col(fp_col), n_bits, n_hashes))
+    )
+
+
+def bloom_blocklist_filter(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """EXACT blocklist anti-join with a Bloom prefilter — the 100-TB shape
+    for "drop every corpus doc whose fingerprint is on a list too big to
+    broadcast raw": a plain anti-join shuffles the FULL corpus on fp; here
+    the blocklist's Bloom bitmap (n_bits/8 bytes — ~10 bits/key for ~1% FP
+    rate, so a 10^9-key list fits in ~1.2 GB, broadcastable where the raw
+    keys are not) classifies every corpus row map-side. Bloom "no" has NO
+    false negatives ⇒ those rows are provably clean and never shuffle;
+    only the "maybe" sliver (true hits + FP-rate stragglers) pays the
+    exact anti-join that kills false positives. Output is therefore EXACT
+    — the bitmap sizes the shuffle, never the answer.
+
+    Returns (id, fp) of surviving docs; fp = md5 of the lower-cased,
+    whitespace-collapsed text (``exact_dup_groups``'s fingerprint), so
+    blocklisting is by CONTENT: any exact duplicate of a listed text is
+    dropped too. ``blocklist`` must carry md5-hex strings in ``fp_col``."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    fps = corpus.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+    bl = blocklist.select(F.col(fp_col).alias("fp"))
+    bm = bloom_bitmap(bl, "fp", n_bits, n_hashes)
+    marked = bloom_might_contain(fps, bm, "fp", n_hashes)
+    clean = marked.where(~F.col("_might")).drop("_might")
+    maybe = marked.where(F.col("_might")).drop("_might")
+    rescued = maybe.join(bl, "fp", "left_anti")
+    return clean.unionByName(rescued).select("id", "fp")
+
+
 def contamination_check(
     train: DataFrame,
     benchmark: DataFrame,

@@ -342,3 +342,75 @@ def test_prefix_filter_partition_invariance(spark):
     one = sorted(map(tuple, prefix_filter_pairs(d).collect()))
     many = sorted(map(tuple, prefix_filter_pairs(d.repartition(7)).collect()))
     assert one == many and one
+
+
+def test_bloom_blocklist_filter_exact_under_forced_fps(spark):
+    # 32-bit bitmap over a 30-doc corpus with a 10-fp blocklist forces
+    # Bloom false positives (expected fill ~0.6, ~5 FPs among the 20 clean
+    # docs); the rescue anti-join must kill every one — output == the
+    # plain exact anti-join
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.dedup import (
+        bloom_bitmap,
+        bloom_blocklist_filter,
+        bloom_might_contain,
+    )
+
+    rows = [(i, f"doc number {i} body " + "x " * (i % 5)) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    fps = corpus.select(F.col("doc_id").alias("id"), F.md5(norm).alias("fp"))
+    bl = fps.where("id % 3 = 0").select("fp")
+
+    got = sorted(
+        (r["id"], r["fp"])
+        for r in bloom_blocklist_filter(corpus, bl, n_bits=32).collect()
+    )
+    exp = sorted(
+        (r["id"], r["fp"]) for r in fps.join(bl, "fp", "left_anti").collect()
+    )
+    assert got == exp and len(got) == 20
+
+    # prove the rescue was actually exercised: at 32 bits / 10 keys / 3
+    # hashes the bitmap saturates enough that bloom-positives strictly
+    # exceed the 10 true hits...
+    bm = bloom_bitmap(bl, n_bits=32)
+    n_maybe = (
+        bloom_might_contain(fps, bm).where("_might").count()
+    )
+    assert n_maybe > 10
+    # ...and no false negatives: every true hit is bloom-positive
+    hits = bloom_might_contain(
+        fps.join(bl, "fp", "left_semi"), bm
+    )
+    assert hits.where("NOT _might").count() == 0
+
+
+def test_bloom_blocklist_filter_empty_blocklist(spark):
+    from parconnect_spark.functions.dedup import bloom_blocklist_filter
+
+    corpus = spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    bl = spark.createDataFrame([], "fp string")
+    assert bloom_blocklist_filter(corpus, bl).count() == 2
+
+
+def test_bloom_blocklist_filter_partition_invariance(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.dedup import bloom_blocklist_filter
+
+    rows = [(i, f"text {i}") for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    bl = corpus.where("doc_id % 7 = 0").select(F.md5(norm).alias("fp"))
+    one = sorted(map(tuple, bloom_blocklist_filter(corpus, bl).collect()))
+    many = sorted(
+        map(
+            tuple,
+            bloom_blocklist_filter(corpus.repartition(11), bl).collect(),
+        )
+    )
+    assert one == many and len(one) == 34
