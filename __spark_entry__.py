@@ -2330,6 +2330,30 @@ def _q_streaming_sessions(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_zorder_events(spark, sf_dir):
+    """Z-order (Morton) layout key over events (operators/layout): bits
+    of the quantized (user_id, unix_micros(ts)) pair interleaved into one
+    long, integer arithmetic end to end (fixed-bounds binning with `div`,
+    shift/and/or interleave -- no floats), so the DuckDB oracle replays it
+    bit-for-bit with `//`. Range-partitioning on this key gives every
+    output file a tight min/max footprint on BOTH dims at once -- the
+    multi-dimensional file-pruning layout (Delta/Iceberg ZORDER BY
+    semantics) that one-dimensional sorting cannot provide."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.layout import zorder_key
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events").withColumn(
+        "tsu", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return (
+        zorder_key(ev, ["user_id", "tsu"], bits=16)
+        .select("event_id", "zval")
+        .orderBy("event_id")
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2570,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
+        "zorder_events": _q_zorder_events,
         "events_rollup": _q_events_rollup,
         "events_hopping": _q_events_hopping,
         "retention": _q_retention,
@@ -2582,6 +2607,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _zorder_events_oracle(bits: int = 16) -> str:
+    """Replays operators/layout.zorder_key bit-for-bit: bounds = exact
+    min/max of the data (the query's auto-bounds path), binning = long
+    floor division, interleave = 2*bits shift/and/or terms."""
+    terms = []
+    for j, (v, lo, hi) in enumerate(
+        (("user_id", "lo0", "hi0"), ("tsu", "lo1", "hi1"))
+    ):
+        b = f"((({v} - {lo}) * {1 << bits}) // ({hi} - {lo} + 1))"
+        for i in range(bits):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+    expr = " | ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT MIN(user_id) AS lo0, MAX(user_id) AS hi0,
+         MIN(epoch_us(ts)) AS lo1, MAX(epoch_us(ts)) AS hi1
+  FROM events
+),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+SELECT event_id, CAST({expr} AS BIGINT) AS zval
+FROM e, b ORDER BY event_id"""
+
 
 def _pagerank_oracle(iters: int = PR_ITERS) -> str:
     sql = _GRAPH_PREFIX + """,
@@ -5392,6 +5440,7 @@ ex AS (
 SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
        CAST(COUNT(*) AS BIGINT) AS n_neighbors
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
+        "zorder_events": _zorder_events_oracle(),
         "events_rollup": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type""",
