@@ -853,6 +853,30 @@ def _q_sssp(spark, sf_dir):
     )
 
 
+def _q_graph_sparsify(spark, sf_dir):
+    """Skew-proof exact top-k neighbor sparsification
+    (operators/graph.sparsify_topk) of the symmetrized co-occurrence-
+    weighted entity graph: per-vertex top-3 by (weight DESC, dst ASC) via
+    the two-phase salted-window pattern -- a hub's neighbors rank inside
+    salt_buckets bounded windows first, then only the <= buckets*k
+    survivors meet the per-vertex window, so no hub serializes a task.
+    The salt changes the plan, never the answer (oracle = the single
+    global window)."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.derive import derive_weighted_undirected_edges
+    from parconnect_spark.operators.graph import sparsify_topk
+
+    t = _transcripts(spark, sf_dir)
+    wu = derive_weighted_undirected_edges(t)
+    sym = wu.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        wu.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
+    )
+    return sparsify_topk(sym, 3).orderBy("src", "dst")
+
+
 def _q_msf(spark, sf_dir):
     """Minimum spanning forest (plans/msf.py, Borůvka rounds) of the
     co-occurrence-weighted UNDIRECTED entity graph. Under the
@@ -2508,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "sssp": _q_sssp,
         "msf": _q_msf,
+        "graph_sparsify": _q_graph_sparsify,
         "mis": _q_mis,
         "coloring": _q_coloring,
         "wl_refinement": _q_wl_refinement,
@@ -4547,6 +4572,24 @@ WHERE NOT EXISTS (
   SELECT 1 FROM reach r WHERE r.ea = m.a AND r.eb = m.b AND r.v = m.b
 )
 ORDER BY a, b""",
+        "graph_sparsify": _GRAPH_PREFIX
+        + """,
+w AS (
+  SELECT LEAST(a, b) AS na, GREATEST(a, b) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM pairs WHERE a <> b GROUP BY 1, 2
+),
+sym AS (
+  SELECT na AS src, nb AS dst, weight FROM w
+  UNION ALL
+  SELECT nb AS src, na AS dst, weight FROM w
+),
+r AS (
+  SELECT src, dst, weight,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rk
+  FROM sym
+)
+SELECT src, dst, weight FROM r WHERE rk <= 3 ORDER BY src, dst""",
         "mis": _mis_oracle(),
         "coloring": _coloring_oracle(),
         "wl_refinement": _wl_oracle(),

@@ -412,3 +412,50 @@ def snapshot_diff(tagged_edges: DataFrame, sep: str = "|") -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+def sparsify_topk(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """EXACT per-vertex top-k out-neighbors by (weight DESC, dst ASC) —
+    degree-capping graph sparsification, the standard preprocessing that
+    makes kNN-graph algorithms survive power-law degree at 100 TB.
+
+    Skew design: the naive single window over ``src`` serializes every
+    hub vertex into one task (the same straggler the CC hub split
+    removes). Two-phase instead: phase 1 ranks within (src, salt) — salt
+    = dst-hash bucket, so a hub's neighbors spread over ``salt_buckets``
+    bounded windows — and keeps k per bucket; phase 2 ranks the ≤
+    salt_buckets·k survivors per src globally. The global top-k is a
+    subset of the per-bucket top-ks, so the result is exactly the
+    single-window answer at bounded parallel window width; the salt
+    choice affects only the plan, never the output. Deterministic under
+    ties via the dst tie-break."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).alias("weight"),
+    )
+    salt = F.pmod(F.xxhash64("dst"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("src", "_salt").orderBy(
+        F.desc("weight"), F.asc("dst")
+    )
+    phase1 = (
+        e.withColumn("_salt", salt)
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .drop("_salt", "_rk")
+    )
+    w2 = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    return (
+        phase1.withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1,0 +1,53 @@
+
+
+def test_sparsify_topk_equals_single_window(spark):
+    # hub vertex 0 with 40 neighbors incl. weight ties; assorted others
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parconnect_spark.operators.graph import sparsify_topk
+
+    rows = [(0, d, (d * 7) % 5 + 1) for d in range(1, 41)]
+    rows += [(1, 2, 3), (1, 3, 3), (1, 4, 1), (2, 0, 9)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight long")
+    got = sorted(
+        map(tuple, sparsify_topk(e, 3, salt_buckets=4).collect())
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    exp = sorted(
+        map(
+            tuple,
+            e.withColumn("r", F.row_number().over(w))
+            .where("r <= 3")
+            .drop("r")
+            .collect(),
+        )
+    )
+    assert got == exp and len(got) == 3 + 3 + 1
+
+
+def test_sparsify_topk_keeps_all_below_k(spark):
+    from parconnect_spark.operators.graph import sparsify_topk
+
+    e = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 4)], "src long, dst long, weight long"
+    )
+    assert sparsify_topk(e, 10).count() == 2
+
+
+def test_sparsify_topk_partition_invariance(spark):
+    from parconnect_spark.operators.graph import sparsify_topk
+
+    rows = [(i % 7, (i * 13) % 50 + 100, (i * 31) % 11) for i in range(300)]
+    # dedupe (src,dst) keeping max weight to make top-k well defined
+    e = (
+        spark.createDataFrame(rows, "src long, dst long, weight long")
+        .groupBy("src", "dst")
+        .max("weight")
+        .withColumnRenamed("max(weight)", "weight")
+    )
+    a = sorted(map(tuple, sparsify_topk(e, 4, salt_buckets=3).collect()))
+    b = sorted(
+        map(tuple, sparsify_topk(e.repartition(13), 4, salt_buckets=8).collect())
+    )
+    assert a == b and a
