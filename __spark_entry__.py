@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PR_ITERS = 8
 HITS_ITERS = 8
+EIGEN_ITERS = 8
 LP_MIN_ITERS = 4
 LP_MAJ_ITERS = 2
 # community_graph contracts at lp-min depth 1 — the FIRST level of a
@@ -544,6 +545,23 @@ def _q_pagerank_weighted(spark, sf_dir):
     )
     named = ranks.select("v", F.round("rank", 6).alias("rank"))
     return _with_names(named, id_map, "rank")
+
+
+def _q_eigencentrality(spark, sf_dir):
+    """Eigenvector centrality (plans/eigen.py) on the SYMMETRIZED entity
+    graph: undamped power iteration x <- A x with per-iteration L1
+    normalization (the rescale preserves the eigendirection and keeps the
+    unrolled oracle free of cross-engine sqrt). EIGEN_ITERS unrolled
+    rounds, scores rounded to 6dp, same discipline as hits/pagerank."""
+    from parconnect_spark.plans.eigen import eigencentrality
+
+    _t, edges, id_map = _graph(spark, sf_dir)
+    scores = eigencentrality(edges, num_iters=EIGEN_ITERS)
+    return (
+        scores.join(id_map, scores["v"] == id_map["id"])
+        .select("name", F.round("score", 6).alias("score"))
+        .orderBy("name")
+    )
 
 
 def _q_hits(spark, sf_dir):
@@ -2549,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "scc": _q_scc,
         "hits": _q_hits,
+        "eigencentrality": _q_eigencentrality,
         "katz": _q_katz,
         "link_prediction": _q_link_prediction,
         "kcore": _q_kcore,
@@ -2743,6 +2762,33 @@ r{k} AS MATERIALIZED (
     sql += (
         f"\nSELECT i.name AS name, ROUND(r.rank, 6) AS rank"
         f" FROM r{iters} r JOIN ids i ON i.id = r.v ORDER BY name"
+    )
+    return sql
+
+
+def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
+    """Unrolled power iteration over the symmetric `edges` CTE
+    (plans/eigen.py semantics exactly): one propagate + L1 normalize per
+    round, isolated vertices 0, SUM() OVER () normalizer for linear CTE
+    expansion (see _hits_oracle's inlining note)."""
+    sql = _GRAPH_PREFIX + """,
+nv AS (SELECT COUNT(*) AS n FROM ids),
+x0 AS (SELECT id AS v, 1.0 / nv.n AS score FROM ids CROSS JOIN nv)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+xn{k} AS (
+  SELECT v, s / SUM(s) OVER () AS score FROM (
+    SELECT e.dst AS v, SUM(x.score) AS s
+    FROM edges e JOIN x{k - 1} x ON e.src = x.v GROUP BY e.dst
+  ) r
+),
+x{k} AS (
+  SELECT i.id AS v, COALESCE(n.score, 0.0) AS score
+  FROM ids i LEFT JOIN xn{k} n ON n.v = i.id
+)"""
+    sql += (
+        f"\nSELECT i.name AS name, ROUND(x.score, 6) AS score"
+        f"\nFROM ids i JOIN x{iters} x ON x.v = i.id ORDER BY name"
     )
     return sql
 
@@ -4537,6 +4583,7 @@ SELECT i.name AS name, CAST(LEAST(i.id, COALESCE(MIN(m.u), i.id)) AS BIGINT) AS 
 FROM ids i LEFT JOIN mutual m ON m.v = i.id
 GROUP BY i.name, i.id ORDER BY name""",
         "hits": _hits_oracle(),
+        "eigencentrality": _eigen_oracle(),
         "katz": _katz_oracle(),
         "funnel": _funnel_oracle(),
         "link_prediction": _linkpred_oracle(),

@@ -23,6 +23,7 @@ from parconnect_spark.plans.betweenness import betweenness_centrality
 from parconnect_spark.plans.sssp import sssp
 from parconnect_spark.plans.densest import densest_subgraph
 from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
+from parconnect_spark.plans.eigen import eigencentrality
 from parconnect_spark.plans.hits import hits
 from parconnect_spark.plans.katz import katz
 from parconnect_spark.plans.kcore import kcore, coreness
@@ -65,6 +66,7 @@ __all__ = [
     "densest_subgraph",
     "should_run_bfs",
     "powerlaw_ks_distance",
+    "eigencentrality",
     "hits",
     "katz",
     "kcore",
