@@ -1404,6 +1404,24 @@ def _q_blocklist_filter(spark, sf_dir):
     )
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """Four-stage corpus-curation funnel (functions/curation.py): quality
+    gate -> exact dedup -> near-dup canonicalization (ngram pairs closed
+    by the CC engine) -> Bloom-prefiltered blocklist, reporting per-stage
+    survivor counts. The composition query: it proves the pipeline
+    operators compose end to end with exactly the semantics each one's
+    own contract entry pins. Blocklist = every 13th doc's fingerprint."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.curation import curation_funnel
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    bl = docs.where("doc_id % 13 = 0").select(F.md5(norm).alias("fp"))
+    return curation_funnel(docs, blocklist=bl).orderBy("stage_idx")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2592,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_prefix": _q_dedup_prefix,
         "blocklist_filter": _q_blocklist_filter,
+        "curation_funnel": _q_curation_funnel,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -4843,6 +4862,59 @@ WITH fps AS (
 ),
 bl AS (SELECT fp FROM fps WHERE doc_id % 7 = 0)
 SELECT doc_id, fp FROM fps ANTI JOIN bl USING (fp) ORDER BY doc_id""",
+        # curation_funnel: full staged replay — quality gate, min-per-fp
+        # exact dedup, ngram pair graph transitively closed by a recursive
+        # min-reach CTE, fingerprint blocklist; counts per stage.
+        "curation_funnel": "WITH RECURSIVE "
+        + _DUCK_SHINGLES.lstrip()
+        + r""",
+fps AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+  FROM documents
+),
+q AS (SELECT doc_id, fp FROM fps WHERE ntok >= 20),
+ex AS (
+  SELECT doc_id FROM q
+  WHERE doc_id = (SELECT MIN(q2.doc_id) FROM q q2 WHERE q2.fp = q.fp)
+),
+shx AS (SELECT sh.doc_id, sh.s FROM sh JOIN ex USING (doc_id)),
+hot AS (SELECT s FROM shx GROUP BY s HAVING COUNT(*) > 1000),
+shf AS (SELECT doc_id, s FROM shx ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
+),
+de AS (
+  SELECT id_a AS src, id_b AS dst FROM dpairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM ex
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN de e ON e.src = r.v
+),
+canon AS (SELECT v AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY v),
+nd AS (SELECT doc_id FROM canon WHERE doc_id = canonical_id),
+bl AS (SELECT fp FROM fps WHERE doc_id % 13 = 0),
+fin AS (
+  SELECT nd.doc_id FROM nd JOIN fps USING (doc_id) ANTI JOIN bl USING (fp)
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'input' AS stage,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+  UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM q)
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ex)
+  UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM nd)
+  UNION ALL SELECT 5, 'blocklist', (SELECT COUNT(*) FROM fin)
+) ORDER BY stage_idx""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
