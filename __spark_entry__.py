@@ -1422,6 +1422,37 @@ def _q_curation_funnel(spark, sf_dir):
     return curation_funnel(docs, blocklist=bl).orderBy("stage_idx")
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-window training-sequence chunking with overlap
+    (functions/text.chunk_documents): windows of 64 tokens every 48 (16
+    overlap), final chunk short-but-never-empty, every token covered.
+    Pure Catalyst sequence/slice/array_join -- a flat map over the
+    corpus, fan-out bounded by doc length."""
+    from parconnect_spark.functions.text import chunk_documents
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return (
+        chunk_documents(docs, window=64, stride=48)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _q_partition_stats(spark, sf_dir):
+    """Hash-partitioning quality report (operators/graph.partition_stats)
+    of the symmetric entity graph at 8 partitions: edge-cut fraction (the
+    per-superstep all-to-all traffic a real cluster pays), plus
+    vertex/edge balance factors (the straggler multiplier). The reference
+    ANSWERS this concern with the Wang-hash id permutation
+    (reduceIds.hpp:104-114); this MEASURES what that buys, with an
+    md5-replicable stand-in partitioner so DuckDB replays it exactly."""
+    from parconnect_spark.operators.graph import partition_stats
+
+    _t, edges, _m = _graph(spark, sf_dir)
+    return partition_stats(edges, 8)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2569,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "msf": _q_msf,
         "graph_sparsify": _q_graph_sparsify,
+        "partition_stats": _q_partition_stats,
         "mis": _q_mis,
         "coloring": _q_coloring,
         "wl_refinement": _q_wl_refinement,
@@ -2611,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": _q_dedup_prefix,
         "blocklist_filter": _q_blocklist_filter,
         "curation_funnel": _q_curation_funnel,
+        "doc_chunks": _q_doc_chunks,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -2783,6 +2816,33 @@ r{k} AS MATERIALIZED (
         f" FROM r{iters} r JOIN ids i ON i.id = r.v ORDER BY name"
     )
     return sql
+
+
+def _partition_stats_oracle(n_parts: int = 8) -> str:
+    h = _md5int_duck("'part:' || CAST(v AS VARCHAR)")
+    return _GRAPH_PREFIX + f""",
+pe AS (
+  SELECT {h.replace("v", "e.src")} % {n_parts} AS pa,
+         {h.replace("v", "e.dst")} % {n_parts} AS pb
+  FROM edges e
+),
+tot AS (
+  SELECT COUNT(*) AS n_edges,
+         SUM(CASE WHEN pa <> pb THEN 1 ELSE 0 END) AS cut_edges
+  FROM pe
+),
+el AS (SELECT pa, COUNT(*) AS n FROM pe GROUP BY pa),
+ei AS (SELECT MAX(n) * 1.0 / AVG(n) AS edge_imbalance FROM el),
+pv AS (SELECT {h.replace("v", "i.id")} % {n_parts} AS p FROM ids i),
+nv AS (SELECT COUNT(*) AS n_vertices FROM pv),
+vl AS (SELECT p, COUNT(*) AS n FROM pv GROUP BY p),
+vi AS (SELECT MAX(n) * 1.0 / AVG(n) AS vertex_imbalance FROM vl)
+SELECT CAST({n_parts} AS INT) AS n_parts,
+       nv.n_vertices, tot.n_edges, tot.cut_edges,
+       ROUND(tot.cut_edges * 1.0 / tot.n_edges, 6) AS cut_frac,
+       ROUND(vi.vertex_imbalance, 6) AS vertex_imbalance,
+       ROUND(ei.edge_imbalance, 6) AS edge_imbalance
+FROM tot, nv, vi, ei"""
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -4603,6 +4663,7 @@ FROM ids i LEFT JOIN mutual m ON m.v = i.id
 GROUP BY i.name, i.id ORDER BY name""",
         "hits": _hits_oracle(),
         "eigencentrality": _eigen_oracle(),
+        "partition_stats": _partition_stats_oracle(),
         "katz": _katz_oracle(),
         "funnel": _funnel_oracle(),
         "link_prediction": _linkpred_oracle(),
@@ -4915,6 +4976,22 @@ SELECT * FROM (
   UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM nd)
   UNION ALL SELECT 5, 'blocklist', (SELECT COUNT(*) FROM fin)
 ) ORDER BY stage_idx""",
+        "doc_chunks": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, g.g AS chunk_idx,
+         t[g.g * 48 + 1 : g.g * 48 + 64] AS c
+  FROM base, (SELECT unnest(generate_series(0, 4096)) AS g) g
+  WHERE g.g <= (GREATEST(n - 64, 0) + 47) // 48
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(c) AS INT) AS n_tokens,
+       array_to_string(c, ' ') AS chunk
+FROM ch ORDER BY doc_id, chunk_idx""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),

@@ -643,3 +643,53 @@ def collocations(
         .orderBy(F.desc("pmi_score"), "term_a", "term_b")
         .limit(top_k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window training-sequence chunking with overlap: each doc's
+    whitespace tokens split into windows of ``window`` tokens starting
+    every ``stride`` (overlap = window - stride), the standard context-
+    window preparation step next to functions/sampling.sequence_pack
+    (which PACKS whole short docs; this SPLITS long ones).
+
+    Chunk count for n tokens: 1 + ceil(max(n - window, 0) / stride) — the
+    final chunk may be short but never empty, every token is covered, and
+    no chunk starts beyond the text. Empty docs yield no rows.
+
+    Pure Catalyst (sequence → transform → slice → array_join): the
+    explode's fan-out per row is ~n/stride, bounded by doc length — no
+    window function, no Python, so it scales as a flat map over the
+    corpus. Returns (id, chunk_idx, n_tokens, chunk)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size("_toks")
+    nch = F.lit(1) + F.expr(
+        f"(greatest(size(_toks) - {window}, 0) + {stride - 1}) div {stride}"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .where(n > 0)
+        .select(
+            "id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.expr(f"slice(_toks, chunk_idx * {stride} + 1, {window})").alias(
+                "_c"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.size("_c").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk"),
+        )
+    )

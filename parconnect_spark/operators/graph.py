@@ -459,3 +459,75 @@ def sparsify_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def partition_stats(edges: DataFrame, n_parts: int) -> DataFrame:
+    """Hash-partitioning quality report for a graph at a given
+    parallelism: assign every vertex to md5int('part:' || v) % n_parts (a
+    replicable stand-in for the shuffle partitioner) and measure what a
+    real cluster would feel — the EDGE CUT (fraction of edges whose
+    endpoints land on different partitions = the all-to-all traffic every
+    superstep pays) and the balance factors (max/mean partition load; the
+    straggler multiplier). One row:
+
+        (n_parts, n_vertices, n_edges, cut_edges, cut_frac,
+         vertex_imbalance, edge_imbalance)
+
+    Edge load is attributed to the SRC endpoint's partition (where the
+    propagate-side work happens). Two aggregate passes, both map-side
+    combinable; nothing scales with n_parts. The reference's answer to
+    this concern is the Wang-hash id permutation
+    (/root/reference/src/graphGen/common/reduceIds.hpp:104-114 — hash ids
+    so block partitions look random); this operator MEASURES what that
+    buys: random-hash cut ~ 1 - 1/P on a sparse graph, balance ~ 1."""
+    from parconnect_spark.functions.dedup import md5int
+
+    def part(col: str) -> F.Column:
+        return F.pmod(
+            md5int(F.concat(F.lit("part:"), F.col(col).cast("string"))),
+            F.lit(n_parts),
+        )
+
+    e = edges.select(
+        part("src").alias("pa"), part("dst").alias("pb")
+    ).persist()
+    tot = e.groupBy().agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("pa") != F.col("pb")).cast("long")).alias("cut_edges"),
+    )
+    eload = e.groupBy("pa").agg(F.count(F.lit(1)).alias("_n"))
+    e_imb = eload.agg(
+        (F.max("_n") / F.avg("_n")).alias("edge_imbalance")
+    )
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .select(part("v").alias("p"))
+        .persist()
+    )
+    nv = verts.groupBy().agg(F.count(F.lit(1)).alias("n_vertices"))
+    vload = verts.groupBy("p").agg(F.count(F.lit(1)).alias("_n"))
+    v_imb = vload.agg(
+        (F.max("_n") / F.avg("_n")).alias("vertex_imbalance")
+    )
+    out = (
+        tot.crossJoin(nv)
+        .crossJoin(v_imb)
+        .crossJoin(e_imb)
+        .select(
+            F.lit(n_parts).alias("n_parts"),
+            "n_vertices",
+            "n_edges",
+            "cut_edges",
+            F.round(F.col("cut_edges") / F.col("n_edges"), 6).alias(
+                "cut_frac"
+            ),
+            F.round("vertex_imbalance", 6).alias("vertex_imbalance"),
+            F.round("edge_imbalance", 6).alias("edge_imbalance"),
+        )
+    )
+    rows = out.collect()
+    e.unpersist()
+    verts.unpersist()
+    return edges.sparkSession.createDataFrame(rows, out.schema)

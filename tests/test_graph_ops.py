@@ -51,3 +51,36 @@ def test_sparsify_topk_partition_invariance(spark):
         map(tuple, sparsify_topk(e.repartition(13), 4, salt_buckets=8).collect())
     )
     assert a == b and a
+
+
+def test_partition_stats_matches_pure_python(spark):
+    import hashlib
+
+    from parconnect_spark.operators.graph import partition_stats
+
+    P = 4
+    und = [(i, (i * 7 + 1) % 23) for i in range(40)]
+    und = [(a, b) for a, b in und if a != b]
+    e = spark.createDataFrame(sorted(set(und)), "src long, dst long")
+
+    def part(v):
+        return int(hashlib.md5(f"part:{v}".encode()).hexdigest()[:8], 16) % P
+
+    cut = sum(1 for a, b in sorted(set(und)) if part(a) != part(b))
+    n_edges = len(set(und))
+    vs = {v for ab in und for v in ab}
+    from collections import Counter
+
+    vl = Counter(part(v) for v in vs)
+    el = Counter(part(a) for a, b in set(und))
+    r = partition_stats(e, P).collect()[0]
+    assert r["n_parts"] == P and r["n_edges"] == n_edges
+    assert r["n_vertices"] == len(vs)
+    assert r["cut_edges"] == cut
+    assert r["cut_frac"] == round(cut / n_edges, 6)
+    assert r["vertex_imbalance"] == round(
+        max(vl.values()) / (len(vs) / P), 6
+    )
+    assert r["edge_imbalance"] == round(
+        max(el.values()) / (n_edges / len(el)), 6
+    )

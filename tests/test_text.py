@@ -106,3 +106,55 @@ def test_term_bursts_guards(spark):
         term_bursts(df, min_count=0)
     with pytest.raises(ValueError):
         term_bursts(df, ratio_num=0)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from parconnect_spark.functions.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    d = spark.createDataFrame(
+        [(0, text), (1, "a b"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["id"], r["chunk_idx"], r["n_tokens"], r["chunk"])
+        for r in chunk_documents(d, window=4, stride=3).collect()
+    )
+    # doc 0: 10 tokens -> 1 + ceil(6/3) = 3 chunks at starts 0,3,6
+    #   [t0..t3], [t3..t6], [t6..t9]; every token covered, overlap 1
+    assert rows == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 4, "t3 t4 t5 t6"),
+        (0, 2, 4, "t6 t7 t8 t9"),
+        (1, 0, 2, "a b"),
+    ]
+
+
+def test_chunk_documents_exact_multiple_no_empty_tail(spark):
+    from parconnect_spark.functions.text import chunk_documents
+
+    # n == window -> exactly one chunk; n == window + stride -> two
+    d = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d e f g")], "doc_id long, text string"
+    )
+    got = {
+        (r["id"], r["chunk_idx"]): r["n_tokens"]
+        for r in chunk_documents(d, window=4, stride=3).collect()
+    }
+    assert got == {(0, 0): 4, (1, 0): 4, (1, 1): 4}
+
+
+def test_chunk_documents_covers_every_token(spark):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(97))
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ch = chunk_documents(d, window=16, stride=11)
+    toks = {
+        t
+        for r in ch.select(F.explode(F.split("chunk", " ")).alias("t")).collect()
+        for t in [r["t"]]
+    }
+    assert toks == {f"w{i}" for i in range(97)}
