@@ -1453,6 +1453,22 @@ def _q_partition_stats(spark, sf_dir):
     return partition_stats(edges, 8)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Delta-vs-corpus dedup check (functions/dedup.incremental_dedup):
+    new batch = every 5th doc, corpus = the rest. Each new doc gets an
+    exact-dup flag (fingerprint present in corpus), a near-dup flag
+    (MinHash band-bucket candidate verified at Jaccard >= 0.6), and its
+    best corpus match -- the production shape where the delta probes the
+    corpus instead of re-clustering it."""
+    from parconnect_spark.functions.dedup import incremental_dedup
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    new = docs.where("doc_id % 5 = 0")
+    corpus = docs.where("doc_id % 5 <> 0")
+    return incremental_dedup(new, corpus).orderBy("id")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2644,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q_blocklist_filter,
         "curation_funnel": _q_curation_funnel,
         "doc_chunks": _q_doc_chunks,
+        "incremental_dedup": _q_incremental_dedup,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -2843,6 +2860,86 @@ SELECT CAST({n_parts} AS INT) AS n_parts,
        ROUND(vi.vertex_imbalance, 6) AS vertex_imbalance,
        ROUND(ei.edge_imbalance, 6) AS edge_imbalance
 FROM tot, nv, vi, ei"""
+
+
+def _incremental_dedup_oracle(
+    threshold: float = 0.6, k: int = 32, bands: int = 8
+) -> str:
+    """Replays incremental_dedup: fingerprint semi-join for exact, the
+    _minhash_oracle signature/banding scheme restricted to new x corpus
+    candidates, exact-Jaccard verify, best match by (jaccard DESC, id)."""
+    from parconnect_spark.functions.dedup import _M31, _PERM_P, _minhash_perm_coeffs
+
+    h = _md5int_duck("s") + f" % {_M31}"
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_PERM_P}) AS m{i}"
+        for i, (a, b) in enumerate(_minhash_perm_coeffs(k))
+    )
+    rows = k // bands
+    band_keys = ",\n    ".join(
+        "(" + str(bnd) + ", "
+        + " || ',' || ".join(
+            f"CAST(m{bnd * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + ")"
+        for bnd in range(bands)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+newd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+corp AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+fps AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+exact AS (
+  SELECT fn.doc_id FROM newd n JOIN fps fn ON fn.doc_id = n.doc_id
+  WHERE fn.fp IN (SELECT f.fp FROM fps f JOIN corp c ON f.doc_id = c.doc_id)
+),
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.* FROM sigs, LATERAL (VALUES
+    {band_keys}
+  ) AS b(band, bh)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corp_id
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  JOIN newd na ON na.doc_id = a.doc_id
+  JOIN corp cb ON cb.doc_id = b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT cd.new_id, cd.corp_id, COUNT(*) AS c
+  FROM cands cd
+  JOIN sh a ON a.doc_id = cd.new_id
+  JOIN sh b ON b.doc_id = cd.corp_id AND b.s = a.s
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT new_id, corp_id,
+         ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = new_id
+  JOIN sizes sb ON sb.doc_id = corp_id
+  WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
+),
+best AS (
+  SELECT new_id, corp_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corp_id) AS rk
+  FROM ver
+)
+SELECT n.doc_id AS id,
+       n.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+       b.corp_id IS NOT NULL AS near_dup,
+       b.corp_id AS match_id,
+       b.jaccard AS jaccard
+FROM newd n
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_id = n.doc_id
+ORDER BY id"""
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -4993,6 +5090,7 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        array_to_string(c, ' ') AS chunk
 FROM ch ORDER BY doc_id, chunk_idx""",
         "dedup_minhash": _minhash_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dup_spans": _dup_spans_oracle(),

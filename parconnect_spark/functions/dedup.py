@@ -294,19 +294,12 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, k: int | None = None
-) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b) from MinHash signatures.
-
-    Band key = the band's signature values joined as a string (portable —
-    any engine reproduces it; equality semantics identical to hashing it).
-    ``k`` = signature length; pass it when known (internal callers do) —
-    the fallback probes one row, which costs an extra Spark job."""
-    if k is None:
-        k = len(signatures.select("sig").first()["sig"])
+def _band_keys(signatures: DataFrame, bands: int, k: int) -> DataFrame:
+    """(id, band, bh) — one row per band; bh = the band's signature values
+    joined as a string (portable — any engine reproduces it; equality
+    semantics identical to hashing it)."""
     rows = k // bands
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -326,6 +319,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, k: int | None = None
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from MinHash signatures.
+
+    ``k`` = signature length; pass it when known (internal callers do) —
+    the fallback probes one row, which costs an extra Spark job."""
+    if k is None:
+        k = len(signatures.select("sig").first()["sig"])
+    banded = _band_keys(signatures, bands, k)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -887,5 +892,115 @@ def source_overlap(
                 "CAST(n_common * 1000 AS BIGINT) div "
                 "CAST(n_a + n_b - n_common AS BIGINT)"
             ).alias("jaccard_pm"),
+        )
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.6,
+    k: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Delta-vs-corpus dedup check — the PRODUCTION dedup shape: a new
+    batch arrives and each new doc is checked against the EXISTING corpus
+    without re-clustering it (at 100 TB you never re-run all-pairs on the
+    full corpus; you probe it with the delta).
+
+    Per new doc:
+      exact_dup  its full-text fingerprint (exact_dup_groups' md5) exists
+                 in the corpus;
+      near_dup   some corpus doc reaches n-gram Jaccard >= ``threshold``
+                 among MinHash band-bucket candidates (the same k/bands
+                 signature scheme as minhash_near_dup_pairs, so recall
+                 characteristics are shared — a pair missed by every band
+                 is missed here too, the declared LSH contract);
+      match_id / jaccard   the best verified corpus match (highest
+                 Jaccard, ties to the smallest corpus id), NULL when none.
+
+    Scale shape: the corpus side contributes one signature/banding pass
+    (amortizable — persist or precompute the corpus bands as an index);
+    candidates are band-bucket equi-joins against the (small) delta side,
+    and exact verification touches candidate pairs only. The per-new-doc
+    best-match window is bounded by that doc's candidate count.
+
+    Returns (id, exact_dup, near_dup, match_id, jaccard) — one row per
+    new doc, ids from ``new_docs``."""
+    from pyspark.sql import Window
+
+    nd = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    cp = corpus.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    fp_new = nd.select("id", F.md5(norm).alias("fp"))
+    fp_corp = cp.select(F.md5(norm).alias("fp")).distinct()
+    exact = fp_new.join(fp_corp, "fp", "left_semi").select(
+        "id", F.lit(True).alias("exact_dup")
+    )
+
+    sig_new = minhash_signatures(nd, k=k, id_col="id", n=n)
+    sig_corp = minhash_signatures(cp, k=k, id_col="id", n=n)
+    bn = _band_keys(sig_new, bands, k).select(
+        F.col("id").alias("new_id"), "band", "bh"
+    )
+    bc = _band_keys(sig_corp, bands, k).select(
+        F.col("id").alias("corp_id"), "band", "bh"
+    )
+    cands = bn.join(bc, ["band", "bh"]).select("new_id", "corp_id").distinct()
+
+    sh_new = scoped_persist(shingles(nd, "id", "text", n))
+    sh_corp = scoped_persist(shingles(cp, "id", "text", n))
+    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("_na"))
+    sz_corp = sh_corp.groupBy("id").agg(F.count(F.lit(1)).alias("_nb"))
+    inter = (
+        cands.join(sh_new.select(F.col("id").alias("new_id"), "shingle"), "new_id")
+        .join(
+            sh_corp.select(F.col("id").alias("corp_id"), "shingle"),
+            ["corp_id", "shingle"],
+        )
+        .groupBy("new_id", "corp_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    verified = (
+        inter.join(sz_new.withColumnRenamed("id", "new_id"), "new_id")
+        .join(sz_corp.withColumnRenamed("id", "corp_id"), "corp_id")
+        .select(
+            "new_id",
+            "corp_id",
+            F.round(
+                F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("corp_id")
+    )
+    best = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .where("_rk = 1")
+        .select(
+            F.col("new_id").alias("id"),
+            F.col("corp_id").alias("match_id"),
+            "jaccard",
+        )
+    )
+    return (
+        nd.select("id")
+        .join(exact, "id", "left")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.col("match_id").isNotNull().alias("near_dup"),
+            "match_id",
+            "jaccard",
         )
     )

@@ -414,3 +414,44 @@ def test_bloom_blocklist_filter_partition_invariance(spark):
         )
     )
     assert one == many and len(one) == 34
+
+
+def test_incremental_dedup_flags(spark):
+    from parconnect_spark.functions.dedup import incremental_dedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " other"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (0, base),                      # exact dup of 100
+            (1, near),                      # near dup of 100
+            (2, "totally fresh words here never seen in corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["exact_dup"], r["near_dup"], r["match_id"], r["jaccard"])
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0] == (True, True, 100, 1.0)
+    assert got[1][0] is False and got[1][1] is True and got[1][2] == 100
+    assert 0.6 <= got[1][3] < 1.0
+    assert got[2] == (False, False, None, None)
+
+
+def test_incremental_dedup_best_match_tiebreak(spark):
+    from parconnect_spark.functions.dedup import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(7, base), (3, base)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    r = incremental_dedup(new, corpus).collect()[0]
+    # two corpus docs at jaccard 1.0 -> smallest corpus id wins
+    assert r["match_id"] == 3 and r["jaccard"] == 1.0
