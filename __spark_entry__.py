@@ -1469,6 +1469,20 @@ def _q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(new, corpus).orderBy("id")
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Capped inverted index (functions/text.inverted_index): per term,
+    exact document frequency plus the top-5 postings by (tf DESC,
+    doc_id) -- the retrieval-side artifact. Postings lists are truncated
+    through the skew-proof two-phase salted window (sparsify_topk), so a
+    stopword posting in every doc never serializes one task; df stays
+    exact from one map-side-combined aggregate."""
+    from parconnect_spark.functions.text import inverted_index
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return inverted_index(docs, k_postings=5).orderBy("term", "rank")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2661,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "doc_chunks": _q_doc_chunks,
         "incremental_dedup": _q_incremental_dedup,
+        "inverted_index": _q_inverted_index,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -5089,6 +5104,25 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        CAST(len(c) AS INT) AS n_tokens,
        array_to_string(c, ' ') AS chunk
 FROM ch ORDER BY doc_id, chunk_idx""",
+        "inverted_index": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+p AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY term),
+r AS (
+  SELECT term, doc_id, tf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, doc_id) AS INT) AS rank
+  FROM p
+)
+SELECT r.term, dfc.df, r.rank, r.doc_id, r.tf
+FROM r JOIN dfc ON dfc.term = r.term
+WHERE r.rank <= 5 ORDER BY r.term, r.rank""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -693,3 +693,50 @@ def chunk_documents(
             F.array_join("_c", " ").alias("chunk"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    k_postings: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Capped inverted index: per term, its document frequency and the
+    top ``k_postings`` postings by (tf DESC, doc_id ASC) — the retrieval-
+    side artifact (search / RAG-corpus indexing) next to the doc-side
+    tfidf_top_terms.
+
+    The cap is the scale decision: UNCAPPED postings lists for stopword
+    terms are the classic hot key ('the' posts in every doc — one group
+    holding the corpus). df stays exact for every term (one map-side-
+    combined aggregate); the postings list is truncated to the k highest-
+    tf docs via operators/graph.sparsify_topk's two-phase salted window,
+    so even a term posting in 10^9 docs never serializes one task.
+    Returns (term, df, rank, doc_id, tf), rank 1..k within term."""
+    from pyspark.sql import Window
+
+    from parconnect_spark.cache import scoped_persist
+    from parconnect_spark.operators.graph import sparsify_topk
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    postings = scoped_persist(postings)
+    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = sparsify_topk(
+        postings, k_postings, src="term", dst="doc_id", weight="tf"
+    ).select(
+        F.col("src").alias("term"),
+        F.col("dst").alias("doc_id"),
+        F.col("weight").alias("tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(dfc, "term")
+        .select("term", "df", "rank", "doc_id", "tf")
+    )

@@ -158,3 +158,45 @@ def test_chunk_documents_covers_every_token(spark):
         for t in [r["t"]]
     }
     assert toks == {f"w{i}" for i in range(97)}
+
+
+def test_inverted_index_matches_window_and_caps(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parconnect_spark.functions.text import inverted_index, tokens_col
+
+    rows = [
+        (0, "the cat sat on the mat the end"),
+        (1, "the dog the dog the dog"),
+        (2, "cat dog bird"),
+        (3, "the the the the"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_index(d, k_postings=2)
+    got = sorted(
+        (r["term"], r["df"], r["rank"], r["doc_id"], r["tf"])
+        for r in out.collect()
+    )
+    # brute force
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    p = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    exp = sorted(
+        (r["term"], r["df"], r["rank"], r["doc_id"], r["tf"])
+        for r in p.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 2")
+        .join(dfc, "term")
+        .select("term", "df", "rank", "doc_id", "tf")
+        .collect()
+    )
+    assert got == exp
+    # df exact even where postings were capped: 'the' appears in 3 docs
+    the = [(r[1], r[2], r[3], r[4]) for r in got if r[0] == "the"]
+    assert {t[0] for t in the} == {3} and len(the) == 2
+    # top postings by tf: doc 3 (tf 4) then doc 0/1 (tf 3) -> tie to doc 1? no:
+    # doc1 tf=3, doc0 tf=3 -> tie broken by doc_id -> doc 0
+    assert the[0][1:] == (1, 3, 4) and the[1][1:] == (2, 0, 3)
