@@ -2475,6 +2475,39 @@ def _q_zorder_events(spark, sf_dir):
     )
 
 
+def _q_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed table layout
+    (sources/bucketed): events and a per-user dimension written with the
+    SAME bucket count on user_id join bucket-to-bucket with zero
+    Exchange (pytest asserts the plan property; this contract entry pins
+    that the layout changes the plan, never the answer). Output: per-user
+    event count x distinct event types."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events").select("user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    write_bucketed(
+        ev, "q_ev_bucketed", "user_id", 8, path=tempfile.mkdtemp()
+    )
+    write_bucketed(
+        dim, "q_dim_bucketed", "user_id", 8, path=tempfile.mkdtemp()
+    )
+    return (
+        bucketed_join(spark, "q_ev_bucketed", "q_dim_bucketed", "user_id")
+        .groupBy("user_id", "n_types")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events", "n_types")
+        .orderBy("user_id")
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2723,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "zorder_events": _q_zorder_events,
+        "bucketed_join": _q_bucketed_join,
         "events_rollup": _q_events_rollup,
         "events_hopping": _q_events_hopping,
         "retention": _q_retention,
@@ -5811,6 +5845,11 @@ ex AS (
 SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
        CAST(COUNT(*) AS BIGINT) AS n_neighbors
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
+        "bucketed_join": """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id""",
         "zorder_events": _zorder_events_oracle(),
         "events_rollup": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value

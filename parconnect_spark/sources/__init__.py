@@ -11,10 +11,14 @@ from parconnect_spark.sources.edgelist import (
     write_edgelist_binary,
     write_dot,
 )
+from parconnect_spark.sources.bucketed import bucketed_join, is_shuffle_free, write_bucketed
 from parconnect_spark.sources.tables import read_table, write_table
 
 __all__ = [
     "synth_transcripts",
+    "write_bucketed",
+    "bucketed_join",
+    "is_shuffle_free",
     "chain_edges",
     "kronecker_edges",
     "powerlaw_star_edge_list",
