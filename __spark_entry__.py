@@ -1483,6 +1483,23 @@ def _q_inverted_index(spark, sf_dir):
     return inverted_index(docs, k_postings=5).orderBy("term", "rank")
 
 
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance (functions/text.bm25_scores) of every doc
+    matching the fixed query (data, model, join) -- the scoring half of
+    retrieval next to inverted_index's candidate lookup. Tokens filter
+    to the query terms at the explode; df/N/avg_len are scalar
+    aggregates; one grouped sum of <= |q| contributions per doc."""
+    from parconnect_spark.functions.text import bm25_scores
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return (
+        bm25_scores(docs, ["data", "model", "join"])
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2709,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "incremental_dedup": _q_incremental_dedup,
         "inverted_index": _q_inverted_index,
+        "bm25": _q_bm25,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -5157,6 +5175,29 @@ r AS (
 SELECT r.term, dfc.df, r.rank, r.doc_id, r.tf
 FROM r JOIN dfc ON dfc.term = r.term
 WHERE r.rank <= 5 ORDER BY r.term, r.rank""",
+        "bm25": """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avg_len FROM base),
+toks AS (
+  SELECT doc_id, len(t) AS dlen, unnest(t) AS term FROM base
+),
+tf AS (
+  SELECT doc_id, dlen, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('data', 'model', 'join')
+  GROUP BY doc_id, dlen, term
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dlen / s.avg_len))
+       ), 6) AS score
+FROM tf JOIN dfc ON dfc.term = tf.term CROSS JOIN stats s
+GROUP BY tf.doc_id ORDER BY tf.doc_id""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -740,3 +740,68 @@ def inverted_index(
         .join(dfc, "term")
         .select("term", "df", "rank", "doc_id", "tf")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching doc for a fixed query —
+    the retrieval scorer over the same whitespace-token universe as
+    ``inverted_index`` (this is the scoring half; the index is the
+    candidate-lookup half).
+
+        score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg|d|))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Scale shape: tokens are filtered to the query's terms at the explode
+    (predicate on a literal array — the scan never materializes
+    non-query tokens into the aggregate), df/N/avg_len are three scalar
+    map-side-combined aggregates, and the per-doc score is one grouped
+    sum over ≤|q| term contributions. Only docs containing ≥1 query term
+    appear. Returns (id, score) rounded to 6dp."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q = [t for t in dict.fromkeys(query_terms)]  # dedupe, keep order
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(F.size("_toks")).alias("_avg")
+    )
+    toks = base.select(
+        "id",
+        F.size("_toks").alias("_len"),
+        F.explode("_toks").alias("term"),
+    ).where(F.col("term").isin(q))
+    tf = toks.groupBy("id", "_len", "term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    contrib = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1 - b + b * F.col("_len") / F.col("_avg"))
+                )
+            ).alias("_c"),
+        )
+    )
+    return contrib.groupBy("id").agg(
+        F.round(F.sum("_c"), 6).alias("score")
+    )

@@ -200,3 +200,54 @@ def test_inverted_index_matches_window_and_caps(spark):
     # top postings by tf: doc 3 (tf 4) then doc 0/1 (tf 3) -> tie to doc 1? no:
     # doc1 tf=3, doc0 tf=3 -> tie broken by doc_id -> doc 0
     assert the[0][1:] == (1, 3, 4) and the[1][1:] == (2, 0, 3)
+
+
+def test_bm25_matches_pure_python(spark):
+    import math
+
+    from parconnect_spark.functions.text import bm25_scores
+
+    rows = [
+        (0, "data model data training loop"),
+        (1, "model model model unrelated words here"),
+        (2, "nothing relevant at all"),
+        (3, "data"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["data", "model"]
+    got = {r["id"]: r["score"] for r in bm25_scores(d, q).collect()}
+
+    texts = {i: t.split() for i, t in rows}
+    N = len(texts)
+    avg = sum(len(t) for t in texts.values()) / N
+    df = {t: sum(1 for toks in texts.values() if t in toks) for t in q}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, toks in texts.items():
+        s = 0.0
+        for t in q:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avg))
+        if s > 0:
+            exp[i] = round(s, 6)
+    assert set(got) == set(exp)  # doc 2 absent
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 2e-6
+    # doc 0 hits both terms with tf 2 -> highest
+    assert got[0] == max(got.values())
+
+
+def test_bm25_guards_and_dedup_query(spark):
+    import pytest
+
+    from parconnect_spark.functions.text import bm25_scores
+
+    d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(d, [])
+    one = bm25_scores(d, ["a"]).collect()
+    two = bm25_scores(d, ["a", "a"]).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]
