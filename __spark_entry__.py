@@ -2427,6 +2427,41 @@ def _q_streaming_seq_join(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """STREAMING stateful deduplication (streaming/stream.dedup_stream):
+    the transcripts land TWICE in the source directory (at-least-once
+    upstream), the stream's keyed dropDuplicates state makes delivery
+    exactly-once -- the sixth stream-equals-batch shape. End-of-stream
+    per-conversation turn counts equal the batch derivation over the
+    ORIGINAL (single-copy) table."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.streaming.stream import dedup_stream, stream_transcripts
+
+    tmp = tempfile.mkdtemp(prefix="stream_dd_")
+    try:
+        t = _transcripts(spark, sf_dir)
+        t.write.parquet(f"{tmp}/transcripts")
+        t.write.mode("append").parquet(f"{tmp}/transcripts")
+        st = stream_transcripts(spark, f"{tmp}/transcripts")
+        q = (
+            dedup_stream(st)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            "SELECT conv_id, COUNT(*) AS n_turns FROM stream_dedup "
+            "GROUP BY conv_id ORDER BY conv_id"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """STREAMING gap sessionization (streaming/stream.session_stream —
     applyInPandasWithState keyed by user_id, the canonical custom stateful
@@ -2523,6 +2558,35 @@ def _q_bucketed_join(spark, sf_dir):
         .select("user_id", "n_events", "n_types")
         .orderBy("user_id")
     )
+
+
+def _q_merge_upsert(spark, sf_dir):
+    """Latest-wins CDC upsert merge (operators/merge.merge_upsert): a
+    derived change batch (every 10th event re-stamped one hour later
+    with doubled value, plus synthetic inserts above the max id) merges
+    into events on event_id; base rows untouched by the batch pass
+    through an anti-join verbatim, winners resolve in a window over the
+    touched sliver only. Update wins order_col ties by the CDC
+    convention."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.merge import merge_upsert
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upd = ev.where("event_id % 10 = 0").select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+    )
+    merged = merge_upsert(ev, upd, ["event_id"], "ts")
+    return merged.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("event_id")
 
 
 def _q_events_rollup(spark, sf_dir):
@@ -2769,12 +2833,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_terms": _q_streaming_terms,
         "streaming_seq_join": _q_streaming_seq_join,
+        "streaming_dedup": _q_streaming_dedup,
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "zorder_events": _q_zorder_events,
         "bucketed_join": _q_bucketed_join,
+        "merge_upsert": _q_merge_upsert,
         "events_rollup": _q_events_rollup,
         "events_hopping": _q_events_hopping,
         "retention": _q_retention,
@@ -5842,6 +5908,13 @@ ev AS (
 )
 SELECT bucket_us, term, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM ev GROUP BY bucket_us, term ORDER BY bucket_us, term""",
+        # streaming_dedup: exactly-once despite doubled delivery — counts
+        # equal the single-copy batch table.
+        "streaming_dedup": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY conv_id ORDER BY conv_id""",
         # streaming_seq_join: the stream-stream interval self-join's
         # end-of-stream content is exactly the batch LEAD() transition
         # derivation (inner-join output is a set; the 90-day interval SLA
@@ -5886,6 +5959,13 @@ ex AS (
 SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
        CAST(COUNT(*) AS BIGINT) AS n_neighbors
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
+        # merge_upsert: the updated batch always carries ts + 1h > base ts,
+        # so winners are exactly the update rows; untouched rows verbatim.
+        "merge_upsert": """
+SELECT event_id, user_id, event_type,
+       ROUND(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END,
+             6) AS value
+FROM events ORDER BY event_id""",
         "bucketed_join": """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,

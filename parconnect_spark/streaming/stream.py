@@ -373,3 +373,24 @@ def term_counts_stream(
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+def dedup_stream(
+    transcripts: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stateful streaming deduplication — the sixth stream≡batch shape:
+    at-least-once upstream delivery (replayed files, retried producers)
+    made exactly-once by keyed state. ``dropDuplicates`` keeps one state
+    entry per key and emits only the FIRST arrival; the event-time
+    watermark bounds that state — a duplicate arriving later than
+    ``watermark`` after its original may be re-emitted, which is the
+    declared trade (the alternative is unbounded state; same contract as
+    any watermark). Duplicates from replayed batches carry the original
+    event time, so they always fall inside the window and the
+    end-of-stream row SET equals the batch ``dropDuplicates`` of the
+    unioned input."""
+    return transcripts.withWatermark("ts", watermark).dropDuplicates(
+        list(keys)
+    )

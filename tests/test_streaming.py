@@ -309,3 +309,35 @@ def test_seq_join_edge_stream_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == exp and got
+
+
+def test_dedup_stream_replayed_files_equals_batch(spark, tmp_path):
+    from parconnect_spark.sources import synth_transcripts
+    from parconnect_spark.streaming.stream import dedup_stream, stream_transcripts
+
+    t = synth_transcripts(spark, n_convs=30)
+    d = str(tmp_path / "tr")
+    # at-least-once upstream: the same data lands twice as separate files
+    t.write.parquet(d)
+    t.write.mode("append").parquet(d)
+    st = stream_transcripts(spark, d)
+    q = (
+        dedup_stream(st)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in spark.sql(
+            "SELECT conv_id, turn_idx FROM t_dedup_stream"
+        ).collect()
+    )
+    exp = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in t.select("conv_id", "turn_idx").collect()
+    )
+    assert got == exp and got
