@@ -2589,6 +2589,33 @@ def _q_merge_upsert(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _q_adoption(spark, sf_dir):
+    """First-seen daily adoption curve (operators/events.adoption_curve):
+    new users per UTC epoch-day plus the running cumulative -- "running
+    distinct" computed with NO running state: per-user MIN day, per-day
+    census, and the cumulative window runs over the tiny DAY table
+    only."""
+    from parconnect_spark.operators.events import adoption_curve
+
+    _views(spark, sf_dir, ("events",))
+    return adoption_curve(spark.table("events")).orderBy("day")
+
+
+def _q_type_correlations(spark, sf_dir):
+    """Behavioral correlation matrix (operators/events.type_correlations):
+    pairwise Pearson over per-user total value of each fixed event type
+    (missing type counts 0.0, every user in every pair). One pivot
+    aggregate + one corr-aggregate pass; nothing scales with user count
+    beyond two aggregates."""
+    from parconnect_spark.operators.events import type_correlations
+
+    _views(spark, sf_dir, ("events",))
+    return type_correlations(
+        spark.table("events"),
+        ["click", "error", "purchase", "signup", "view"],
+    ).orderBy("type_a", "type_b")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2841,6 +2868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "bucketed_join": _q_bucketed_join,
         "merge_upsert": _q_merge_upsert,
+        "adoption": _q_adoption,
+        "type_correlations": _q_type_correlations,
         "events_rollup": _q_events_rollup,
         "events_hopping": _q_events_hopping,
         "retention": _q_retention,
@@ -5961,6 +5990,36 @@ SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         # merge_upsert: the updated batch always carries ts + 1h > base ts,
         # so winners are exactly the update rows; untouched rows verbatim.
+        "adoption": """
+WITH first AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+  FROM events GROUP BY user_id
+),
+pd AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS new_users FROM first GROUP BY d0)
+SELECT d0 AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d0) AS BIGINT) AS cum_users
+FROM pd ORDER BY day""",
+        "type_correlations": """
+WITH types AS (
+  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS t
+),
+wide AS (
+  SELECT u.user_id, t.t,
+         COALESCE(SUM(e.value), 0.0) AS v
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN types t
+  LEFT JOIN events e ON e.user_id = u.user_id AND e.event_type = t.t
+  GROUP BY u.user_id, t.t
+),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b FROM types a JOIN types b ON a.t < b.t
+)
+SELECT p.type_a, p.type_b,
+       ROUND(corr(wa.v, wb.v), 6) AS corr
+FROM pairs p
+JOIN wide wa ON wa.t = p.type_a
+JOIN wide wb ON wb.t = p.type_b AND wb.user_id = wa.user_id
+GROUP BY p.type_a, p.type_b ORDER BY type_a, type_b""",
         "merge_upsert": """
 SELECT event_id, user_id, event_type,
        ROUND(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END,

@@ -468,3 +468,72 @@ def profile_numeric(
         ).alias("variance"),
         (F.col("_qmed") / quant).alias("median"),
     )
+
+
+def adoption_curve(events: DataFrame, ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Daily adoption: per UTC epoch-day, the count of users whose FIRST
+    event falls on that day, plus the cumulative user count — the
+    first-seen growth curve every product/corpus dashboard carries.
+
+    Scale shape: "running distinct" is NOT computed as running state —
+    each user's first day is one map-side-combined MIN aggregate, the
+    per-day census is a second small aggregate, and the cumulative sum
+    runs a window over the DAY table (rows = distinct days, thousands at
+    most — the one place a global-order window is safe). Returns
+    (day, new_users, cum_users), day = epoch days as long."""
+    from pyspark.sql import Window
+
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    first = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .groupBy("u")
+        .agg(F.min("d").alias("d0"))
+    )
+    per_day = first.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d0").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+def type_correlations(
+    events: DataFrame,
+    types: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pairwise Pearson correlation between per-user total ``value`` of
+    each event type (missing type → 0.0, so every user contributes to
+    every pair): the behavioral-correlation matrix ("do users who click
+    also purchase?").
+
+    One pivot aggregate builds the per-user type vector (types is a
+    FIXED list — the pivot never scans for distinct values), then each
+    of the |types|·(|types|−1)/2 pairs is one F.corr aggregate over the
+    same cached vector table; all map-side combinable, nothing scales
+    with user count but the two aggregate passes. Returns
+    (type_a, type_b, corr) for type_a < type_b, 6dp."""
+    from parconnect_spark.cache import scoped_persist
+
+    wide = scoped_persist(
+        events.groupBy(F.col(user_col).alias("u")).pivot(
+            type_col, types
+        ).agg(F.coalesce(F.sum(value_col), F.lit(0.0)))
+        .na.fill(0.0, types)
+    )
+    pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
+    aggs = [
+        F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"_c{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    row = wide.agg(*aggs).collect()[0]
+    return events.sparkSession.createDataFrame(
+        [(a, b, float(row[f"_c{i}"])) for i, (a, b) in enumerate(pairs)],
+        "type_a string, type_b string, corr double",
+    )

@@ -358,3 +358,69 @@ def test_profile_numeric_partition_invariance_and_degenerate(spark):
     empty = spark.createDataFrame([], "event_id long, value double")
     r = profile_numeric(empty, "value", "event_id").collect()
     assert len(r) == 1 and r[0]["n"] == 0
+
+
+def test_adoption_curve_first_seen_and_cumulative(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.events import adoption_curve
+
+    def t(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = [
+        (1, t(1)), (1, t(2)), (1, t(5)),   # user 1 first on day 1
+        (2, t(1, 5)),                      # user 2 first on day 1
+        (3, t(3)), (3, t(3, 9)),           # user 3 first on day 3
+        (4, t(5)),                         # user 4 first on day 5
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["day"], r["new_users"], r["cum_users"])
+        for r in adoption_curve(ev).collect()
+    )
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert got == [(d0, 2, 2), (d0 + 2, 1, 3), (d0 + 4, 1, 4)]
+
+
+def test_type_correlations_known_values(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import type_correlations
+
+    ts = dt.datetime(2024, 1, 1)
+    # a = perfectly correlated with b; c anti-correlated with a
+    rows = []
+    for u, (a, b, c) in enumerate([(1, 2, 9), (2, 4, 8), (3, 6, 7), (4, 8, 6)]):
+        rows += [
+            (u, ts, "a", float(a)),
+            (u, ts, "b", float(b)),
+            (u, ts, "c", float(c)),
+        ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["corr"]
+        for r in type_correlations(ev, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+
+
+def test_type_correlations_missing_type_counts_as_zero(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import type_correlations
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(0, ts, "a", 1.0), (1, ts, "a", 2.0), (1, ts, "b", 5.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    got = type_correlations(ev, ["a", "b"]).collect()[0]
+    # user 0 contributes (1.0, 0.0); user 1 (2.0, 5.0) -> corr = 1.0
+    assert got["corr"] == 1.0
