@@ -2616,6 +2616,18 @@ def _q_type_correlations(spark, sf_dir):
     ).orderBy("type_a", "type_b")
 
 
+def _q_conversation_features(spark, sf_dir):
+    """Per-conversation feature vector (operators/derive.
+    conversation_features) straight off the input_hint table: turn/role/
+    tool counts, char totals and ratios, longest inter-turn gap. One
+    groupBy of conditional aggregates; the only window is the bounded
+    per-conversation lag for the gap."""
+    from parconnect_spark.operators.derive import conversation_features
+
+    t = _transcripts(spark, sf_dir)
+    return conversation_features(t).orderBy("conv_id")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2868,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "bucketed_join": _q_bucketed_join,
         "merge_upsert": _q_merge_upsert,
+        "conversation_features": _q_conversation_features,
         "adoption": _q_adoption,
         "type_correlations": _q_type_correlations,
         "events_rollup": _q_events_rollup,
@@ -5990,6 +6003,29 @@ SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         # merge_upsert: the updated batch always carries ts + 1h > base ts,
         # so winners are exactly the update rows; untouched rows verbatim.
+        "conversation_features": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+g AS (
+  SELECT conv_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                                ORDER BY turn_idx) AS gap,
+         role, text, tool
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN tool IS NULL AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN tool IS NULL AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       ROUND(AVG(length(text)), 6) AS avg_turn_chars,
+       ROUND(SUM(CASE WHEN tool IS NULL AND role = 'assistant' THEN length(text) ELSE 0 END) * 1.0
+             / NULLIF(SUM(CASE WHEN tool IS NULL AND role = 'user' THEN length(text) ELSE 0 END), 0),
+             6) AS assistant_user_char_ratio,
+       CAST(MAX(gap) // 1000000 AS BIGINT) AS max_gap_seconds
+FROM g GROUP BY conv_id ORDER BY conv_id""",
         "adoption": """
 WITH first AS (
   SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0

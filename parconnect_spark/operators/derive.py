@@ -233,3 +233,50 @@ def verify_text_invariant(transcripts: DataFrame) -> bool:
         | (F.col("text") != F.col("derived_text"))
     )
     return bad.limit(1).count() == 0
+
+
+def conversation_features(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation feature vector straight off the input table
+    (BASELINE.json input_hint shape) — the transcript-analytics rollup a
+    conversation-data pipeline filters and samples on:
+
+      n_turns, n_user / n_assistant / n_tool (tool turns counted by the
+      ``tool`` column, the same precedence the entity derivation uses),
+      n_distinct_tools, total_chars, avg_turn_chars (6dp),
+      assistant_user_char_ratio (assistant chars / user chars, 6dp, NULL
+      when no user chars), max_gap_seconds (longest wait between
+      consecutive turns, whole seconds).
+
+    One pass: a single groupBy with conditional aggregates; the only
+    window is the per-conversation lag for the gap — bounded by turns
+    per conversation. Returns one row per conv_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tsu - F.lag(tsu).over(w)
+    base = transcripts.withColumn("_gap", gap)
+    is_tool = F.col("tool").isNotNull()
+    user_chars = F.sum(
+        F.when(~is_tool & (F.col("role") == "user"), F.length("text")).otherwise(0)
+    )
+    asst_chars = F.sum(
+        F.when(~is_tool & (F.col("role") == "assistant"), F.length("text")).otherwise(
+            0
+        )
+    )
+    return base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((~is_tool & (F.col("role") == "user")).cast("long")).alias("n_user"),
+        F.sum((~is_tool & (F.col("role") == "assistant")).cast("long")).alias(
+            "n_assistant"
+        ),
+        F.sum(is_tool.cast("long")).alias("n_tool"),
+        F.countDistinct("tool").alias("n_distinct_tools"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_turn_chars"),
+        F.round(
+            asst_chars / F.nullif(user_chars, F.lit(0)), 6
+        ).alias("assistant_user_char_ratio"),
+        (F.max("_gap") / F.lit(1_000_000)).cast("long").alias("max_gap_seconds"),
+    )

@@ -406,3 +406,44 @@ def test_snapshot_diff_single_window_empty(spark):
 
     df = spark.createDataFrame([("w1|a", "w1|b")], "a string, b string")
     assert snapshot_diff(df).count() == 0
+
+
+def test_conversation_features_hand_fixture(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.derive import conversation_features
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # conv A: user(4ch) -> assistant(8ch) -> tool(2ch) -> assistant(6ch)
+        ("A", 0, "user", "abcd", None, ts(0)),
+        ("A", 1, "assistant", "abcdefgh", None, ts(10)),
+        ("A", 2, "assistant", "xy", "search", ts(70)),  # tool turn
+        ("A", 3, "assistant", "abcdef", None, ts(75)),
+        # conv B: single user turn
+        ("B", 0, "user", "hello", None, ts(0)),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r.asDict() for r in conversation_features(d).collect()}
+    a = got["A"]
+    assert a["n_turns"] == 4 and a["n_user"] == 1
+    assert a["n_assistant"] == 2 and a["n_tool"] == 1
+    assert a["n_distinct_tools"] == 1
+    assert a["total_chars"] == 4 + 8 + 2 + 6
+    assert a["avg_turn_chars"] == 5.0
+    assert a["assistant_user_char_ratio"] == round((8 + 6) / 4, 6)
+    assert a["max_gap_seconds"] == 60
+    b = got["B"]
+    assert b["n_turns"] == 1 and b["n_tool"] == 0
+    # assistant chars 0 over user chars 5 -> 0.0 (NULL only when the
+    # DENOMINATOR — user chars — is zero)
+    assert b["assistant_user_char_ratio"] == 0.0
+    assert b["max_gap_seconds"] is None
