@@ -1500,6 +1500,27 @@ def _q_bm25(spark, sf_dir):
     )
 
 
+def _q_fuzzy_terms(spark, sf_dir):
+    """Edit-distance-2 term pairs over the corpus vocabulary
+    (functions/text.fuzzy_pairs): sound q-gram blocking (an edit
+    destroys <= q grams, so near strings of length >= q(d+1) share one)
+    plus bounded length-bucket residuals for short strings; exact
+    levenshtein verify. The oracle is brute force over all vocab pairs
+    -- algorithm-independent ground truth for the blocking's
+    losslessness."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.text import fuzzy_pairs, tokens_col
+
+    _views(spark, sf_dir, ("documents",))
+    vocab = (
+        spark.table("documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("s"))
+        .distinct()
+    )
+    return fuzzy_pairs(vocab, max_dist=2, q=2).orderBy("a", "b")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -2830,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "inverted_index": _q_inverted_index,
         "bm25": _q_bm25,
+        "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -5306,6 +5328,16 @@ SELECT tf.doc_id,
        ), 6) AS score
 FROM tf JOIN dfc ON dfc.term = tf.term CROSS JOIN stats s
 GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+        "fuzzy_terms": """
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS s
+  FROM documents
+)
+SELECT a.s AS a, b.s AS b, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM vocab a JOIN vocab b
+  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY a, b""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

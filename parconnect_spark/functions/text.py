@@ -805,3 +805,84 @@ def bm25_scores(
     return contrib.groupBy("id").agg(
         F.round(F.sum("_c"), 6).alias("score")
     )
+
+
+def fuzzy_pairs(
+    strings: DataFrame,
+    max_dist: int = 1,
+    q: int = 3,
+    col: str = "s",
+) -> DataFrame:
+    """Edit-distance self-join: distinct string pairs (a < b) with
+    levenshtein(a, b) <= ``max_dist`` — the entity-resolution primitive
+    (near-identical tool names, misspelled entities, drifting ids).
+
+    Sound blocking, no all-pairs scan on the long tail: an edit destroys
+    at most q q-grams, so two strings of length >= q·(max_dist+1) within
+    distance ``max_dist`` MUST share a q-gram — long-string candidates
+    come from a shared-q-gram equi-join (rarest keys dominate, same
+    sparsity argument as shingle dedup). Strings shorter than that bound
+    can't rely on the lemma and instead pair within length buckets
+    (|len(a)−len(b)| <= max_dist); that residual is bounded by the
+    alphabet — there are at most |Σ|^(q(d+1)−1) short DISTINCT strings,
+    and the join runs on distinct values. Both candidate streams apply
+    the length filter, then one exact levenshtein verify.
+
+    Returns (a, b, dist). Input rows are deduplicated on ``col``."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    s = strings.select(F.col(col).alias("s")).distinct()
+    s = s.withColumn("_len", F.length("s"))
+    min_long = q * (max_dist + 1)
+    long_s = s.where(F.col("_len") >= min_long)
+    short_s = s.where(F.col("_len") < min_long)
+
+    grams = long_s.select(
+        "s",
+        "_len",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(s) - {q - 1}, 0)),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    ga = grams.select(F.col("s").alias("a"), F.col("_len").alias("_la"), "g")
+    gb = grams.select(F.col("s").alias("b"), F.col("_len").alias("_lb"), "g")
+    cand_long = (
+        ga.join(gb, "g")
+        .where(F.col("a") < F.col("b"))
+        .where(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        .select("a", "b")
+        .distinct()
+    )
+    sa = short_s.select(F.col("s").alias("a"), F.col("_len").alias("_la"))
+    sb = short_s.select(F.col("s").alias("b"), F.col("_len").alias("_lb"))
+    cand_short = (
+        sa.join(
+            sb,
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist),
+        )
+        .select("a", "b")
+    )
+    # cross-bucket pairs (one short, one long): only possible when the
+    # longer is < min_long + max_dist; pair the boundary band explicitly
+    band = s.where(
+        (F.col("_len") >= min_long)
+        & (F.col("_len") < min_long + max_dist)
+    ).select(F.col("s").alias("b"), F.col("_len").alias("_lb"))
+    cand_cross = (
+        sa.join(
+            band,
+            (F.abs(F.col("_la") - F.col("_lb")) <= max_dist),
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    cands = cand_long.unionByName(cand_short).unionByName(cand_cross).distinct()
+    return cands.select(
+        "a", "b", F.levenshtein("a", "b").alias("dist")
+    ).where(F.col("dist") <= max_dist)

@@ -251,3 +251,46 @@ def test_bm25_guards_and_dedup_query(spark):
     one = bm25_scores(d, ["a"]).collect()
     two = bm25_scores(d, ["a", "a"]).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in two]
+
+
+def test_fuzzy_pairs_equals_brute_force(spark):
+    from parconnect_spark.functions.text import fuzzy_pairs
+
+    words = [
+        "click", "clicks", "clack", "flick",       # long cluster, d=1 links
+        "signup", "signups", "sign",               # mixed lengths
+        "ab", "ac", "abc", "b",                    # short strings
+        "purchase", "purchases", "unrelated",
+        "ab",                                      # duplicate row
+    ]
+    d = spark.createDataFrame([(w,) for w in words], "s string")
+    got = sorted(map(tuple, fuzzy_pairs(d, max_dist=1, q=3).collect()))
+
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    uniq = sorted(set(words))
+    exp = sorted(
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= 1
+    )
+    assert got == exp and ("ab", "ac", 1) in got and ("click", "clicks", 1) in got
+
+
+def test_fuzzy_pairs_cross_boundary_band(spark):
+    from parconnect_spark.functions.text import fuzzy_pairs
+
+    # len 5 (short, < q(d+1)=6) vs len 6 (long): no shared q-gram needed
+    d = spark.createDataFrame([("abcde",), ("abcdef",)], "s string")
+    got = [tuple(r) for r in fuzzy_pairs(d, max_dist=1, q=3).collect()]
+    assert got == [("abcde", "abcdef", 1)]
