@@ -2649,6 +2649,35 @@ def _q_conversation_features(spark, sf_dir):
     return conversation_features(t).orderBy("conv_id")
 
 
+def _q_dq_report(spark, sf_dir):
+    """Data-quality expectations report (operators/dq.dq_report) over
+    the ingest tables: uniqueness/not-null on documents, allow-list on
+    event types, referential events.user_id -> customer.c_custkey (a
+    broadcast anti-join). One aggregate or anti-join per check; the
+    report row set is the publish gate."""
+    from parconnect_spark.operators.dq import dq_report
+
+    _views(spark, sf_dir, ("events", "documents"))
+    docs = spark.table("documents")
+    ev = spark.table("events")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return dq_report(
+        [
+            ("documents", docs, "unique", "doc_id"),
+            ("documents", docs, "not_null", "text"),
+            ("events", ev, "not_null", "value"),
+            (
+                "events",
+                ev,
+                "accepted_values",
+                "event_type",
+                ["click", "error", "purchase", "signup", "view"],
+            ),
+            ("events", ev, "referential", "user_id", (cust, "c_custkey")),
+        ]
+    ).orderBy("table", "check", "column")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2903,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": _q_bucketed_join,
         "merge_upsert": _q_merge_upsert,
         "conversation_features": _q_conversation_features,
+        "dq_report": _q_dq_report,
         "adoption": _q_adoption,
         "type_correlations": _q_type_correlations,
         "events_rollup": _q_events_rollup,
@@ -6035,6 +6065,28 @@ SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         # merge_upsert: the updated batch always carries ts + 1h > base ts,
         # so winners are exactly the update rows; untouched rows verbatim.
+        "dq_report": """
+SELECT "table", "check", "column", violations, violations = 0 AS passed
+FROM (
+  SELECT 'documents' AS "table", 'unique' AS "check", 'doc_id' AS "column",
+         CAST((SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents) AS BIGINT) AS violations
+  UNION ALL
+  SELECT 'documents', 'not_null', 'text',
+         (SELECT COUNT(*) FROM documents WHERE text IS NULL)
+  UNION ALL
+  SELECT 'events', 'not_null', 'value',
+         (SELECT COUNT(*) FROM events WHERE value IS NULL)
+  UNION ALL
+  SELECT 'events', 'accepted_values', 'event_type',
+         (SELECT COUNT(*) FROM events
+          WHERE event_type IS NULL
+             OR event_type NOT IN ('click','error','purchase','signup','view'))
+  UNION ALL
+  SELECT 'events', 'referential', 'user_id',
+         (SELECT COUNT(*) FROM events e
+          WHERE e.user_id NOT IN (SELECT c_custkey FROM customer))
+) _
+ORDER BY "table", "check", "column" """,
         "conversation_features": "WITH RECURSIVE "
         + TRANSCRIPTS_CTE
         + """,
