@@ -2678,6 +2678,20 @@ def _q_dq_report(spark, sf_dir):
     ).orderBy("table", "check", "column")
 
 
+def _q_table_stats(spark, sf_dir):
+    """ANALYZE-style per-column statistics (sources/tables.table_stats)
+    of the events table in ONE aggregate pass: null counts, exact
+    distinct counts, stringified min/max -- the numbers broadcast gates,
+    bucket sizing, and zorder bounds start from."""
+    from parconnect_spark.sources.tables import table_stats
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return table_stats(ev).orderBy("column")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2933,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         "conversation_features": _q_conversation_features,
         "dq_report": _q_dq_report,
+        "table_stats": _q_table_stats,
         "adoption": _q_adoption,
         "type_correlations": _q_type_correlations,
         "events_rollup": _q_events_rollup,
@@ -6065,6 +6080,30 @@ SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         # merge_upsert: the updated batch always carries ts + 1h > base ts,
         # so winners are exactly the update rows; untouched rows verbatim.
+        "table_stats": """
+SELECT * FROM (
+  SELECT '*' AS "column", CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_nulls,
+         CAST(NULL AS BIGINT) AS n_distinct,
+         CAST(NULL AS VARCHAR) AS min_repr, CAST(NULL AS VARCHAR) AS max_repr
+  UNION ALL
+  SELECT 'event_id',
+         (SELECT COUNT(*) FROM events WHERE event_id IS NULL),
+         (SELECT COUNT(DISTINCT event_id) FROM events),
+         (SELECT CAST(MIN(event_id) AS VARCHAR) FROM events),
+         (SELECT CAST(MAX(event_id) AS VARCHAR) FROM events)
+  UNION ALL
+  SELECT 'user_id',
+         (SELECT COUNT(*) FROM events WHERE user_id IS NULL),
+         (SELECT COUNT(DISTINCT user_id) FROM events),
+         (SELECT CAST(MIN(user_id) AS VARCHAR) FROM events),
+         (SELECT CAST(MAX(user_id) AS VARCHAR) FROM events)
+  UNION ALL
+  SELECT 'event_type',
+         (SELECT COUNT(*) FROM events WHERE event_type IS NULL),
+         (SELECT COUNT(DISTINCT event_type) FROM events),
+         (SELECT MIN(event_type) FROM events),
+         (SELECT MAX(event_type) FROM events)
+) _ ORDER BY "column" """,
         "dq_report": """
 SELECT "table", "check", "column", violations, violations = 0 AS passed
 FROM (

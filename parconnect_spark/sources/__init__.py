@@ -12,13 +12,15 @@ from parconnect_spark.sources.edgelist import (
     write_dot,
 )
 from parconnect_spark.sources.bucketed import bucketed_join, is_shuffle_free, write_bucketed
-from parconnect_spark.sources.tables import read_table, write_table
+from parconnect_spark.sources.tables import read_table, read_table_evolved, table_stats, write_table
 
 __all__ = [
     "synth_transcripts",
     "write_bucketed",
     "bucketed_join",
     "is_shuffle_free",
+    "read_table_evolved",
+    "table_stats",
     "chain_edges",
     "kronecker_edges",
     "powerlaw_star_edge_list",

@@ -39,3 +39,54 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         df.write.format("iceberg").mode(mode).save(path)
     else:
         df.write.mode(mode).parquet(path)
+
+
+def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema=true`` unions
+    the footers of every file, so batches written before a column existed
+    read back with NULLs in that column instead of failing or silently
+    truncating to one batch's schema — the additive-evolution contract a
+    long-lived 100-TB table needs (Iceberg does this in metadata; the
+    parquet fallback pays one footer pass, which is why it is opt-in here
+    and not the read_table default)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def table_stats(df: DataFrame) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE aggregate pass:
+    (column, n_nulls, n_distinct, min_repr, max_repr) plus a first row
+    ('*', row_count, ...). min/max aggregate on the NATIVE type and only
+    the result is stringified (casting first would make numeric ranges
+    lexicographic), so one report covers heterogenous column types;
+    n_distinct is exact.
+
+    This is the planner-facing operator: broadcast-join gates, bucket
+    sizing, and zorder bounds all start from exactly these numbers (the
+    zorder_key auto-bounds path IS a two-column slice of this)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [("*", int(row["_rows"]), None, None, None)]
+    for c in df.columns:
+        out.append(
+            (
+                c,
+                int(row[f"_n_{c}"]),
+                int(row[f"_d_{c}"]),
+                row[f"_mn_{c}"],
+                row[f"_mx_{c}"],
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_nulls long, n_distinct long, "
+        "min_repr string, max_repr string",
+    )

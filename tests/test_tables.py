@@ -67,3 +67,27 @@ def test_iceberg_write_branch_call_shape(monkeypatch):
         ("mode", "append"),
         ("save", "db.labels"),
     ]
+
+
+def test_read_table_evolved_merges_additive_schema(spark, tmp_path):
+    from parconnect_spark.sources.tables import read_table_evolved
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(p)
+    got = {r["k"]: (r["v"], r["score"]) for r in read_table_evolved(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_table_stats_exact(spark):
+    from parconnect_spark.sources.tables import table_stats
+
+    d = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, v string"
+    )
+    got = {r["column"]: tuple(r)[1:] for r in table_stats(d).collect()}
+    assert got["*"][0] == 3
+    assert got["k"] == (0, 2, "1", "2")
+    assert got["v"] == (1, 2, "x", "y")
