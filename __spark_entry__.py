@@ -2483,6 +2483,63 @@ def _q_streaming_dedup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cube_rollup(spark, sf_dir):
+    """GROUP BY CUBE over (event_type, epoch-day)
+    (operators/events.cube_rollup): every grouping set -- cell, both
+    margins, grand total -- in one map-side-expanded pass; NULL
+    dimension = the rolled-up margin, exactly the SQL CUBE semantics."""
+    from parconnect_spark.operators.events import cube_rollup
+
+    _views(spark, sf_dir, ("events",))
+    return cube_rollup(spark.table("events")).orderBy("event_type", "day")
+
+
+def _q_streaming_enriched(spark, sf_dir):
+    """STREAMING stream-static enrichment join
+    (streaming/stream.enriched_edge_stream): the turn stream joins a
+    static broadcast entity dimension with no state -- the seventh
+    stream-equals-batch shape (lookup tables on the streaming path).
+    End-of-stream per-entity counts equal the batch join."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.streaming.stream import (
+        enriched_edge_stream,
+        stream_transcripts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_en_")
+    try:
+        t = _transcripts(spark, sf_dir)
+        t.write.parquet(f"{tmp}/transcripts")
+        ent = F.when(
+            F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+        ).otherwise(F.concat(F.lit("r:"), F.col("role")))
+        dim = (
+            t.select(ent.alias("entity"))
+            .distinct()
+            .withColumn("attr", F.length("entity"))
+        )
+        st = stream_transcripts(spark, f"{tmp}/transcripts")
+        q = (
+            enriched_edge_stream(st, dim)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_enriched")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            "SELECT entity, attr, COUNT(*) AS n FROM stream_enriched "
+            "GROUP BY entity, attr ORDER BY entity"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """STREAMING gap sessionization (streaming/stream.session_stream —
     applyInPandasWithState keyed by user_id, the canonical custom stateful
@@ -2938,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_terms": _q_streaming_terms,
         "streaming_seq_join": _q_streaming_seq_join,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_enriched": _q_streaming_enriched,
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
@@ -2950,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": _q_table_stats,
         "adoption": _q_adoption,
         "type_correlations": _q_type_correlations,
+        "cube_rollup": _q_cube_rollup,
         "events_rollup": _q_events_rollup,
         "events_hopping": _q_events_hopping,
         "retention": _q_retention,
@@ -6149,6 +6208,23 @@ SELECT conv_id,
              6) AS assistant_user_char_ratio,
        CAST(MAX(gap) // 1000000 AS BIGINT) AS max_gap_seconds
 FROM g GROUP BY conv_id ORDER BY conv_id""",
+        "cube_rollup": """
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS value_sum
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events) _
+GROUP BY CUBE (event_type, day)
+ORDER BY event_type, day""",
+        "streaming_enriched": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+turns AS (
+  SELECT CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS entity
+  FROM transcripts
+)
+SELECT entity, CAST(length(entity) AS INT) AS attr,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM turns GROUP BY entity ORDER BY entity""",
         "adoption": """
 WITH first AS (
   SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0

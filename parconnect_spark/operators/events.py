@@ -537,3 +537,23 @@ def type_correlations(
         [(a, b, float(row[f"_c{i}"])) for i, (a, b) in enumerate(pairs)],
         "type_a string, type_b string, corr double",
     )
+
+
+def cube_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Multi-dimensional CUBE over (event_type, epoch-day): counts and
+    value sums for every grouping set — (type, day), (type), (day), ()
+    — in ONE pass (Catalyst expands the cube map-side; no per-set
+    rescan). NULL dimension = the rolled-up margin, exactly the
+    SQL GROUP BY CUBE semantics; the grand-total row doubles as the
+    census. 6dp on the float sum."""
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    ).alias("day")
+    return (
+        events.select("event_type", day, "value")
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )

@@ -394,3 +394,18 @@ def dedup_stream(
     return transcripts.withWatermark("ts", watermark).dropDuplicates(
         list(keys)
     )
+
+
+def enriched_edge_stream(
+    transcripts: DataFrame, entity_dim: DataFrame
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the seventh stream≡batch shape:
+    the streaming turn feed joins a static dimension (here: an entity
+    attribute table) with NO state at all — Spark re-plans the static
+    side per micro-batch, so the join is stateless and append-pure. The
+    canonical lookup-table pattern (user dims, tool registries,
+    blocklists) on the streaming path. Emits (entity, attr) rows, one
+    per matching turn; inner-join output is a set, so end-of-stream
+    content equals the batch join."""
+    turns = transcripts.select(_entity_col().alias("entity"))
+    return turns.join(F.broadcast(entity_dim), "entity")

@@ -424,3 +424,28 @@ def test_type_correlations_missing_type_counts_as_zero(spark):
     got = type_correlations(ev, ["a", "b"]).collect()[0]
     # user 0 contributes (1.0, 0.0); user 1 (2.0, 5.0) -> corr = 1.0
     assert got["corr"] == 1.0
+
+
+def test_cube_rollup_grouping_sets(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import cube_rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, "a", 1.0),
+        (t0, "a", 2.0),
+        (t0, "b", 4.0),
+        (t0 + dt.timedelta(days=1), "a", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["value_sum"])
+        for r in cube_rollup(ev).collect()
+    }
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert got[("a", d0)] == (2, 3.0)
+    assert got[("a", None)] == (3, 11.0)        # type margin
+    assert got[(None, d0)] == (3, 7.0)          # day margin
+    assert got[(None, None)] == (4, 15.0)       # grand total
+    assert len(got) == 3 + 2 + 2 + 1

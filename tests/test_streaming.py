@@ -341,3 +341,43 @@ def test_dedup_stream_replayed_files_equals_batch(spark, tmp_path):
         for r in t.select("conv_id", "turn_idx").collect()
     )
     assert got == exp and got
+
+
+def test_enriched_edge_stream_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.sources import synth_transcripts
+    from parconnect_spark.streaming.stream import (
+        enriched_edge_stream,
+        stream_transcripts,
+    )
+
+    t = synth_transcripts(spark, n_convs=25)
+    t.write.parquet(str(tmp_path / "tr"))
+    ent = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("r:"), F.col("role")))
+    dim = (
+        t.select(ent.alias("entity"))
+        .distinct()
+        .withColumn("attr", F.length("entity"))
+    )
+    st = stream_transcripts(spark, str(tmp_path / "tr"))
+    q = (
+        enriched_edge_stream(st, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enrich")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["entity"], r["attr"])
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    )
+    exp = sorted(
+        (r["entity"], r["attr"])
+        for r in t.select(ent.alias("entity")).join(dim, "entity").collect()
+    )
+    assert got == exp and got
