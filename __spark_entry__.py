@@ -2749,6 +2749,31 @@ def _q_table_stats(spark, sf_dir):
     return table_stats(ev).orderBy("column")
 
 
+def _q_scd2(spark, sf_dir):
+    """Type-2 SCD history build (operators/merge.scd2_build) from the
+    events feed: per user, the run-length history of event_type with
+    validity intervals [valid_from, valid_to) in epoch-us; consecutive
+    unchanged states collapse (idempotent feeds). Ordering tie-broken by
+    event_id -- determinism is the caller's contract and the oracle
+    replays the identical order."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.merge import scd2_build
+
+    _views(spark, sf_dir, ("events",))
+    ch = spark.table("events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        "event_id",
+        "event_type",
+    )
+    return (
+        scd2_build(ch, ["user_id"], ["tsu", "event_id"], ["event_type"])
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from")
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3003,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "bucketed_join": _q_bucketed_join,
         "merge_upsert": _q_merge_upsert,
+        "scd2": _q_scd2,
         "conversation_features": _q_conversation_features,
         "dq_report": _q_dq_report,
         "table_stats": _q_table_stats,
@@ -6255,6 +6281,23 @@ FROM pairs p
 JOIN wide wa ON wa.t = p.type_a
 JOIN wide wb ON wb.t = p.type_b AND wb.user_id = wa.user_id
 GROUP BY p.type_a, p.type_b ORDER BY type_a, type_b""",
+        "scd2": """
+WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+kept AS (
+  SELECT user_id, tsu, event_id, event_type FROM ch
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, tsu AS valid_from,
+       LEAD(tsu) OVER (PARTITION BY user_id
+                       ORDER BY tsu, event_id) AS valid_to
+FROM kept ORDER BY user_id, valid_from""",
         "merge_upsert": """
 SELECT event_id, user_id, event_type,
        ROUND(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END,

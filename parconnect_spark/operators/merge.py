@@ -53,3 +53,47 @@ def merge_upsert(
         .select(*cols)
     )
     return untouched.unionByName(winners)
+
+
+def scd2_build(
+    changes: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    attrs: list[str],
+    collapse: bool = True,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change feed: one
+    validity interval per attribute state, per key —
+    (keys…, attrs…, valid_from, valid_to) with valid_to NULL on the
+    current row. The history-table twin of :func:`merge_upsert` (which
+    keeps only latest-wins): SCD2 is how a 100-TB pipeline answers
+    "what did this dimension say at event time" without storing a
+    snapshot per day.
+
+    ``order_cols`` defines the change order within a key (include a
+    unique tiebreaker when timestamps can collide — determinism is the
+    caller's contract). With ``collapse=True`` (default) consecutive
+    rows with identical ``attrs`` merge into one interval — the
+    idempotent-feed case where sources re-emit unchanged state. All
+    windows partition by key and are bounded by changes-per-key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    d = changes.select(*keys, *order_cols, *attrs)
+    if collapse:
+        same = None
+        for a in attrs:
+            eq = F.lag(F.col(a)).over(w).eqNullSafe(F.col(a))
+            same = eq if same is None else (same & eq)
+        # first row per key has lag NULL on every attr -> eqNullSafe only
+        # true if attr is also NULL; guard with an explicit row marker
+        first = F.row_number().over(w) == 1
+        d = d.withColumn("_keep", first | ~same).where("_keep").drop("_keep")
+    vfrom = F.col(order_cols[0])
+    vto = F.lag(vfrom, -1).over(w)  # lead: next change's start
+    return d.select(
+        *keys,
+        *attrs,
+        vfrom.alias("valid_from"),
+        vto.alias("valid_to"),
+    )
