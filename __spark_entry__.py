@@ -2774,6 +2774,23 @@ def _q_scd2(spark, sf_dir):
     )
 
 
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability
+    (plans/temporal.earliest_arrival over operators/derive.
+    derive_temporal_edges): from r:user, the earliest epoch-us at which
+    a non-time-decreasing transition path reaches each entity -- the
+    temporal-graph semantics static CC/BFS overstate (they walk
+    backwards in time). Label-correcting min fixpoint, checksum
+    convergence; the oracle is a recursive (vertex, time) state
+    exploration."""
+    from parconnect_spark.operators.derive import derive_temporal_edges
+    from parconnect_spark.plans.temporal import earliest_arrival
+
+    t = _transcripts(spark, sf_dir)
+    te = derive_temporal_edges(t)
+    return earliest_arrival(te, "r:user").orderBy("v")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2916,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels_salted_fused": _q_cc_labels_salted_fused,
         "cc_incremental": _q_cc_incremental,
         "cc_temporal": _q_cc_temporal,
+        "temporal_reach": _q_temporal_reach,
         "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
@@ -6234,6 +6252,33 @@ SELECT conv_id,
              6) AS assistant_user_char_ratio,
        CAST(MAX(gap) // 1000000 AS BIGINT) AS max_gap_seconds
 FROM g GROUP BY conv_id ORDER BY conv_id""",
+        "temporal_reach": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+tt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS entity,
+         epoch_us(ts) AS tsu
+  FROM transcripts
+),
+seqed AS (
+  SELECT entity AS src,
+         LEAD(entity) OVER w AS dst,
+         LEAD(tsu) OVER w AS t
+  FROM tt WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+te AS (
+  SELECT DISTINCT src, dst, t FROM seqed
+  WHERE dst IS NOT NULL AND src <> dst
+),
+reach(v, t) AS (
+  SELECT 'r:user', CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, e.t FROM reach r JOIN te e ON e.src = r.v AND e.t >= r.t
+)
+SELECT v, CAST(MIN(t) AS BIGINT) AS arrival
+FROM reach GROUP BY v ORDER BY v""",
         "cube_rollup": """
 SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 6) AS value_sum

@@ -280,3 +280,30 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         ).alias("assistant_user_char_ratio"),
         (F.max("_gap") / F.lit(1_000_000)).cast("long").alias("max_gap_seconds"),
     )
+
+
+def derive_temporal_edges(transcripts: DataFrame) -> DataFrame:
+    """DIRECTED TIMED transition edges DataFrame[src, dst, t]: entity of
+    turn i → entity of turn i+1, stamped with the SUCCESSOR turn's
+    epoch-us timestamp (the moment the transition completes). Distinct
+    (src, dst, t) triples, self-transitions dropped. The input shape for
+    time-respecting graph analytics (plans/temporal.py) where an edge is
+    traversable only at its timestamp — the temporal dimension the
+    static derivations fold away."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ent = turn_entity()
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            ent.alias("src"),
+            F.lead(ent).over(w).alias("dst"),
+            F.lead(tsu).over(w).alias("t"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst", "t")
+        .distinct()
+    )

@@ -24,6 +24,7 @@ from parconnect_spark.plans.sssp import sssp
 from parconnect_spark.plans.densest import densest_subgraph
 from parconnect_spark.plans.decision import should_run_bfs, powerlaw_ks_distance
 from parconnect_spark.plans.eigen import eigencentrality
+from parconnect_spark.plans.temporal import earliest_arrival
 from parconnect_spark.plans.hits import hits
 from parconnect_spark.plans.katz import katz
 from parconnect_spark.plans.kcore import kcore, coreness
@@ -67,6 +68,7 @@ __all__ = [
     "should_run_bfs",
     "powerlaw_ks_distance",
     "eigencentrality",
+    "earliest_arrival",
     "hits",
     "katz",
     "kcore",
