@@ -2791,6 +2791,21 @@ def _q_temporal_reach(spark, sf_dir):
     return earliest_arrival(te, "r:user").orderBy("v")
 
 
+def _q_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid cosines
+    (functions/similarity.label_centroid_drift): the drift /
+    cluster-separation monitor. Centroids are one posexplode mean whose
+    key space is |labels| x dim (row-count independent); the pairwise
+    step runs on the collected centroid table -- labels are a dimension,
+    not data."""
+    from parconnect_spark.functions.similarity import label_centroid_drift
+
+    _views(spark, sf_dir, ("embeddings",))
+    return label_centroid_drift(spark.table("embeddings")).orderBy(
+        "label_a", "label_b"
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -2934,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": _q_cc_incremental,
         "cc_temporal": _q_cc_temporal,
         "temporal_reach": _q_temporal_reach,
+        "centroid_drift": _q_centroid_drift,
         "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
         "cc_chains": _q_cc_chains,
@@ -6279,6 +6295,26 @@ reach(v, t) AS (
 )
 SELECT v, CAST(MIN(t) AS BIGINT) AS arrival
 FROM reach GROUP BY v ORDER BY v""",
+        "centroid_drift": """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+ce AS (
+  SELECT label, i.i AS pos,
+         AVG(CAST(embedding[i.i] AS DOUBLE)) AS m
+  FROM embeddings, idx i GROUP BY label, i.i
+),
+norms AS (SELECT label, SQRT(SUM(m * m)) AS n FROM ce GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS d
+  FROM ce a JOIN ce b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+       ROUND(CASE WHEN na.n > 0 AND nb.n > 0 THEN d / (na.n * nb.n)
+                  ELSE 0.0 END, 6) AS cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+ORDER BY label_a, label_b""",
         "cube_rollup": """
 SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 6) AS value_sum

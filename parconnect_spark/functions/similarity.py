@@ -641,3 +641,42 @@ def mutual_knn_clusters(
     return canon.join(sizes, "cluster").select(
         id_col, "cluster", F.col("n_members").cast("long").alias("n_members")
     )
+
+
+def label_centroid_drift(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    distribution-drift / cluster-separation monitor ("how far apart do
+    my sources/classes sit in embedding space"; run it per snapshot and
+    falling off-diagonal cosines mean the labels are separating, rising
+    ones mean collapse).
+
+    Scale shape: the centroid is a posexplode → (label, pos) mean — one
+    map-side-combined aggregate whose key space is |labels|·dim,
+    independent of row count. The |labels|² pairwise step runs on the
+    driver over the collected centroid table (labels are a dimension,
+    not data). Returns (label_a < label_b, cosine) at 6dp."""
+    import numpy as np
+
+    cent = (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    rows = cent.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], np.zeros(dim))[r["pos"]] = r["m"]
+    labels = sorted(by_label)
+    out = []
+    for i, a in enumerate(labels):
+        va = by_label[a]
+        for b in labels[i + 1 :]:
+            vb = by_label[b]
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            cos = float(va @ vb / (na * nb)) if na > 0 and nb > 0 else 0.0
+            out.append((int(a), int(b), round(cos, 6)))
+    return embeddings.sparkSession.createDataFrame(
+        out, "label_a int, label_b int, cosine double"
+    )

@@ -417,3 +417,27 @@ def test_mutual_knn_clusters_mutuality_guard(spark):
     }
     # 1 and 2 are mutually nearest; 0's nearest (1) does not reciprocate
     assert got[0] == 0 and got[1] == 1 and got[2] == 1
+
+
+def test_label_centroid_drift_known_geometry(spark):
+    from parconnect_spark.functions.similarity import label_centroid_drift
+
+    # label 0 centroid -> e1; label 1 -> e2 (orthogonal); label 2 -> -e1
+    rows = []
+    vid = 0
+    for lab, base in [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])]:
+        for jitter in (-0.1, 0.1):
+            v = [base[0], base[1], jitter, 0.0]
+            rows.append((vid, v, lab))
+            vid += 1
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_drift(d, dim=4).collect()
+    }
+    # jitters cancel in the mean -> exact geometry
+    assert got[(0, 1)] == 0.0
+    assert got[(0, 2)] == -1.0
+    assert got[(1, 2)] == 0.0
