@@ -2806,6 +2806,18 @@ def _q_centroid_drift(spark, sf_dir):
     )
 
 
+def _q_conversation_paths(spark, sf_dir):
+    """Top-20 conversation flow patterns (operators/derive.
+    conversation_paths): each conversation's ordered entity sequence as
+    one path string, counted corpus-wide. The collect_list is grouped
+    by CONVERSATION -- bounded by turns per conversation, the one safe
+    place to collect -- and the top-k is a TakeOrdered, not a window."""
+    from parconnect_spark.operators.derive import conversation_paths
+
+    t = _transcripts(spark, sf_dir)
+    return conversation_paths(t, top_k=20)
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3064,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         "scd2": _q_scd2,
         "conversation_features": _q_conversation_features,
+        "conversation_paths": _q_conversation_paths,
         "dq_report": _q_dq_report,
         "table_stats": _q_table_stats,
         "adoption": _q_adoption,
@@ -6332,6 +6345,24 @@ turns AS (
 SELECT entity, CAST(length(entity) AS INT) AS attr,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM turns GROUP BY entity ORDER BY entity""",
+        "conversation_paths": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+tt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS entity
+  FROM transcripts
+),
+paths AS (
+  SELECT conv_id,
+         string_agg(entity, '>' ORDER BY turn_idx) AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM tt GROUP BY conv_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_convs, n_turns
+FROM paths GROUP BY path, n_turns
+ORDER BY n_convs DESC, path LIMIT 20""",
         "adoption": """
 WITH first AS (
   SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0

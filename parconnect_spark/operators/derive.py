@@ -307,3 +307,41 @@ def derive_temporal_edges(transcripts: DataFrame) -> DataFrame:
         .select("src", "dst", "t")
         .distinct()
     )
+
+
+def conversation_paths(transcripts: DataFrame, top_k: int = 20) -> DataFrame:
+    """Top-k conversation FLOW PATTERNS: each conversation's full ordered
+    entity sequence rendered as one path string
+    ("r:user>r:assistant>t:search>..."), counted corpus-wide — the
+    path-mining rollup that surfaces dominant interaction shapes and
+    their frequencies.
+
+    The collect_list is grouped BY CONVERSATION — bounded by turns per
+    conversation (the one place collecting a list is safe; a per-entity
+    or corpus-wide collect would be the hub mistake). sort_array on the
+    (turn_idx, entity) structs makes the order deterministic regardless
+    of partitioning; the path census is a map-side-combined count and
+    the final top-k is a TakeOrdered, not a window. Ties break by path
+    string. Returns (path, n_convs, n_turns)."""
+    paths = (
+        transcripts.select(
+            "conv_id", F.struct("turn_idx", turn_entity().alias("e")).alias("s")
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["e"]
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    return (
+        paths.groupBy("path", "n_turns")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .select("path", "n_convs", "n_turns")
+        .orderBy(F.desc("n_convs"), "path")
+        .limit(top_k)
+    )

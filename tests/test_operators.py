@@ -447,3 +447,33 @@ def test_conversation_features_hand_fixture(spark):
     # DENOMINATOR — user chars — is zero)
     assert b["assistant_user_char_ratio"] == 0.0
     assert b["max_gap_seconds"] is None
+
+
+def test_conversation_paths_order_and_counts(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.derive import conversation_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # two convs with the same shape, one different
+    for cid in ("A", "B"):
+        rows += [
+            (cid, 0, "user", "hi", None, t0),
+            (cid, 1, "assistant", "ok", None, t0),
+            (cid, 2, "assistant", "x", "search", t0),
+        ]
+    rows += [("C", 0, "user", "hello", None, t0)]
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = [tuple(r) for r in conversation_paths(d).collect()]
+    assert got == [
+        ("r:user>r:assistant>t:search", 2, 3),
+        ("r:user", 1, 1),
+    ]
+    # partition invariance of the ordered path
+    got2 = [tuple(r) for r in conversation_paths(d.repartition(7)).collect()]
+    assert got2 == got
