@@ -384,6 +384,18 @@ def _q_cc_incremental(spark, sf_dir):
     return _with_names(res.labels, id_map, "label")
 
 
+def _q_hub_knockout(spark, sf_dir):
+    """Scale-free-fragility probe (operators/graph.hub_knockout): remove
+    the 3 highest-degree entities (ties to the smaller id) and report
+    the surviving component structure, edgeless survivors counted as
+    singletons. Hub selection is a TakeOrdered over the degree census,
+    the knockout two broadcast anti-joins, the rest the CC engine."""
+    from parconnect_spark.operators.graph import hub_knockout
+
+    _t, edges, _m = _graph(spark, sf_dir)
+    return hub_knockout(edges, 3)
+
+
 def _q_cc_stats(spark, sf_dir):
     from parconnect_spark.plans.connectivity import connected_components
 
@@ -2964,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": _q_centroid_drift,
         "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
+        "hub_knockout": _q_hub_knockout,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
         "cc_hybrid": _q_cc_hybrid,
@@ -5007,6 +5020,35 @@ ecnt AS (
 )
 SELECT s.week AS week, s.components, s.largest, s.n_vertices, e.n_edges
 FROM stats s JOIN ecnt e ON e.week = s.week ORDER BY week""",
+        "hub_knockout": _GRAPH_PREFIX
+        + """,
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+hubs AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT 3),
+kept AS (
+  SELECT e.src, e.dst FROM edges e
+  WHERE e.src NOT IN (SELECT src FROM hubs)
+    AND e.dst NOT IN (SELECT src FROM hubs)
+),
+kverts AS (SELECT DISTINCT src AS v FROM kept),
+kreach(v, lbl) AS (
+  SELECT v, v FROM kverts
+  UNION
+  SELECT e.dst, r.lbl FROM kreach r JOIN kept e ON e.src = r.v
+),
+klabels AS (SELECT v, MIN(lbl) AS label FROM kreach GROUP BY v),
+comp AS (SELECT label, COUNT(*) AS n FROM klabels GROUP BY label),
+stats AS (
+  SELECT COUNT(*) AS c, COALESCE(MAX(n), 0) AS m,
+         COALESCE(SUM(n), 0) AS survivors
+  FROM comp
+),
+tot AS (SELECT COUNT(*) AS nv FROM ids)
+SELECT CAST(3 AS BIGINT) AS removed,
+       CAST(s.c + (t.nv - 3 - s.survivors) AS BIGINT) AS components,
+       CAST(GREATEST(s.m, CASE WHEN t.nv - 3 - s.survivors > 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS largest,
+       CAST(t.nv - 3 - s.survivors AS BIGINT) AS isolated
+FROM stats s, tot t""",
         "cc_stats": _GRAPH_PREFIX
         + _CC_REACH
         + """,

@@ -531,3 +531,46 @@ def partition_stats(edges: DataFrame, n_parts: int) -> DataFrame:
     e.unpersist()
     verts.unpersist()
     return edges.sparkSession.createDataFrame(rows, out.schema)
+
+
+def hub_knockout(edges: DataFrame, k: int) -> DataFrame:
+    """Robustness probe: remove the k highest-degree vertices (ties to
+    the smaller id) and report the component structure of what remains —
+    the scale-free-fragility measurement (power-law graphs shatter under
+    hub removal where random graphs shrug; the reference's decision step
+    fits exactly that degree shape, `src/dynamic/degreeDistInfo.hpp`).
+
+    Vertices left edgeless by the knockout count as singleton
+    components — the honest robustness semantics (they are still
+    nodes, just disconnected). One row:
+    (removed, components, largest, isolated).
+
+    Scale shape: hub selection is a TakeOrdered over the degree census
+    (no window); the knockout is two broadcast anti-joins (k ids);
+    the rest is the CC engine on the surviving edges."""
+    from pyspark.sql import functions as F
+
+    from parconnect_spark.plans.connectivity import connected_components
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    hubs = (
+        deg.orderBy(F.desc("_d"), F.asc("src")).limit(k).select("src")
+    )
+    hubs = hubs.localCheckpoint()
+    kept = edges.join(F.broadcast(hubs), "src", "left_anti").join(
+        F.broadcast(hubs.withColumnRenamed("src", "dst")), "dst", "left_anti"
+    )
+    n_verts = vertices(edges).count()
+    res = connected_components(kept)
+    comp = res.labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    row = comp.agg(
+        F.count(F.lit(1)).alias("c"), F.max("n").alias("m")
+    ).collect()[0]
+    survivors = res.labels.count()
+    isolated = n_verts - k - survivors
+    comps = (row["c"] or 0) + isolated
+    largest = max(row["m"] or 0, 1 if isolated > 0 else 0)
+    return edges.sparkSession.createDataFrame(
+        [(k, comps, largest, isolated)],
+        "removed long, components long, largest long, isolated long",
+    )

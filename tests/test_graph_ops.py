@@ -84,3 +84,31 @@ def test_partition_stats_matches_pure_python(spark):
     assert r["edge_imbalance"] == round(
         max(el.values()) / (n_edges / len(el)), 6
     )
+
+
+def test_hub_knockout_star_shatters(spark):
+    from parconnect_spark.operators.graph import hub_knockout
+
+    # star: hub 0 with leaves 1..8, plus a separate edge 9-10
+    und = [(0, i) for i in range(1, 9)] + [(9, 10)]
+    e = spark.createDataFrame(
+        sorted(set(und + [(b, a) for a, b in und])), "src long, dst long"
+    )
+    r = hub_knockout(e, 1).collect()[0]
+    # removing 0 leaves 8 isolated leaves + the 9-10 component
+    assert (r["removed"], r["components"], r["largest"], r["isolated"]) == (
+        1, 9, 2, 8,
+    )
+
+
+def test_hub_knockout_resilient_cycle(spark):
+    from parconnect_spark.operators.graph import hub_knockout
+
+    n = 12
+    und = [(i, (i + 1) % n) for i in range(n)]
+    e = spark.createDataFrame(
+        sorted(set(und + [(b, a) for a, b in und])), "src long, dst long"
+    )
+    r = hub_knockout(e, 1).collect()[0]
+    # a cycle survives one knockout as a single path
+    assert r["components"] == 1 and r["largest"] == n - 1 and r["isolated"] == 0
