@@ -2830,6 +2830,46 @@ def _q_conversation_paths(spark, sf_dir):
     return conversation_paths(t, top_k=20)
 
 
+def _q_jsonl_ingest(spark, sf_dir):
+    """JSONL ingestion with corrupt-record accounting
+    (sources/jsonl.read_transcripts_jsonl): the transcripts round-trip
+    through JSON lines with three garbage lines injected; PERMISSIVE
+    parsing quarantines them without aborting or silently swallowing.
+    Output: per-conversation clean-row counts plus one ('__corrupt__',
+    n) audit row -- equal to the batch table plus exactly the injected
+    garbage."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.sources.jsonl import read_transcripts_jsonl
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        t = _transcripts(spark, sf_dir)
+        t.write.json(f"{tmp}/jl")
+        with open(f"{tmp}/jl/part-garbage.json", "w") as fh:
+            fh.write(
+                "this is not json\n"
+                '{"role": "user", "text": "no conv id"}\n'
+                "{broken\n"
+            )
+        clean, corrupt = read_transcripts_jsonl(spark, f"{tmp}/jl")
+        # materialize BEFORE the tmp dir is removed: the returned frame
+        # must not lazily re-read deleted files when the driver collects
+        rows = sorted(
+            (r["conv_id"], r["n"])
+            for r in clean.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows.append(("__corrupt__", corrupt.count()))
+        return spark.createDataFrame(
+            rows, "conv_id string, n long"
+        ).orderBy("conv_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3090,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": _q_scd2,
         "conversation_features": _q_conversation_features,
         "conversation_paths": _q_conversation_paths,
+        "jsonl_ingest": _q_jsonl_ingest,
         "dq_report": _q_dq_report,
         "table_stats": _q_table_stats,
         "adoption": _q_adoption,
@@ -6387,6 +6428,14 @@ turns AS (
 SELECT entity, CAST(length(entity) AS INT) AS attr,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM turns GROUP BY entity ORDER BY entity""",
+        "jsonl_ingest": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM transcripts GROUP BY conv_id
+UNION ALL
+SELECT '__corrupt__', CAST(3 AS BIGINT)
+ORDER BY conv_id""",
         "conversation_paths": "WITH RECURSIVE "
         + TRANSCRIPTS_CTE
         + """,

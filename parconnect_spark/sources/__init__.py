@@ -12,6 +12,7 @@ from parconnect_spark.sources.edgelist import (
     write_dot,
 )
 from parconnect_spark.sources.bucketed import bucketed_join, is_shuffle_free, write_bucketed
+from parconnect_spark.sources.jsonl import read_transcripts_jsonl
 from parconnect_spark.sources.tables import read_table, read_table_evolved, table_stats, write_table
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "bucketed_join",
     "is_shuffle_free",
     "read_table_evolved",
+    "read_transcripts_jsonl",
     "table_stats",
     "chain_edges",
     "kronecker_edges",

@@ -91,3 +91,33 @@ def test_table_stats_exact(spark):
     assert got["*"][0] == 3
     assert got["k"] == (0, 2, "1", "2")
     assert got["v"] == (1, 2, "x", "y")
+
+
+def test_read_transcripts_jsonl_clean_and_corrupt(spark, tmp_path):
+    from parconnect_spark.sources import synth_transcripts
+    from parconnect_spark.sources.jsonl import read_transcripts_jsonl
+
+    t = synth_transcripts(spark, n_convs=10)
+    p = str(tmp_path / "jl")
+    t.write.json(p)
+    # inject garbage: unparseable JSON, missing required key, valid row
+    # with a missing OPTIONAL column (stays clean)
+    extra = tmp_path / "jl" / "part-garbage.json"
+    extra.write_text(
+        "this is not json\n"
+        '{"role": "user", "text": "no conv id"}\n'
+        '{"conv_id": "cX", "turn_idx": 0, '
+        '"ts": "2024-01-01T00:00:00.000"}\n'
+    )
+    clean, corrupt = read_transcripts_jsonl(spark, p)
+    n_expected = t.count() + 1  # the cX row joins the clean set
+    assert clean.count() == n_expected
+    assert corrupt.count() == 2
+    cx = clean.where("conv_id = 'cX'").collect()[0]
+    assert cx["role"] is None and cx["turn_idx"] == 0
+    # full-fidelity roundtrip of the original rows
+    orig = {tuple(r) for r in t.collect()}
+    back = {
+        tuple(r) for r in clean.where("conv_id <> 'cX'").collect()
+    }
+    assert back == orig
