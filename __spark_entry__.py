@@ -396,6 +396,20 @@ def _q_hub_knockout(spark, sf_dir):
     return hub_knockout(edges, 3)
 
 
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic negative-edge sampling (operators/graph.
+    negative_samples) over the relabeled entity graph: per vertex, up to
+    3 hash-drawn non-neighbors -- the contrastive training-pair
+    generator complementing link_prediction's positive scoring. Same
+    graph -> same pairs at any partitioning; the md5 draw stream replays
+    exactly in SQL."""
+    from parconnect_spark.operators.graph import negative_samples
+
+    _t, edges, id_map = _graph(spark, sf_dir)
+    nv = id_map.count()
+    return negative_samples(edges, 3, nv).orderBy("v", "draw")
+
+
 def _q_cc_stats(spark, sf_dir):
     from parconnect_spark.plans.connectivity import connected_components
 
@@ -3017,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
         "hub_knockout": _q_hub_knockout,
+        "negative_samples": _q_negative_samples,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
         "cc_hybrid": _q_cc_hybrid,
@@ -3368,6 +3383,28 @@ SELECT n.doc_id AS id,
 FROM newd n
 LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_id = n.doc_id
 ORDER BY id"""
+
+
+def _negative_samples_oracle(k: int = 3) -> str:
+    h = _md5int_duck("'neg:' || CAST(i.id AS VARCHAR) || ':' || CAST(g.g AS VARCHAR)")
+    return _GRAPH_PREFIX + f""",
+nv AS (SELECT COUNT(*) AS n FROM ids),
+cand AS (
+  SELECT i.id AS v, g.g AS i, {h} % nv.n AS dst
+  FROM ids i, (SELECT unnest(generate_series(1, {2 * k})) AS g) g, nv
+),
+ne AS (
+  SELECT c.v, c.i, c.dst FROM cand c
+  WHERE c.v <> c.dst
+    AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.v AND e.dst = c.dst)
+),
+r AS (
+  SELECT v, dst, i,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY i) AS rk
+  FROM ne
+)
+SELECT v, dst AS neg, CAST(i AS INT) AS draw
+FROM r WHERE rk <= {k} ORDER BY v, draw"""
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -5061,6 +5098,7 @@ ecnt AS (
 )
 SELECT s.week AS week, s.components, s.largest, s.n_vertices, e.n_edges
 FROM stats s JOIN ecnt e ON e.week = s.week ORDER BY week""",
+        "negative_samples": _negative_samples_oracle(),
         "hub_knockout": _GRAPH_PREFIX
         + """,
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),

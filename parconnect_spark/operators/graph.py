@@ -574,3 +574,57 @@ def hub_knockout(edges: DataFrame, k: int) -> DataFrame:
         [(k, comps, largest, isolated)],
         "removed long, components long, largest long, isolated long",
     )
+
+
+def negative_samples(edges: DataFrame, k: int, n_vertices: int) -> DataFrame:
+    """Deterministic NEGATIVE edge sampling for link-prediction /
+    contrastive training: per vertex v, up to ``k`` non-neighbors drawn
+    by a replayable hash stream — the training-pair generator that
+    complements plans/linkpred.py's positive scoring.
+
+    Mechanics: candidate i for vertex v is md5int('neg:' v ':' i) mod
+    ``n_vertices`` (ids must be dense 0..n-1 — the relabel operator's
+    output contract); 2k candidates are drawn, self-pairs and true
+    edges anti-joined away, and the first k by draw index survive. The
+    undersampling case (a near-complete neighborhood leaves fewer than
+    k survivors) yields fewer rows rather than a rejection loop — at
+    training scale the k-vs-2k gap makes it vanishingly rare, and the
+    determinism (same graph → same pairs, any partitioning) is worth
+    more than exact-k. One explode + one co-partitioned anti-join + one
+    bounded per-vertex window over ≤ 2k rows."""
+    from pyspark.sql import Window, functions as F
+
+    from parconnect_spark.functions.dedup import md5int
+
+    verts = vertices(edges)
+    cand = verts.select(
+        F.col("v"),
+        F.explode(F.sequence(F.lit(1), F.lit(2 * k))).alias("i"),
+    ).select(
+        "v",
+        "i",
+        F.pmod(
+            md5int(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("v").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            F.lit(n_vertices),
+        ).alias("dst"),
+    ).where(F.col("v") != F.col("dst"))
+    non_edges = cand.join(
+        edges.select(
+            F.col("src").alias("v"), F.col("dst")
+        ),
+        ["v", "dst"],
+        "left_anti",
+    )
+    w = Window.partitionBy("v").orderBy("i")
+    return (
+        non_edges.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("v", F.col("dst").alias("neg"), F.col("i").alias("draw"))
+    )

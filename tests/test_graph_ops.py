@@ -112,3 +112,46 @@ def test_hub_knockout_resilient_cycle(spark):
     r = hub_knockout(e, 1).collect()[0]
     # a cycle survives one knockout as a single path
     assert r["components"] == 1 and r["largest"] == n - 1 and r["isolated"] == 0
+
+
+def test_negative_samples_properties(spark):
+    import hashlib
+
+    from parconnect_spark.operators.graph import negative_samples
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    sym = sorted(set(und + [(b, a) for a, b in und]))
+    e = spark.createDataFrame(sym, "src long, dst long")
+    out = negative_samples(e, k=2, n_vertices=4).collect()
+    es = set(sym)
+    by_v = {}
+    for r in out:
+        assert (r["v"], r["neg"]) not in es and r["v"] != r["neg"]
+        by_v.setdefault(r["v"], []).append((r["draw"], r["neg"]))
+    # every vertex with any valid non-neighbor appears, <= k rows each
+    assert all(len(v) <= 2 for v in by_v.values())
+    # pure-python replay: same hash stream, same survivors
+    def h(v, i):
+        return int(
+            hashlib.md5(f"neg:{v}:{i}".encode()).hexdigest()[:8], 16
+        ) % 4
+    for v in range(4):
+        cands = [
+            (i, h(v, i))
+            for i in range(1, 5)
+            if h(v, i) != v and (v, h(v, i)) not in es
+        ][:2]
+        assert sorted(by_v.get(v, [])) == sorted(cands)
+
+
+def test_negative_samples_partition_invariance(spark):
+    from parconnect_spark.operators.graph import negative_samples
+
+    und = [(i, (i + 1) % 30) for i in range(30)]
+    sym = sorted(set(und + [(b, a) for a, b in und]))
+    e = spark.createDataFrame(sym, "src long, dst long")
+    a = sorted(map(tuple, negative_samples(e, 3, 30).collect()))
+    b = sorted(
+        map(tuple, negative_samples(e.repartition(13), 3, 30).collect())
+    )
+    assert a == b and a
