@@ -742,6 +742,32 @@ def _q_graph_walks(spark, sf_dir):
     )
 
 
+def _q_walk_pairs(spark, sf_dir):
+    """Skip-gram positive pairs from the deterministic random walks
+    (plans/walks.walk_skipgram_pairs): forward-context co-occurrence
+    counts at window 2 -- with negative_samples, the complete
+    node2vec-style embedding-training feed. Self-join keyed on walk_id
+    (bounded groups), one map-side-combined count."""
+    from parconnect_spark.plans.walks import random_walks, walk_skipgram_pairs
+
+    _, edges, id_map = _graph(spark, sf_dir)
+    seeds = id_map.where(F.col("name").startswith("c:")).select(
+        F.col("id").alias("v")
+    )
+    walks = random_walks(edges, seeds, length=WALK_LEN)
+    pairs = walk_skipgram_pairs(walks, window=2)
+    ia = id_map.select(F.col("id").alias("_ia"), F.col("name").alias("a_name"))
+    ib = id_map.select(F.col("id").alias("_ib"), F.col("name").alias("b_name"))
+    return (
+        pairs.join(ia, pairs["a"] == F.col("_ia"))
+        .join(ib, pairs["b"] == F.col("_ib"))
+        .select(
+            F.col("a_name").alias("a"), F.col("b_name").alias("b"), "n"
+        )
+        .orderBy("a", "b")
+    )
+
+
 def _q_labelprop_min(spark, sf_dir):
     from parconnect_spark.plans.labelprop import label_propagation
 
@@ -3067,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": _q_coreness,
         "ktruss": _q_ktruss,
         "graph_walks": _q_graph_walks,
+        "walk_pairs": _q_walk_pairs,
         "labelprop_min": _q_labelprop_min,
         "labelprop_majority": _q_labelprop_majority,
         "modularity": _q_modularity,
@@ -4336,6 +4363,41 @@ ORDER BY walk_name, step"""
     return sql
 
 
+def _walk_pairs_oracle(length: int = WALK_LEN, window: int = 2, salt: str = "w") -> str:
+    """The _walks_oracle chain, ended with the skip-gram pair count
+    instead of the walk listing."""
+    sql = _GRAPH_PREFIX + """,
+medges AS MATERIALIZED (SELECT src, dst FROM edges),
+mids AS MATERIALIZED (SELECT name, id FROM ids),
+w0 AS MATERIALIZED (
+  SELECT id AS walk_id, 0 AS step, id AS v FROM mids WHERE name LIKE 'c:%'
+)"""
+    for i in range(1, length + 1):
+        sql += f""",
+w{i} AS MATERIALIZED (
+  SELECT w.walk_id, {i} AS step,
+         MIN_BY(e.dst, MD5(CONCAT_WS(':',
+           CAST(w.walk_id AS VARCHAR), CAST({i} AS VARCHAR),
+           CAST(e.dst AS VARCHAR), '{salt}'))) AS v
+  FROM w{i - 1} w JOIN medges e ON e.src = w.v
+  GROUP BY w.walk_id
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, v FROM w{i}" for i in range(length + 1)
+    )
+    sql += f""",
+wu AS MATERIALIZED ({union}),
+p AS (
+  SELECT x.v AS av, y.v AS bv
+  FROM wu x JOIN wu y ON x.walk_id = y.walk_id
+   AND y.step - x.step BETWEEN 1 AND {window}
+)
+SELECT ia.name AS a, ib.name AS b, CAST(COUNT(*) AS BIGINT) AS n
+FROM p JOIN mids ia ON ia.id = p.av JOIN mids ib ON ib.id = p.bv
+GROUP BY ia.name, ib.name ORDER BY a, b"""
+    return sql
+
+
 def _lp_min_oracle(iters: int = LP_MIN_ITERS) -> str:
     sql = _GRAPH_PREFIX + ",\nl0 AS (SELECT id AS v, id AS label FROM ids)"
     for k in range(1, iters + 1):
@@ -5320,6 +5382,7 @@ SELECT src, dst, weight FROM r WHERE rk <= 3 ORDER BY src, dst""",
         "densest": _densest_oracle(),
         "ktruss": _ktruss_oracle(),
         "graph_walks": _walks_oracle(),
+        "walk_pairs": _walk_pairs_oracle(),
         "labelprop_min": _lp_min_oracle(),
         "labelprop_majority": _lp_majority_oracle(),
         "modularity": _modularity_oracle(),

@@ -29,7 +29,7 @@ from parconnect_spark.plans.hits import hits
 from parconnect_spark.plans.katz import katz
 from parconnect_spark.plans.kcore import kcore, coreness
 from parconnect_spark.plans.linkpred import link_prediction
-from parconnect_spark.plans.walks import random_walks
+from parconnect_spark.plans.walks import random_walks, walk_skipgram_pairs
 from parconnect_spark.plans.msf import boruvka_msf
 from parconnect_spark.plans.matching import maximal_matching
 from parconnect_spark.plans.louvain import louvain_move
@@ -69,6 +69,7 @@ __all__ = [
     "powerlaw_ks_distance",
     "eigencentrality",
     "earliest_arrival",
+    "walk_skipgram_pairs",
     "hits",
     "katz",
     "kcore",

@@ -96,3 +96,31 @@ def random_walks(
     if not bcast:
         ed.unpersist()
     return result
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center → forward-context) co-occurrence counts from
+    walk rows — the POSITIVE training pairs of the node2vec/DeepWalk
+    recipe (operators/graph.negative_samples supplies the negatives;
+    together they are the embedding-training feed).
+
+    Pairs are (v at step i, v at step j) for 0 < j−i ≤ ``window``
+    within one walk, counted across all walks. The self-join keys on
+    walk_id — each group is one walk of bounded length, so fan-out per
+    key is ≤ length·window and there is no hub risk; the count is one
+    map-side-combined aggregate. Returns (a, b, n)."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("_sa"), F.col("v").alias("a")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("_sb"), F.col("v").alias("b")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("_sb") - F.col("_sa") >= 1)
+            & (F.col("_sb") - F.col("_sa") <= window)
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -86,3 +86,27 @@ def test_walks_reject_negative_length(spark):
     seeds = spark.createDataFrame([(0,)], "v long")
     with pytest.raises(ValueError):
         random_walks(edges, seeds, -1)
+
+
+def test_walk_skipgram_pairs_window_semantics(spark):
+    from parconnect_spark.plans.walks import walk_skipgram_pairs
+
+    # two hand-written walks
+    rows = [
+        (0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 10),
+        (1, 0, 11), (1, 1, 12),
+    ]
+    w = spark.createDataFrame(rows, "walk_id long, step int, v long")
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in walk_skipgram_pairs(w, window=2).collect()
+    }
+    exp = {}
+    walks = {0: [10, 11, 12, 10], 1: [11, 12]}
+    for seq in walks.values():
+        for i, a in enumerate(seq):
+            for j in range(i + 1, min(i + 3, len(seq))):
+                exp[(a, seq[j])] = exp.get((a, seq[j]), 0) + 1
+    assert got == exp
+    # (11, 12) occurs in both walks -> count 2
+    assert got[(11, 12)] == 2
