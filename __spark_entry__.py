@@ -1573,6 +1573,25 @@ def _q_fuzzy_terms(spark, sf_dir):
     return fuzzy_pairs(vocab, max_dist=2, q=2).orderBy("a", "b")
 
 
+def _q_frequent_itemsets(spark, sf_dir):
+    """Apriori frequent itemsets to size 3
+    (functions/itemsets.frequent_itemsets) over conversation->entity
+    baskets: the anti-monotone prune (transaction trim to frequent-1,
+    C3 only from triples whose member pairs are all frequent) is what
+    keeps candidates from going combinatorial -- the algorithm IS the
+    scale argument. Absolute min_support 10."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.itemsets import frequent_itemsets
+
+    t = _transcripts(spark, sf_dir)
+    ent = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("r:"), F.col("role")))
+    baskets = t.select(F.col("conv_id").alias("basket_id"), ent.alias("item"))
+    return frequent_itemsets(baskets, 10).orderBy("size", "i1", "i2", "i3")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3079,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": _q_matching,
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
+        "frequent_itemsets": _q_frequent_itemsets,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -5699,6 +5719,42 @@ FROM vocab a JOIN vocab b
   ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
 WHERE levenshtein(a.s, b.s) <= 2
 ORDER BY a, b""",
+        "frequent_itemsets": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+bk AS (
+  SELECT DISTINCT conv_id AS bid,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS item
+  FROM transcripts
+),
+l1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS support
+  FROM bk GROUP BY item HAVING COUNT(*) >= 10
+),
+bf AS (SELECT b.* FROM bk b SEMI JOIN l1 ON b.item = l1.item),
+l2 AS (
+  SELECT a.item AS i1, b.item AS i2, CAST(COUNT(*) AS BIGINT) AS support
+  FROM bf a JOIN bf b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+),
+l3 AS (
+  SELECT x.i1, x.i2, y.i2 AS i3, CAST(COUNT(*) AS BIGINT) AS support
+  FROM l2 x JOIN l2 y ON x.i1 = y.i1 AND x.i2 < y.i2
+  SEMI JOIN l2 z ON z.i1 = x.i2 AND z.i2 = y.i2
+  JOIN bf t1 ON t1.item = x.i1
+  JOIN bf t2 ON t2.bid = t1.bid AND t2.item = x.i2
+  JOIN bf t3 ON t3.bid = t1.bid AND t3.item = y.i2
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+)
+SELECT * FROM (
+  SELECT 1 AS size, item AS i1, CAST(NULL AS VARCHAR) AS i2,
+         CAST(NULL AS VARCHAR) AS i3, support FROM l1
+  UNION ALL
+  SELECT 2, i1, i2, CAST(NULL AS VARCHAR), support FROM l2
+  UNION ALL
+  SELECT 3, i1, i2, i3, support FROM l3
+) _ ORDER BY size, i1, i2, i3""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

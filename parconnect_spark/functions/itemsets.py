@@ -1,0 +1,100 @@
+"""Frequent-itemset mining (Apriori to size 3) — market-basket analysis
+over conversation/tool baskets (SURVEY.md scope extension; the classic
+companion to the PMI collocations and the one-mode co-occurrence
+projection, which stop at pairs).
+
+The algorithm IS the scale argument: support counting is always a
+join-then-aggregate, and the anti-monotone prune (every subset of a
+frequent set is frequent) is what keeps candidate generation from going
+combinatorial — L2 pairs only form between FREQUENT-1 items (baskets
+are semi-join-pruned to frequent items first, the classic transaction
+trim), and C3 triples must have all three of their member pairs in L2
+before any support is counted. Per-basket fan-out is bounded by
+(frequent items in that basket)², not basket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parconnect_spark.cache import scoped_persist
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    min_support: int,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Frequent itemsets of size 1–3 at absolute ``min_support``.
+    ``baskets``: (basket_id, item) rows, duplicates tolerated (one
+    distinct pass first). Returns (size, i1, i2, i3, support) with
+    items sorted ascending inside a set and i2/i3 NULL below the size."""
+    b = scoped_persist(
+        baskets.select(
+            F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+        ).distinct()
+    )
+    l1 = (
+        b.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    l1 = scoped_persist(l1)
+    # transaction trim: only frequent items can appear in larger sets
+    bf = scoped_persist(b.join(l1.select("item"), "item", "left_semi"))
+    pa = bf.select("bid", F.col("item").alias("i1"))
+    pb = bf.select("bid", F.col("item").alias("i2"))
+    l2 = (
+        pa.join(pb, "bid")
+        .where(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    l2 = scoped_persist(l2)
+    # C3 = join two L2 pairs sharing the first item, prune by the third
+    # subset pair (full anti-monotone prune before any counting)
+    c3 = (
+        l2.select("i1", "i2")
+        .join(
+            l2.select(F.col("i1").alias("i1b"), F.col("i2").alias("i3")),
+            F.col("i1") == F.col("i1b"),
+        )
+        .where(F.col("i2") < F.col("i3"))
+        .select("i1", "i2", "i3")
+        .join(
+            l2.select(
+                F.col("i1").alias("i2"), F.col("i2").alias("i3")
+            ),
+            ["i2", "i3"],
+            "left_semi",
+        )
+    )
+    t1 = bf.select("bid", F.col("item").alias("i1"))
+    t2 = bf.select("bid", F.col("item").alias("i2"))
+    t3 = bf.select("bid", F.col("item").alias("i3"))
+    l3 = (
+        c3.join(t1, "i1")
+        .join(t2, ["bid", "i2"])
+        .join(t3, ["bid", "i3"])
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    out1 = l1.select(
+        F.lit(1).alias("size"),
+        F.col("item").alias("i1"),
+        F.lit(None).cast("string").alias("i2"),
+        F.lit(None).cast("string").alias("i3"),
+        "support",
+    )
+    out2 = l2.select(
+        F.lit(2).alias("size"),
+        "i1",
+        "i2",
+        F.lit(None).cast("string").alias("i3"),
+        "support",
+    )
+    out3 = l3.select(F.lit(3).alias("size"), "i1", "i2", "i3", "support")
+    return out1.unionByName(out2).unionByName(out3)
