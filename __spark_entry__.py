@@ -1592,6 +1592,36 @@ def _q_frequent_itemsets(spark, sf_dir):
     return frequent_itemsets(baskets, 10).orderBy("size", "i1", "i2", "i3")
 
 
+def _q_association_rules(spark, sf_dir):
+    """Pairwise association rules a->b over conversation-entity baskets
+    (functions/itemsets.association_rules): confidence sup(ab)/sup(a),
+    lift against the consequent's base rate. Both directions scored;
+    one frequent-itemsets pass plus broadcast L1 joins."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.itemsets import association_rules
+
+    t = _transcripts(spark, sf_dir)
+    ent = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("t:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("r:"), F.col("role")))
+    baskets = t.select(F.col("conv_id").alias("basket_id"), ent.alias("item"))
+    return association_rules(baskets, 10, min_confidence=0.5).orderBy(
+        "antecedent", "consequent"
+    )
+
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/dq.k_anonymity) of the events table
+    on the (user_id, event_type) quasi-identifier at k=3: group census +
+    one aggregate over the group table; rows_at_risk is the
+    re-identifiable population a release gate blocks on."""
+    from parconnect_spark.operators.dq import k_anonymity
+
+    _views(spark, sf_dir, ("events",))
+    return k_anonymity(spark.table("events"), ["user_id", "event_type"], 3)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3099,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": _q_densest,
         "bipartite_cooccur": _q_bipartite_cooccur,
         "frequent_itemsets": _q_frequent_itemsets,
+        "association_rules": _q_association_rules,
+        "k_anonymity": _q_k_anonymity,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -5755,6 +5787,53 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, i1, i2, i3, support FROM l3
 ) _ ORDER BY size, i1, i2, i3""",
+        "association_rules": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+bk AS (
+  SELECT DISTINCT conv_id AS bid,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS item
+  FROM transcripts
+),
+n AS (SELECT COUNT(DISTINCT bid) AS nb FROM bk),
+l1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM bk
+  GROUP BY item HAVING COUNT(*) >= 10
+),
+l2 AS (
+  SELECT a.item AS i1, b.item AS i2, CAST(COUNT(*) AS BIGINT) AS support
+  FROM bk a SEMI JOIN l1 x ON a.item = x.item
+  JOIN bk b ON a.bid = b.bid AND a.item < b.item
+  SEMI JOIN l1 y ON b.item = y.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+),
+rl AS (
+  SELECT i1, i2, support FROM l2
+  UNION ALL SELECT i2, i1, support FROM l2
+)
+SELECT b.i1 AS antecedent, b.i2 AS consequent, b.support,
+       ROUND(b.support * 1.0 / sa.s, 6) AS confidence,
+       ROUND((b.support * 1.0 / sa.s) / (sb.s * 1.0 / n.nb), 6) AS lift
+FROM rl b
+JOIN l1 sa ON sa.item = b.i1
+JOIN l1 sb ON sb.item = b.i2
+CROSS JOIN n
+WHERE b.support * 1.0 / sa.s >= 0.5
+ORDER BY antecedent, consequent""",
+        "k_anonymity": """
+WITH g AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT CAST(3 AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       ROUND(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+         AS frac_at_risk
+FROM g""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

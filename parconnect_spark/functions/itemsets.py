@@ -98,3 +98,62 @@ def frequent_itemsets(
     )
     out3 = l3.select(F.lit(3).alias("size"), "i1", "i2", "i3", "support")
     return out1.unionByName(out2).unionByName(out3)
+
+
+def association_rules(
+    baskets: DataFrame,
+    min_support: int,
+    min_confidence: float = 0.5,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Pairwise association rules a → b from the frequent-2 itemsets:
+    confidence = sup(a,b)/sup(a), lift = confidence / (sup(b)/N). Both
+    directions of every frequent pair are scored (a→b and b→a have
+    different confidences); rules below ``min_confidence`` drop. One
+    frequent_itemsets pass plus two broadcast-size joins against the
+    L1 support table — nothing new shuffles. Returns
+    (antecedent, consequent, support, confidence, lift) at 6dp."""
+    fi = frequent_itemsets(baskets, min_support, basket_col, item_col)
+    fi = fi.persist()
+    n = (
+        baskets.select(F.col(basket_col).alias("bid"))
+        .distinct()
+        .count()
+    )
+    l1 = fi.where("size = 1").select(
+        F.col("i1").alias("item"), F.col("support").alias("s1")
+    )
+    l2 = fi.where("size = 2").select("i1", "i2", "support")
+    both = l2.unionByName(
+        l2.select(
+            F.col("i2").alias("i1"), F.col("i1").alias("i2"), "support"
+        )
+    )
+    out = (
+        both.join(
+            F.broadcast(l1.withColumnRenamed("item", "i1")), "i1"
+        )
+        .join(
+            F.broadcast(
+                l1.select(
+                    F.col("item").alias("i2"), F.col("s1").alias("s2")
+                )
+            ),
+            "i2",
+        )
+        .select(
+            F.col("i1").alias("antecedent"),
+            F.col("i2").alias("consequent"),
+            "support",
+            F.round(F.col("support") / F.col("s1"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") / F.col("s1")) / (F.col("s2") / F.lit(n)),
+                6,
+            ).alias("lift"),
+        )
+        .where(F.col("confidence") >= min_confidence)
+    )
+    res = out.localCheckpoint()
+    fi.unpersist()
+    return res

@@ -76,3 +76,37 @@ def dq_report(
         "table string, check string, column string, "
         "violations long, passed boolean",
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every row must
+    be indistinguishable from ≥ k−1 others on ``quasi_cols``. One row:
+    (k, n_groups, n_below_k, min_group_size, rows_at_risk, frac_at_risk)
+    — rows_at_risk = rows in groups smaller than k (the re-identifiable
+    population a release gate blocks on). One grouped count + one
+    aggregate over the (much smaller) group table; map-side combinable,
+    NULLs form their own equivalence class (SQL GROUP BY semantics)."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    row = groups.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum((F.col("_n") < k).cast("long")).alias("b"),
+        F.min("_n").alias("mn"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias("r"),
+        F.sum("_n").alias("t"),
+    ).collect()[0]
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                k,
+                int(row["g"]),
+                int(row["b"]),
+                int(row["mn"]),
+                int(row["r"]),
+                round(row["r"] / row["t"], 6) if row["t"] else 0.0,
+            )
+        ],
+        "k int, n_groups long, n_below_k long, min_group_size long, "
+        "rows_at_risk long, frac_at_risk double",
+    )

@@ -34,3 +34,19 @@ def test_dq_guards(spark):
         dq_check(d, "accepted_values", "k")
     with pytest.raises(ValueError, match="referential"):
         dq_check(d, "referential", "k")
+
+
+def test_k_anonymity_audit(spark):
+    from parconnect_spark.operators.dq import k_anonymity
+
+    rows = [
+        ("NY", 30), ("NY", 30), ("NY", 30),   # group of 3
+        ("SF", 40), ("SF", 40),               # group of 2 (below k=3)
+        ("LA", 50),                           # singleton
+    ]
+    d = spark.createDataFrame(rows, "city string, age int")
+    r = k_anonymity(d, ["city", "age"], 3).collect()[0]
+    assert (
+        r["n_groups"], r["n_below_k"], r["min_group_size"],
+        r["rows_at_risk"], r["frac_at_risk"],
+    ) == (3, 2, 1, 3, 0.5)

@@ -33,3 +33,23 @@ def test_frequent_itemsets_dedups_within_basket(spark):
     d = spark.createDataFrame(rows, "basket_id long, item string")
     got = [tuple(r) for r in frequent_itemsets(d, 2).collect()]
     assert got == [(1, "x", None, None, 2)]
+
+
+def test_association_rules_confidence_and_lift(spark):
+    baskets = {
+        0: {"a", "b"}, 1: {"a", "b"}, 2: {"a", "b"},
+        3: {"a"}, 4: {"b"}, 5: {"b"},
+    }
+    rows = [(kk, i) for kk, s in baskets.items() for i in s]
+    d = spark.createDataFrame(rows, "basket_id long, item string")
+    from parconnect_spark.functions.itemsets import association_rules
+
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"], r["confidence"], r["lift"],
+        )
+        for r in association_rules(d, 3, min_confidence=0.5).collect()
+    }
+    # sup(a)=4, sup(b)=5, sup(ab)=3, N=6
+    assert got[("a", "b")] == (3, 0.75, round(0.75 / (5 / 6), 6))
+    assert got[("b", "a")] == (3, 0.6, round(0.6 / (4 / 6), 6))
