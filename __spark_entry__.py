@@ -1622,6 +1622,36 @@ def _q_k_anonymity(spark, sf_dir):
     return k_anonymity(spark.table("events"), ["user_id", "event_type"], 3)
 
 
+def _q_dp_counts(spark, sf_dir):
+    """Seeded Laplace DP release (operators/dq.dp_counts) of per-type
+    event counts at epsilon=1: noise drawn by inverse-CDF from an
+    md5-derived uniform, deterministic per (seed, group) so the release
+    is reproducible and auditable -- change the seed per release. The
+    oracle replays the identical noise stream."""
+    from parconnect_spark.operators.dq import dp_counts
+
+    _views(spark, sf_dir, ("events",))
+    return dp_counts(
+        spark.table("events"), "event_type", epsilon=1.0, seed="r5"
+    ).orderBy("group")
+
+
+def _q_ab_test(spark, sf_dir):
+    """Two-proportion z-test (operators/dq.ab_test): arms by
+    user_id % 2, success = purchase events -- the experimentation
+    readout in one conditional aggregate."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.dq import ab_test
+
+    _views(spark, sf_dir, ("events",))
+    return ab_test(
+        spark.table("events"),
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase",
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3131,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_itemsets": _q_frequent_itemsets,
         "association_rules": _q_association_rules,
         "k_anonymity": _q_k_anonymity,
+        "dp_counts": _q_dp_counts,
+        "ab_test": _q_ab_test,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -3484,6 +3516,19 @@ r AS (
 )
 SELECT v, dst AS neg, CAST(i AS INT) AS draw
 FROM r WHERE rk <= {k} ORDER BY v, draw"""
+
+
+def _dp_counts_oracle(seed: str = "r5") -> str:
+    h = _md5int_duck(f"'{seed}:' || CAST(g AS VARCHAR)", 1, 12)
+    return f"""
+WITH c AS (
+  SELECT event_type AS g, COUNT(*) AS n FROM events GROUP BY event_type
+),
+uu AS (SELECT g, n, ({h} + 0.5) / 281474976710656.0 AS u FROM c)
+SELECT g AS "group",
+       ROUND(n + CASE WHEN u < 0.5 THEN ln(2 * u)
+                      ELSE -ln(2 * (1 - u)) END, 6) AS noisy_count
+FROM uu ORDER BY "group" """
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -5821,6 +5866,29 @@ JOIN l1 sb ON sb.item = b.i2
 CROSS JOIN n
 WHERE b.support * 1.0 / sa.s >= 0.5
 ORDER BY antecedent, consequent""",
+        "dp_counts": _dp_counts_oracle(),
+        "ab_test": """
+WITH a AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events
+),
+agg AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 0 THEN s ELSE 0 END) AS s0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN s ELSE 0 END) AS s1
+  FROM a
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(s0 AS BIGINT) AS s0,
+       CAST(n1 AS BIGINT) AS n1, CAST(s1 AS BIGINT) AS s1,
+       ROUND(s0 * 1.0 / n0, 6) AS p0,
+       ROUND(s1 * 1.0 / n1, 6) AS p1,
+       ROUND((s1 * 1.0 / n1 - s0 * 1.0 / n0)
+             / SQRT((s0 + s1) * 1.0 / (n0 + n1)
+                    * (1 - (s0 + s1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z
+FROM agg""",
         "k_anonymity": """
 WITH g AS (
   SELECT user_id, event_type, COUNT(*) AS n

@@ -110,3 +110,86 @@ def k_anonymity(
         "k int, n_groups long, n_below_k long, min_group_size long, "
         "rows_at_risk long, frac_at_risk double",
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism
+    with a SEEDED, replayable noise stream: noise_g = Lap(1/ε) drawn by
+    inverse-CDF from a uniform derived from md5(seed ‖ group). One row
+    contributes 1 to one count (sensitivity 1), so Lap(1/ε) gives
+    ε-DP for the counts release — the third member of the governance
+    family next to the DQ gates and the k-anonymity audit.
+
+    The determinism is deliberate and documented: a production release
+    would draw fresh randomness per release, but a TESTABLE DP pipeline
+    pins the stream by seed so the release is reproducible and
+    auditable (change ``seed`` per release). Never release the true
+    counts next to the noisy ones. Returns (group, noisy_count) with
+    noise at 6dp; counts can go negative — clamping would bias the
+    release and is left to the consumer's declared post-processing."""
+    from parconnect_spark.functions.dedup import md5int
+
+    # uniform in (0,1): md5 48-bit fold / 2^48, nudged off 0 and 1;
+    # computed over the aggregated "group" column (one draw per group)
+    u = (
+        md5int(
+            F.concat(F.lit(seed + ":"), F.col("group").cast("string")),
+            1,
+            12,
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    b = 1.0 / epsilon
+    lap = F.when(
+        u < 0.5, F.lit(b) * F.log(2.0 * u)
+    ).otherwise(-F.lit(b) * F.log(2.0 * (1.0 - u)))
+    return (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "group",
+            F.round(F.col("_n") + lap, 6).alias("noisy_count"),
+        )
+    )
+
+
+def ab_test(
+    events: DataFrame,
+    arm_col,
+    success_col,
+) -> DataFrame:
+    """Two-proportion z-test between arms 0 and 1: per-arm trials and
+    successes, pooled-variance z statistic — the experimentation
+    readout. ``arm_col``/``success_col`` are Column expressions (arm ∈
+    {0,1}, success boolean). One conditional aggregate; z at 6dp, NULL
+    when either arm is empty or the pooled variance is 0."""
+    r = events.select(
+        arm_col.alias("arm"), success_col.cast("long").alias("s")
+    ).groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s")).otherwise(0)).alias("s1"),
+    )
+    p0 = F.col("s0") / F.col("n0")
+    p1 = F.col("s1") / F.col("n1")
+    pp = (F.col("s0") + F.col("s1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return r.select(
+        "n0",
+        "s0",
+        "n1",
+        "s1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(
+            F.when(se > 0, (p1 - p0) / se), 6
+        ).alias("z"),
+    )

@@ -50,3 +50,52 @@ def test_k_anonymity_audit(spark):
         r["n_groups"], r["n_below_k"], r["min_group_size"],
         r["rows_at_risk"], r["frac_at_risk"],
     ) == (3, 2, 1, 3, 0.5)
+
+
+def test_dp_counts_replayable_and_bounded(spark):
+    import hashlib
+    import math
+
+    from parconnect_spark.operators.dq import dp_counts
+
+    rows = [("a",)] * 10 + [("b",)] * 5
+    d = spark.createDataFrame(rows, "g string")
+    got = {
+        r["group"]: r["noisy_count"]
+        for r in dp_counts(d, "g", epsilon=1.0, seed="t").collect()
+    }
+
+    def lap(group):
+        h = int(hashlib.md5(f"t:{group}".encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / (1 << 48)
+        return (
+            math.log(2 * u) if u < 0.5 else -math.log(2 * (1 - u))
+        )
+
+    assert got["a"] == round(10 + lap("a"), 6)
+    assert got["b"] == round(5 + lap("b"), 6)
+    # different seed -> different noise
+    got2 = {
+        r["group"]: r["noisy_count"]
+        for r in dp_counts(d, "g", seed="u").collect()
+    }
+    assert got2 != got
+
+
+def test_ab_test_known_z(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.dq import ab_test
+
+    # arm 0: 100 trials 40 successes; arm 1: 100 trials 55
+    rows = [(0, i < 40) for i in range(100)] + [
+        (1, i < 55) for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "arm int, ok boolean")
+    r = ab_test(d, F.col("arm"), F.col("ok")).collect()[0]
+    pp = 95 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert (r["n0"], r["s0"], r["n1"], r["s1"]) == (100, 40, 100, 55)
+    assert r["z"] == round((0.55 - 0.40) / se, 6)
