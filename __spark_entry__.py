@@ -1652,6 +1652,30 @@ def _q_ab_test(spark, sf_dir):
     )
 
 
+def _q_changepoint(spark, sf_dir):
+    """CUSUM change-point per event type (operators/events.
+    cusum_changepoint): the day where cumulative deviation from the
+    series mean peaks -- sustained level shifts, complementing
+    term_bursts' spike detector. Cumulative window over the per-group
+    DAY table only."""
+    from parconnect_spark.operators.events import cusum_changepoint
+
+    _views(spark, sf_dir, ("events",))
+    return cusum_changepoint(spark.table("events")).orderBy("group")
+
+
+def _q_forecast(spark, sf_dir):
+    """Closed-form EWMA next-day forecast per event type
+    (operators/events.ewma_forecast): the recursion unrolled into ONE
+    weighted sum with exact rational-power weights (alpha = 1/4),
+    missing days zero-filled -- no sequential state at any
+    parallelism."""
+    from parconnect_spark.operators.events import ewma_forecast
+
+    _views(spark, sf_dir, ("events",))
+    return ewma_forecast(spark.table("events")).orderBy("group")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3163,6 +3187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "dp_counts": _q_dp_counts,
         "ab_test": _q_ab_test,
+        "changepoint": _q_changepoint,
+        "forecast": _q_forecast,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -5889,6 +5915,47 @@ SELECT CAST(n0 AS BIGINT) AS n0, CAST(s0 AS BIGINT) AS s0,
                     * (1 - (s0 + s1) * 1.0 / (n0 + n1))
                     * (1.0 / n0 + 1.0 / n1)), 6) AS z
 FROM agg""",
+        "changepoint": """
+WITH daily AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT g, d,
+         AVG(n) OVER (PARTITION BY g) AS m,
+         SUM(n) OVER (PARTITION BY g ORDER BY d)
+           - ROW_NUMBER() OVER (PARTITION BY g ORDER BY d)
+             * AVG(n) OVER (PARTITION BY g) AS s
+  FROM daily
+),
+best AS (
+  SELECT g, d, s, m,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY ABS(s) DESC, d) AS rk
+  FROM scored
+)
+SELECT g AS "group", d AS change_day, ROUND(s, 6) AS cusum_peak,
+       ROUND(m, 6) AS series_mean
+FROM best WHERE rk = 1 ORDER BY "group" """,
+        "forecast": """
+WITH daily AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY g),
+grid AS (
+  SELECT s.g, s.d0, s.d1, gg.g2 AS d
+  FROM spans s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1)) AS g2) gg
+),
+filled AS (
+  SELECT gr.g, gr.d0, gr.d1, gr.d, COALESCE(daily.n, 0) AS n
+  FROM grid gr LEFT JOIN daily ON daily.g = gr.g AND daily.d = gr.d
+)
+SELECT g AS "group", d1 AS last_day,
+       ROUND(SUM(n * (0.25 * POWER(0.75, d1 - d)
+                      + CASE WHEN d = d0
+                             THEN POWER(0.75, d1 - d0 + 1)
+                             ELSE 0 END)), 6) AS forecast
+FROM filled GROUP BY g, d0, d1 ORDER BY "group" """,
         "k_anonymity": """
 WITH g AS (
   SELECT user_id, event_type, COUNT(*) AS n

@@ -557,3 +557,130 @@ def cube_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str | None = "event_type",
+) -> DataFrame:
+    """CUSUM change-point detection over daily counts: per group, the
+    day where the cumulative deviation from the series mean peaks in
+    magnitude — the classic "when did the level shift" readout
+    (complements term_bursts' trailing-baseline spike detector: CUSUM
+    finds sustained shifts, bursts finds spikes).
+
+    S_t = Σ_{i≤t} (x_i − x̄); the |S| argmax splits the series at the
+    most likely level change. Per-group daily census is one aggregate;
+    the cumulative window runs over the DAY table per group (bounded by
+    distinct days). Ties break to the earliest day. Returns
+    (group, change_day, cusum_peak, series_mean) at 6dp."""
+    from pyspark.sql import Window
+
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    g = F.col(group_col) if group_col else F.lit("all")
+    daily = (
+        events.select(g.alias("group"), day.alias("d"))
+        .groupBy("group", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy("group")
+    wcum = (
+        Window.partitionBy("group")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = daily.select(
+        "group",
+        "d",
+        F.avg("n").over(wg).alias("_mean"),
+        F.sum("n").over(wcum).alias("_cum"),
+        F.row_number()
+        .over(Window.partitionBy("group").orderBy("d"))
+        .alias("_t"),
+    ).select(
+        "group",
+        "d",
+        "_mean",
+        (F.col("_cum") - F.col("_t") * F.col("_mean")).alias("_s"),
+    )
+    wbest = Window.partitionBy("group").orderBy(
+        F.desc(F.abs(F.col("_s"))), F.asc("d")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wbest))
+        .where("_rk = 1")
+        .select(
+            "group",
+            F.col("d").alias("change_day"),
+            F.round("_s", 6).alias("cusum_peak"),
+            F.round("_mean", 6).alias("series_mean"),
+        )
+    )
+
+
+def ewma_forecast(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Next-day EWMA forecast of daily counts per group, CLOSED FORM:
+    EWMA after the last of T days = Σ_i α(1−α)^(T−i) x_i + (1−α)^T x_1
+    (the recursive definition unrolled, seeding at the first
+    observation), so the whole forecast is one weighted sum — no
+    sequential state, no driver loop, exact at any parallelism. α is a
+    RATIONAL (num/den) so the weights are exact powers. Missing days
+    count 0 (the honest daily-series semantics — gaps decay the
+    average). Returns (group, last_day, forecast) at 6dp."""
+    from pyspark.sql import Window
+
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    daily = (
+        events.select(F.col(group_col).alias("group"), day.alias("d"))
+        .groupBy("group", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy("group")
+    alpha = alpha_num / alpha_den
+    # full day range per group: min..max with missing days as 0
+    spans = daily.groupBy("group").agg(
+        F.min("d").alias("_d0"), F.max("d").alias("_d1")
+    )
+    grid = spans.select(
+        "group",
+        "_d1",
+        F.explode(F.sequence("_d0", "_d1")).alias("d"),
+    )
+    filled = grid.join(daily, ["group", "d"], "left").select(
+        "group",
+        "_d1",
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    # weight for day d: alpha*(1-alpha)^(d1-d), plus the seed term
+    # (1-alpha)^(T-1) extra weight on the FIRST day (T = d1-d0+1)
+    w0 = Window.partitionBy("group")
+    t = F.col("_d1") - F.min("d").over(w0) + 1
+    is_first = F.col("d") == F.min("d").over(w0)
+    weight = F.lit(alpha) * F.pow(
+        F.lit(1 - alpha), F.col("_d1") - F.col("d")
+    ) + F.when(
+        is_first, F.pow(F.lit(1 - alpha), t - 1) * F.lit(1 - alpha)
+    ).otherwise(0.0)
+    # note: seed weight folds the recursion EWMA_1 = x_1: total first-day
+    # weight = alpha*(1-a)^(T-1) + (1-a)^(T-1)*(1-a) ... see test for the
+    # replayed recursive definition this equals.
+    contrib = filled.select(
+        "group", "_d1", (F.col("n") * weight).alias("_c")
+    )
+    return (
+        contrib.groupBy("group", "_d1")
+        .agg(F.round(F.sum("_c"), 6).alias("forecast"))
+        .select("group", F.col("_d1").alias("last_day"), "forecast")
+    )

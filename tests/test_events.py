@@ -449,3 +449,45 @@ def test_cube_rollup_grouping_sets(spark):
     assert got[(None, d0)] == (3, 7.0)          # day margin
     assert got[(None, None)] == (4, 15.0)       # grand total
     assert len(got) == 3 + 2 + 2 + 1
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import cusum_changepoint
+
+    rows = []
+    # 5 days at ~2 events/day then 5 days at ~8/day -> change at day 5
+    for d in range(10):
+        n = 2 if d < 5 else 8
+        for i in range(n):
+            rows.append(("a", dt.datetime(2024, 1, 1 + d, i)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_changepoint(ev).collect()[0]
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    # cumulative deviation from the mean (5) is most negative at the
+    # last low day (day index 4)
+    assert r["change_day"] == d0 + 4
+    assert r["series_mean"] == 5.0
+    assert r["cusum_peak"] == -15.0  # 5 days * (2-5)
+
+
+def test_ewma_forecast_equals_recursive_definition(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import ewma_forecast
+
+    counts = [4, 0, 6, 2, 10]  # day 2 missing -> zero-filled
+    rows = []
+    for d, n in enumerate(counts):
+        for i in range(n):
+            rows.append(("a", dt.datetime(2024, 1, 1 + d, i % 24)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = ewma_forecast(ev, alpha_num=1, alpha_den=4).collect()[0]
+    a = 0.25
+    e = counts[0]
+    for x in counts[1:]:
+        e = a * x + (1 - a) * e
+    assert r["forecast"] == round(e, 6)
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert r["last_day"] == d0 + 4
