@@ -1676,6 +1676,22 @@ def _q_forecast(spark, sf_dir):
     return ewma_forecast(spark.table("events")).orderBy("group")
 
 
+def _q_pca_projection(spark, sf_dir):
+    """First-principal-component projection
+    (functions/cluster.pca_project): Arrow-batched Gram partials, the
+    UNNORMALIZED power iteration v = G^8 * 1 (closed form -- no
+    eigensolver, no sign ambiguity, every step a sum the oracle
+    replays), L2-normalized direction, one dot per vector."""
+    from parconnect_spark.functions.cluster import pca_project
+
+    _views(spark, sf_dir, ("embeddings",))
+    return (
+        pca_project(spark.table("embeddings"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3157,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_temporal": _q_cc_temporal,
         "temporal_reach": _q_temporal_reach,
         "centroid_drift": _q_centroid_drift,
+        "pca_projection": _q_pca_projection,
         "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
         "hub_knockout": _q_hub_knockout,
@@ -3555,6 +3572,32 @@ SELECT g AS "group",
        ROUND(n + CASE WHEN u < 0.5 THEN ln(2 * u)
                       ELSE -ln(2 * (1 - u)) END, 6) AS noisy_count
 FROM uu ORDER BY "group" """
+
+
+def _pca_oracle(iters: int = 8, dim: int = 64) -> str:
+    sql = f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+g AS MATERIALIZED (
+  SELECT p.i AS p, q.i AS q,
+         SUM(CAST(e.embedding[p.i] AS DOUBLE)
+             * CAST(e.embedding[q.i] AS DOUBLE)) AS g
+  FROM embeddings e, idx p, idx q GROUP BY p.i, q.i
+),
+v0 AS (SELECT i.i AS p, 1.0 AS v FROM idx i)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+v{k} AS MATERIALIZED (
+  SELECT g.p, SUM(g.g * x.v) AS v FROM g JOIN v{k - 1} x ON x.p = g.q
+  GROUP BY g.p
+)"""
+    sql += f""",
+nrm AS (SELECT SQRT(SUM(v * v)) AS n FROM v{iters})
+SELECT e.vec_id AS vec_id,
+       ROUND(SUM(CAST(e.embedding[vv.p] AS DOUBLE) * vv.v) / MAX(nrm.n), 6)
+         AS pc1
+FROM embeddings e, v{iters} vv, nrm
+GROUP BY e.vec_id ORDER BY vec_id"""
+    return sql
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -6762,6 +6805,7 @@ reach(v, t) AS (
 )
 SELECT v, CAST(MIN(t) AS BIGINT) AS arrival
 FROM reach GROUP BY v ORDER BY v""",
+        "pca_projection": _pca_oracle(),
         "centroid_drift": """
 WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
 ce AS (

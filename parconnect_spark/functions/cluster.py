@@ -201,3 +201,61 @@ def embedding_gram(
             F.col("s_ij").cast("decimal(38,0)").alias("s_ij"),
         )
     )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """First-principal-component projection, end to end: Gram matrix by
+    Arrow-batched partials (one X'X per batch, summed map-side — the
+    same one-pass shape as embedding_gram, double precision here where
+    that operator keeps the exact-integer 10^12-vector path), then the
+    UNNORMALIZED power iteration v = G^iters · 1 (no per-step rescale —
+    doubles hold the growth comfortably and the L2 normalization at the
+    end makes the scale irrelevant; every step is a closed-form sum an
+    ANSI oracle replays), then one dot product per vector against the
+    normalized direction. Returns (id, pc1) at 6dp.
+
+    Sign convention: G^k·1 is deterministic (no eigensolver sign
+    ambiguity) — reproducibility is the contract, orientation is not."""
+    import numpy as np
+    import pandas as pd
+
+    def gram_partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            G = X.T @ X
+            p, q = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"p": p.ravel(), "q": q.ravel(), "g": G.ravel()}
+            )
+
+    gram_rows = (
+        embeddings.select(vec_col)
+        .mapInPandas(gram_partials, schema="p int, q int, g double")
+        .groupBy("p", "q")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = np.zeros((dim, dim))
+    for r in gram_rows:
+        G[r["p"], r["q"]] = r["g"]
+    v = np.ones(dim)
+    for _ in range(iters):
+        v = G @ v
+    v = v / np.sqrt(float(v @ v))
+    vec_lit = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), vec_lit, lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.round(dot, 6).alias("pc1")
+    )

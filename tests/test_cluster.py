@@ -150,3 +150,40 @@ def test_embedding_gram_partition_invariant(spark):
     a = sorted(map(tuple, embedding_gram(emb.repartition(1)).collect()))
     b = sorted(map(tuple, embedding_gram(emb.repartition(7)).collect()))
     assert a == b
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from parconnect_spark.functions.cluster import pca_project
+
+    rng_rows = []
+    # deterministic anisotropic cloud in 4-d: dominant axis = (1,1,0,0)
+    for i in range(40):
+        a = ((i * 37) % 19 - 9) / 3.0          # large variance
+        b = ((i * 11) % 7 - 3) / 10.0          # small variance
+        rng_rows.append((i, [a + b, a - b, b, 0.1]))
+    d = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r["pc1"] for r in pca_project(d, dim=4, iters=8).collect()}
+
+    X = np.array([r[1] for r in rng_rows], dtype=np.float32).astype(np.float64)
+    G = X.T @ X
+    v = np.ones(4)
+    for _ in range(8):
+        v = G @ v
+    v /= np.sqrt(v @ v)
+    exp = X @ v
+    for i in range(40):
+        assert abs(got[i] - round(float(exp[i]), 6)) <= 2e-6
+    # the dominant direction is ~(1,1,0,0)/sqrt(2): check alignment
+    assert abs(abs(v[0]) - abs(v[1])) < 0.05 and abs(v[2]) < 0.2
+
+
+def test_pca_project_partition_invariant_at_6dp(spark):
+    from parconnect_spark.functions.cluster import pca_project
+
+    rows = [(i, [float((i * 13) % 11), float(i % 5), 1.0, 0.0]) for i in range(60)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, pca_project(d, dim=4).collect()))
+    b = sorted(map(tuple, pca_project(d.repartition(9), dim=4).collect()))
+    assert a == b and a
