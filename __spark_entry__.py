@@ -3029,6 +3029,18 @@ def _q_jsonl_ingest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_transition_latency(spark, sf_dir):
+    """Exact response-latency percentiles per entity transition
+    (operators/derive.transition_latency): p50/p95 of the inter-turn
+    gap in whole seconds, rank arithmetic over the per-(pair, gap)
+    COUNT table (bounded by distinct gap values, not turns) -- the
+    per-edge latency SLO readout, query #150 of the contract."""
+    from parconnect_spark.operators.derive import transition_latency
+
+    t = _transcripts(spark, sf_dir)
+    return transition_latency(t).orderBy("a", "b")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3299,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": _q_scd2,
         "conversation_features": _q_conversation_features,
         "conversation_paths": _q_conversation_paths,
+        "transition_latency": _q_transition_latency,
         "jsonl_ingest": _q_jsonl_ingest,
         "dq_report": _q_dq_report,
         "table_stats": _q_table_stats,
@@ -6851,6 +6864,35 @@ FROM transcripts GROUP BY conv_id
 UNION ALL
 SELECT '__corrupt__', CAST(3 AS BIGINT)
 ORDER BY conv_id""",
+        "transition_latency": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+tt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS entity,
+         epoch_us(ts) AS tsu
+  FROM transcripts
+),
+gp AS (
+  SELECT LAG(entity) OVER w AS a, entity AS b,
+         CAST((tsu - LAG(tsu) OVER w) // 1000000 AS BIGINT) AS gap_s
+  FROM tt WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+cnt AS (
+  SELECT a, b, gap_s, COUNT(*) AS c FROM gp WHERE a IS NOT NULL
+  GROUP BY a, b, gap_s
+),
+rk AS (
+  SELECT a, b, gap_s,
+         SUM(c) OVER (PARTITION BY a, b ORDER BY gap_s) AS cum,
+         SUM(c) OVER (PARTITION BY a, b) AS n
+  FROM cnt
+)
+SELECT a, b, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN 2 * cum >= n THEN gap_s END) AS p50_s,
+       MIN(CASE WHEN 20 * cum >= 19 * n THEN gap_s END) AS p95_s
+FROM rk GROUP BY a, b ORDER BY a, b""",
         "conversation_paths": "WITH RECURSIVE "
         + TRANSCRIPTS_CTE
         + """,

@@ -345,3 +345,66 @@ def conversation_paths(transcripts: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_convs"), "path")
         .limit(top_k)
     )
+
+
+def transition_latency(transcripts: DataFrame) -> DataFrame:
+    """Exact response-latency percentiles per entity transition: for
+    every (a → b) consecutive-turn pair, the count plus the exact p50
+    and p95 of the inter-turn gap in WHOLE SECONDS — the latency SLO
+    readout per interaction edge ("how fast does the assistant follow
+    the user", "how slow is the search tool").
+
+    Exactness discipline = group_quantile_filter's: percentiles are
+    rationals over integer second-resolution gaps, the rank window runs
+    over the per-(pair, gap) COUNT table (bounded by distinct gap
+    values, not turn count — the second quantization is what bounds the
+    domain), and p_q = the smallest gap whose inclusive cumulative count
+    reaches ceil(q·n) — no interpolation, bit-identical on any engine.
+
+    Returns (a, b, n, p50_s, p95_s)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ent = turn_entity()
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            ent.alias("b"),
+            F.lag(ent).over(w).alias("a"),
+            ((tsu - F.lag(tsu).over(w)) / F.lit(1_000_000))
+            .cast("long")
+            .alias("gap_s"),
+        )
+        .where(F.col("a").isNotNull())
+        .select("a", "b", "gap_s")
+    )
+    cnt = gaps.groupBy("a", "b", "gap_s").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wp = Window.partitionBy("a", "b")
+    wcum = (
+        Window.partitionBy("a", "b")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = cnt.select(
+        "a",
+        "b",
+        "gap_s",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wp).alias("_n"),
+    )
+    def pick(num: int, den: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.lit(den) * F.col("_cum") >= F.lit(num) * F.col("_n"),
+                F.col("gap_s"),
+            )
+        )
+    return ranked.groupBy("a", "b").agg(
+        F.max("_n").alias("n"),
+        pick(1, 2).alias("p50_s"),
+        pick(19, 20).alias("p95_s"),
+    )

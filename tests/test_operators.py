@@ -477,3 +477,30 @@ def test_conversation_paths_order_and_counts(spark):
     # partition invariance of the ordered path
     got2 = [tuple(r) for r in conversation_paths(d.repartition(7)).collect()]
     assert got2 == got
+
+
+def test_transition_latency_exact_percentiles(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.derive import transition_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 20 conversations user->assistant with gaps 1..20 seconds
+    for c in range(20):
+        rows.append((f"c{c}", 0, "user", "q", None, t0))
+        rows.append(
+            (f"c{c}", 1, "assistant", "a", None,
+             t0 + dt.timedelta(seconds=c + 1))
+        )
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = transition_latency(d).collect()
+    assert len(r) == 1
+    row = r[0]
+    # n=20; p50 = 10th smallest = 10; p95 = ceil(0.95*20)=19th = 19
+    assert (row["a"], row["b"], row["n"]) == ("r:user", "r:assistant", 20)
+    assert row["p50_s"] == 10 and row["p95_s"] == 19
