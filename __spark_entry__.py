@@ -1692,6 +1692,41 @@ def _q_pca_projection(spark, sf_dir):
     )
 
 
+def _q_range_splits(spark, sf_dir):
+    """Exact equi-depth range splitters (functions/sampling.range_splits)
+    over event user_ids at 8 ranges -- the boundaries a range
+    partitioner wants, computed exactly by rank arithmetic over the
+    per-value count table (Spark's own partitioner samples; this is the
+    ground truth it approximates)."""
+    from parconnect_spark.functions.sampling import range_splits
+
+    _views(spark, sf_dir, ("events",))
+    return range_splits(spark.table("events"), "user_id", 8).orderBy(
+        "split_idx"
+    )
+
+
+def _q_jl_projection(spark, sf_dir):
+    """Seeded Johnson-Lindenstrauss sign projection to 16-d
+    (functions/cluster.jl_project): the md5-drawn sign matrix folds into
+    one narrow zero-shuffle Catalyst projection and replays exactly in
+    SQL. Long form (vec_id, dim, y) so the oracle compares scalar
+    cells."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.cluster import jl_project
+
+    _views(spark, sf_dir, ("embeddings",))
+    out = jl_project(spark.table("embeddings"), out_dim=16)
+    return (
+        out.select(
+            F.col("id").alias("vec_id"),
+            F.posexplode("y").alias("dim", "y"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3186,6 +3221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": _q_temporal_reach,
         "centroid_drift": _q_centroid_drift,
         "pca_projection": _q_pca_projection,
+        "jl_projection": _q_jl_projection,
+        "range_splits": _q_range_splits,
         "graph_diff": _q_graph_diff,
         "cc_stats": _q_cc_stats,
         "hub_knockout": _q_hub_knockout,
@@ -3611,6 +3648,31 @@ SELECT e.vec_id AS vec_id,
 FROM embeddings e, v{iters} vv, nrm
 GROUP BY e.vec_id ORDER BY vec_id"""
     return sql
+
+
+def _jl_oracle(out_dim: int = 16, in_dim: int = 64, seed: str = "jl") -> str:
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    dims = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            h = _md5int_duck(f"'{seed}:{j}:{i}'")
+            terms.append(
+                f"(CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+                f" * CAST(embedding[{i + 1}] AS DOUBLE))"
+            )
+        dims.append(
+            f"SELECT vec_id, {j} AS dim, "
+            f"ROUND(({' + '.join(terms)}) * {inv!r}, 6) AS y "
+            f"FROM embeddings"
+        )
+    return (
+        "SELECT vec_id, CAST(dim AS INT) AS dim, y FROM ("
+        + " UNION ALL ".join(dims)
+        + ") _ ORDER BY vec_id, dim"
+    )
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -6819,6 +6881,16 @@ reach(v, t) AS (
 SELECT v, CAST(MIN(t) AS BIGINT) AS arrival
 FROM reach GROUP BY v ORDER BY v""",
         "pca_projection": _pca_oracle(),
+        "jl_projection": _jl_oracle(),
+        "range_splits": """
+WITH cnt AS (SELECT user_id AS v, COUNT(*) AS c FROM events GROUP BY user_id),
+rk AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM cnt
+)
+SELECT i.i AS split_idx,
+       (SELECT MIN(v) FROM rk WHERE 8 * cum >= i.i * n) AS boundary
+FROM (SELECT unnest(generate_series(1, 7)) AS i) i
+ORDER BY split_idx""",
         "centroid_drift": """
 WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
 ce AS (

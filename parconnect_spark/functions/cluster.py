@@ -259,3 +259,43 @@ def pca_project(
     return embeddings.select(
         F.col(id_col).alias("id"), F.round(dot, 6).alias("pc1")
     )
+
+
+def jl_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign-matrix random projection to
+    ``out_dim`` — the cheap dimensionality reduction ahead of ANN /
+    clustering when even PCA's Gram pass is too much: y_j = Σ_i s_ij·x_i
+    / √out_dim with s_ij ∈ {−1, +1} drawn from md5(seed:j:i), so the
+    matrix is REPLAYABLE (any engine, any session — the
+    functions/similarity hyperplane-LSH discipline) and never
+    materialized: it folds into one Catalyst expression per output
+    dimension, a narrow zero-shuffle projection.
+
+    Returns (id, y: array<double>) with each coordinate at 6dp."""
+    import math
+
+    from parconnect_spark.functions.dedup import md5int
+
+    inv = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for j in range(out_dim):
+        terms = None
+        for i in range(in_dim):
+            sign = (
+                F.when(
+                    md5int(F.lit(f"{seed}:{j}:{i}")) % 2 == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+            )
+            t = sign * F.col(vec_col)[i].cast("double")
+            terms = t if terms is None else terms + t
+        cols.append(F.round(terms * F.lit(inv), 6))
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.array(*cols).alias("y")
+    )

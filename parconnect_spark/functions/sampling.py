@@ -346,3 +346,46 @@ def group_quantile_filter(
         .where(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def range_splits(
+    df: DataFrame,
+    col: str,
+    n_ranges: int,
+) -> DataFrame:
+    """EXACT equi-depth range boundaries: the (i/n)-quantiles of ``col``
+    for i = 1..n-1 — precisely the splitters a range partitioner wants
+    (Spark samples to approximate these; this computes them exactly,
+    which is also the equi-depth histogram and the SORTED-output file
+    plan). Same rank discipline as group_quantile_filter: the cumulative
+    window runs over the per-VALUE count table (bounded by value
+    cardinality, not rows), boundary i = the smallest value whose
+    inclusive cumulative count reaches ceil(i·n_rows/n_ranges), all
+    integer arithmetic. Returns (split_idx 1..n-1, boundary)."""
+    from pyspark.sql import Window
+
+    if n_ranges < 2:
+        raise ValueError("n_ranges must be >= 2")
+    cnt = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cnt.select(
+        "v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.lit(n_ranges) * F.col("_cum") >= F.lit(i) * F.col("_n"),
+                F.col("v"),
+            )
+        ).alias(f"_b{i}")
+        for i in range(1, n_ranges)
+    ]
+    row = ranked.agg(*picks).collect()[0]
+    return df.sparkSession.createDataFrame(
+        [(i, row[f"_b{i}"]) for i in range(1, n_ranges)],
+        f"split_idx int, boundary long",
+    )

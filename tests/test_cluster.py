@@ -187,3 +187,25 @@ def test_pca_project_partition_invariant_at_6dp(spark):
     a = sorted(map(tuple, pca_project(d, dim=4).collect()))
     b = sorted(map(tuple, pca_project(d.repartition(9), dim=4).collect()))
     assert a == b and a
+
+
+def test_jl_project_matches_pure_python_and_preserves_norms(spark):
+    import hashlib
+    import math
+
+    from parconnect_spark.functions.cluster import jl_project
+
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)]) for i in range(12)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r["y"] for r in jl_project(d, out_dim=4, in_dim=8, seed="t").collect()}
+
+    def sign(j, i):
+        h = int(hashlib.md5(f"t:{j}:{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    for vid, vec in rows:
+        exp = [
+            round(sum(sign(j, i) * vec[i] for i in range(8)) / math.sqrt(4), 6)
+            for j in range(4)
+        ]
+        assert all(abs(a - b) < 2e-6 for a, b in zip(got[vid], exp))

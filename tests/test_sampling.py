@@ -339,3 +339,20 @@ def test_group_quantile_filter_partition_invariance_and_guards(spark):
         group_quantile_filter(df, "grp", "score", 5, 4)
     with pytest.raises(ValueError):
         group_quantile_filter(df, "grp", "score", 1, 0)
+
+
+def test_range_splits_exact_quantile_boundaries(spark):
+    import pytest
+
+    from parconnect_spark.functions.sampling import range_splits
+
+    # values 1..100, 4 ranges -> boundaries at ceil(25/50/75%) = 25,50,75
+    d = spark.range(1, 101).selectExpr("id AS v")
+    got = {r["split_idx"]: r["boundary"] for r in range_splits(d, "v", 4).collect()}
+    assert got == {1: 25, 2: 50, 3: 75}
+    # duplicates: 50x value 7, 50x value 9 -> both boundaries land on values
+    d2 = spark.createDataFrame([(7,)] * 50 + [(9,)] * 50, "v long")
+    got2 = {r["split_idx"]: r["boundary"] for r in range_splits(d2, "v", 2).collect()}
+    assert got2 == {1: 7}
+    with pytest.raises(ValueError):
+        range_splits(d, "v", 1)
