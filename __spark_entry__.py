@@ -6887,8 +6887,9 @@ WITH cnt AS (SELECT user_id AS v, COUNT(*) AS c FROM events GROUP BY user_id),
 rk AS (
   SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM cnt
 )
-SELECT i.i AS split_idx,
-       (SELECT MIN(v) FROM rk WHERE 8 * cum >= i.i * n) AS boundary
+SELECT CAST(i.i AS INT) AS split_idx,
+       CAST((SELECT MIN(v) FROM rk WHERE 8 * cum >= i.i * n) AS BIGINT)
+         AS boundary
 FROM (SELECT unnest(generate_series(1, 7)) AS i) i
 ORDER BY split_idx""",
         "centroid_drift": """
