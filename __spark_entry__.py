@@ -3076,6 +3076,33 @@ def _q_transition_latency(spark, sf_dir):
     return transition_latency(t).orderBy("a", "b")
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch-style readability (functions/text.readability_features):
+    words/sentences/vowel-group syllables from deterministic regex
+    proxies (the declared metric, same stance as the language-ID
+    heuristic) -- one narrow zero-shuffle projection."""
+    from parconnect_spark.functions.text import readability_features
+
+    _views(spark, sf_dir, ("documents",))
+    return (
+        readability_features(spark.table("documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain
+    (operators/events.markov_stationary): distributed transition counts
+    (bounded per-user lag), row-normalized, 16 closed-form chain
+    iterations over the |types|^2 table -- the long-run behavioral
+    mix."""
+    from parconnect_spark.operators.events import markov_stationary
+
+    _views(spark, sf_dir, ("events",))
+    return markov_stationary(spark.table("events")).orderBy("event_type")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3255,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": _q_ab_test,
         "changepoint": _q_changepoint,
         "forecast": _q_forecast,
+        "markov_stationary": _q_markov_stationary,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -3293,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "inverted_index": _q_inverted_index,
         "bm25": _q_bm25,
+        "readability": _q_readability,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -3673,6 +3702,31 @@ def _jl_oracle(out_dim: int = 16, in_dim: int = 64, seed: str = "jl") -> str:
         + " UNION ALL ".join(dims)
         + ") _ ORDER BY vec_id, dim"
     )
+
+
+def _markov_oracle(iters: int = 16) -> str:
+    sql = """
+WITH tr AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS a,
+         event_type AS b
+  FROM events
+),
+cnts AS (SELECT a, b, COUNT(*) AS n FROM tr WHERE a IS NOT NULL GROUP BY a, b),
+tot AS (SELECT a, SUM(n) AS t FROM cnts GROUP BY a),
+pm AS (SELECT c.a, c.b, c.n * 1.0 / tot.t AS pn FROM cnts c JOIN tot ON tot.a = c.a),
+types AS (SELECT DISTINCT a AS ty FROM cnts UNION SELECT DISTINCT b FROM cnts),
+kk AS (SELECT COUNT(*) AS c FROM types),
+p0 AS (SELECT ty, 1.0 / kk.c AS p FROM types, kk)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+p{k} AS (
+  SELECT pm.b AS ty, SUM(x.p * pm.pn) AS p
+  FROM p{k - 1} x JOIN pm ON pm.a = x.ty GROUP BY pm.b
+)"""
+    sql += f"""
+SELECT ty AS event_type, ROUND(p, 6) AS pi FROM p{iters} ORDER BY event_type"""
+    return sql
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -6054,6 +6108,7 @@ best AS (
 SELECT g AS "group", d AS change_day, ROUND(s, 6) AS cusum_peak,
        ROUND(m, 6) AS series_mean
 FROM best WHERE rk = 1 ORDER BY "group" """,
+        "markov_stationary": _markov_oracle(),
         "forecast": """
 WITH daily AS (
   SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d, COUNT(*) AS n
@@ -6087,6 +6142,21 @@ SELECT CAST(3 AS INT) AS k,
        ROUND(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
          AS frac_at_risk
 FROM g""",
+        "readability": """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+         GREATEST(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                     x -> x <> ''))) AS se,
+         len(list_filter(regexp_split_to_array(lower(text), '[^aeiouy]+'),
+                         x -> x <> '')) AS sy
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS n_words, CAST(se AS INT) AS n_sentences,
+       CAST(sy AS INT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (w * 1.0 / se)
+             - 84.6 * (sy * 1.0 / GREATEST(w, 1)), 6) AS flesch
+FROM base WHERE w > 0 ORDER BY doc_id""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -886,3 +886,44 @@ def fuzzy_pairs(
     return cands.select(
         "a", "b", F.levenshtein("a", "b").alias("dist")
     ).where(F.col("dist") <= max_dist)
+
+
+def readability_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style readability per doc from three deterministic,
+    engine-replicable proxies: words = whitespace tokens, sentences =
+    [.!?] runs (min 1), syllables = vowel GROUPS per word (the standard
+    regex proxy — exact syllabification needs a dictionary; the proxy is
+    the declared metric, same stance as the language-ID heuristic).
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    One narrow projection — regexp counts, no shuffle. Returns
+    (id, n_words, n_sentences, n_syllables, flesch) at 6dp."""
+    toks = tokens_col(F.col(text_col))
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.col(text_col), r"[.!?]+"), lambda s: s != "")),
+    )
+    # vowel groups across the whole text == sum of per-word groups
+    syll = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^aeiouy]+"),
+            lambda s: s != "",
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syll / F.greatest(words, F.lit(1)))
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    ).where(words > 0)

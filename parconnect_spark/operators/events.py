@@ -684,3 +684,52 @@ def ewma_forecast(
         .agg(F.round(F.sum("_c"), 6).alias("forecast"))
         .select("group", F.col("_d1").alias("last_day"), "forecast")
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    iters: int = 16,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain:
+    consecutive-event transition counts (per user, ordered by ts with
+    event_id tiebreak), row-normalized into P, then π = uniform·P^iters
+    — the long-run behavioral mix ("where do users end up"). The
+    distributed work is the transition count (one bounded per-user lag
+    window + one aggregate); the |types|² chain iteration runs on the
+    driver over the collected count table, closed-form and replayable.
+    Returns (event_type, pi) at 6dp."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col("event_id")
+    )
+    trans = (
+        events.select(
+            F.lag(type_col).over(w).alias("a"), F.col(type_col).alias("b")
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    types = sorted({r["a"] for r in trans} | {r["b"] for r in trans})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    P = [[0.0] * k for _ in range(k)]
+    totals = [0] * k
+    for r in trans:
+        totals[idx[r["a"]]] += r["n"]
+    for r in trans:
+        P[idx[r["a"]]][idx[r["b"]]] = r["n"] / totals[idx[r["a"]]]
+    pi = [1.0 / k] * k
+    for _ in range(iters):
+        pi = [
+            sum(pi[i] * P[i][j] for i in range(k)) for j in range(k)
+        ]
+    return events.sparkSession.createDataFrame(
+        [(t, round(pi[idx[t]], 6)) for t in types],
+        "event_type string, pi double",
+    )

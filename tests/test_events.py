@@ -491,3 +491,22 @@ def test_ewma_forecast_equals_recursive_definition(spark):
     assert r["forecast"] == round(e, 6)
     d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
     assert r["last_day"] == d0 + 4
+
+
+def test_markov_stationary_two_state_chain(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import markov_stationary
+
+    t0 = dt.datetime(2024, 1, 1)
+    # transitions: a->b x4 (P=1), b->a x3, b->b x2 (P(b->a)=3/5):
+    # solve pi_a = pi_b*3/5 ; pi_a+pi_b=1 -> pi=(3/8, 5/8)
+    seq = ["a", "b", "b", "a", "b", "b", "a", "b", "a", "b"]
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), s) for i, s in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {r["event_type"]: r["pi"] for r in markov_stationary(ev, iters=64).collect()}
+    assert abs(got["a"] - 0.375) < 1e-4 and abs(got["b"] - 0.625) < 1e-4

@@ -294,3 +294,22 @@ def test_fuzzy_pairs_cross_boundary_band(spark):
     d = spark.createDataFrame([("abcde",), ("abcdef",)], "s string")
     got = [tuple(r) for r in fuzzy_pairs(d, max_dist=1, q=3).collect()]
     assert got == [("abcde", "abcdef", 1)]
+
+
+def test_readability_features_known_text(spark):
+    from parconnect_spark.functions.text import readability_features
+
+    d = spark.createDataFrame(
+        [(0, "the cat sat. the dog ran!"), (1, ""), (2, "one")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r.asDict() for r in readability_features(d).collect()}
+    assert 1 not in got  # empty text dropped
+    r0 = got[0]
+    # words 6, sentences 2, vowel groups: e,a,a,e,o,a -> 6
+    assert r0["n_words"] == 6 and r0["n_sentences"] == 2
+    assert r0["n_syllables"] == 6
+    assert r0["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)
+    r2 = got[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 1
+    assert r2["n_syllables"] == 2  # o, e
