@@ -519,6 +519,19 @@ def _q_bfs_distances(spark, sf_dir):
     return _with_names(d, id_map, "dist")
 
 
+def _q_landmark_distances(spark, sf_dir):
+    """Landmark distance-oracle sketch (plans/bfs.
+    landmark_distance_table): exact hop distances from the 3 highest-
+    degree entities via ONE shared MS-BFS frontier loop -- k|V| stored
+    distances answering pairwise queries by triangle-inequality lookups.
+    Top-degree landmarks sit where scale-free shortest paths
+    concentrate."""
+    from parconnect_spark.plans.bfs import landmark_distance_table
+
+    _t, edges, _m = _graph(spark, sf_dir)
+    return landmark_distance_table(edges, 3).orderBy("root", "v")
+
+
 def _q_pseudo_diameter(spark, sf_dir):
     """Double-sweep diameter lower bound on the entity graph (start pinned
     to vertex 0; far-vertex ties break to the smaller id, so the scalar row
@@ -3283,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": _q_changepoint,
         "forecast": _q_forecast,
         "markov_stationary": _q_markov_stationary,
+        "landmark_distances": _q_landmark_distances,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
@@ -5571,6 +5585,19 @@ dist(v, d) AS (
 )
 SELECT i.name AS name, CAST(MIN(r.d) AS INT) AS dist
 FROM dist r JOIN ids i ON i.id = r.v GROUP BY i.name ORDER BY name""",
+        "landmark_distances": _GRAPH_PREFIX
+        + """,
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+lm AS (SELECT src AS root FROM deg ORDER BY d DESC, src LIMIT 3),
+walk(root, v, d) AS (
+  SELECT root, root, 0 FROM lm
+  UNION
+  SELECT w.root, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < 32
+)
+SELECT root, v, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY root, v ORDER BY root, v""",
         "pseudo_diameter": _GRAPH_PREFIX
         + """,
 dist0(v, d) AS (

@@ -18,6 +18,8 @@ from parconnect_spark.plans.bfs import (
     multi_source_bfs,
     harmonic_centrality,
     closeness_centrality,
+    landmark_distance_table,
+    estimate_distance,
 )
 from parconnect_spark.plans.betweenness import betweenness_centrality
 from parconnect_spark.plans.sssp import sssp
@@ -69,6 +71,8 @@ __all__ = [
     "powerlaw_ks_distance",
     "eigencentrality",
     "earliest_arrival",
+    "landmark_distance_table",
+    "estimate_distance",
     "walk_skipgram_pairs",
     "hits",
     "katz",

@@ -427,3 +427,43 @@ def closeness_centrality(edges: DataFrame, sources: list[int]) -> DataFrame:
             "closeness", F.col("n_sources") / F.col("total_dist")
         )
     )
+
+
+def landmark_distance_table(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Landmark (pivot) distance labeling: exact hop distances from the
+    ``k`` highest-degree vertices (ties to the smaller id) to every
+    reachable vertex — the classic distance-oracle sketch: store k·|V|
+    distances instead of |V|² and answer d(u, v) ≲ min_l d(u,l)+d(l,v)
+    by two lookups (triangle-inequality upper bound; exact when some
+    shortest path passes a landmark — and top-degree vertices are
+    exactly where shortest paths concentrate in scale-free graphs).
+
+    Landmark selection is a TakeOrdered over the degree census; the k
+    sweeps share ONE MS-BFS frontier loop (plans/bfs.multi_source_bfs —
+    per-superstep fixed cost amortized k-way). Returns
+    (root, v, dist)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    roots = [
+        int(r["src"])
+        for r in deg.orderBy(F.desc("_d"), F.asc("src")).limit(k).collect()
+    ]
+    return multi_source_bfs(edges, roots)
+
+
+def estimate_distance(
+    landmark_table: DataFrame, u: int, v: int
+) -> int | None:
+    """Triangle-inequality distance estimate from the landmark table:
+    min over landmarks of d(u,l) + d(l,v) (symmetric edges ⇒ d(l,u) =
+    d(u,l)). None when no landmark reaches both. Two filtered lookups +
+    a driver-side min — the query-time half of the sketch."""
+    du = {
+        r["root"]: r["dist"]
+        for r in landmark_table.where(F.col("v") == u).collect()
+    }
+    dv = {
+        r["root"]: r["dist"]
+        for r in landmark_table.where(F.col("v") == v).collect()
+    }
+    common = set(du) & set(dv)
+    return min((du[l] + dv[l] for l in common), default=None)

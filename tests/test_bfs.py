@@ -335,3 +335,25 @@ def test_closeness_centrality_vs_networkx(spark):
     for v, (n, t) in exp.items():
         assert got[v][:2] == (n, t)
         assert abs(got[v][2] - n / t) < 1e-12
+
+
+def test_landmark_distances_and_estimate(spark):
+    from parconnect_spark.plans.bfs import (
+        estimate_distance,
+        landmark_distance_table,
+    )
+
+    # path 0-1-2-3-4 plus hub 2 connected to 5,6 (degree: 2 has 4)
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (2, 6)]
+    sym = sorted(set(und + [(b, a) for a, b in und]))
+    e = spark.createDataFrame(sym, "src long, dst long")
+    t = landmark_distance_table(e, k=1).persist()
+    rows = {(r["root"], r["v"]): r["dist"] for r in t.collect()}
+    # landmark = vertex 2 (highest degree)
+    assert all(root == 2 for root, _ in rows)
+    assert rows[(2, 2)] == 0 and rows[(2, 0)] == 2 and rows[(2, 4)] == 2
+    # estimate d(0,4): true 4; via landmark 2: 2+2 = 4 (exact here)
+    assert estimate_distance(t, 0, 4) == 4
+    # estimate d(5,6): true 2 via hub; landmark gives 1+1 = 2
+    assert estimate_distance(t, 5, 6) == 2
+    t.unpersist()
