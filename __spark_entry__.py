@@ -464,6 +464,27 @@ def _q_pagerank(spark, sf_dir):
     return _with_names(named, id_map, "rank")
 
 
+def _q_rank_corr(spark, sf_dir):
+    """Spearman-style correlation between PageRank and degree
+    (operators/graph.rank_correlation): Pearson over total-order ranks
+    (row_number by score DESC, vertex ASC -- the declared tiebreak that
+    makes the coefficient bit-stable across engines where min-rank over
+    doubles is not). Answers "are the rank leaders the hubs"."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.graph import rank_correlation
+    from parconnect_spark.plans.pagerank import pagerank
+
+    _t, edges, _m = _graph(spark, sf_dir)
+    pr = pagerank(
+        edges, damping=0.85, tol=None, num_iters=PR_ITERS, salt_buckets=1
+    ).select("v", F.round("rank", 6).alias("a"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("b")).select(
+        F.col("src").alias("v"), F.col("b").cast("double").alias("b")
+    )
+    return rank_correlation(pr, deg)
+
+
 def _q_scc(spark, sf_dir):
     """Strongly connected components of the DIRECTED entity graph (turn →
     next-turn, conversation → member): mutual-reachability clusters, the
@@ -3300,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
         "pagerank": _q_pagerank,
+        "rank_corr": _q_rank_corr,
         "pagerank_seeded": _q_pagerank_seeded,
         "pagerank_weighted": _q_pagerank_weighted,
         "scc": _q_scc,
@@ -3740,6 +3762,40 @@ p{k} AS (
 )"""
     sql += f"""
 SELECT ty AS event_type, ROUND(p, 6) AS pi FROM p{iters} ORDER BY event_type"""
+    return sql
+
+
+def _rank_corr_oracle(iters: int = PR_ITERS) -> str:
+    """The _pagerank_oracle chain, ended with the total-order rank
+    correlation against degree instead of the rank listing."""
+    sql = _GRAPH_PREFIX + """,
+deg AS (SELECT src AS v, 1.0 / COUNT(*) AS w FROM edges GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM ids),
+r0 AS (SELECT id AS v, 1.0 / nv.n AS rank FROM ids CROSS JOIN nv)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS (
+  SELECT i.id AS v, (1.0 - 0.85) / nv.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM ids i CROSS JOIN nv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(r.rank * d.w) AS s
+    FROM edges e JOIN r{k - 1} r ON e.src = r.v JOIN deg d ON d.v = e.src
+    GROUP BY e.dst
+  ) c ON c.v = i.id
+)"""
+    sql += f""",
+dv AS (SELECT src AS v, COUNT(*) * 1.0 AS b FROM edges GROUP BY src),
+jj AS (
+  SELECT r.v, ROUND(r.rank, 6) AS a, dv.b
+  FROM r{iters} r JOIN dv ON dv.v = r.v
+),
+rk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY a DESC, v) AS ra,
+         ROW_NUMBER() OVER (ORDER BY b DESC, v) AS rb
+  FROM jj
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(corr(ra, rb), 6) AS spearman
+FROM rk"""
     return sql
 
 
@@ -5531,6 +5587,7 @@ WHERE u - mn.m < 10 ORDER BY v""",
         "cc_kronecker": _cc_kronecker_oracle(),
         "cc_hybrid": _cc_hybrid_oracle(),
         "pagerank": _pagerank_oracle(),
+        "rank_corr": _rank_corr_oracle(),
         "pagerank_seeded": _ppr_oracle(),
         "pagerank_weighted": _wpr_oracle(),
         # fixed 64-hop recursion caps: exact whenever eccentricities < 64

@@ -628,3 +628,39 @@ def negative_samples(edges: DataFrame, k: int, n_vertices: int) -> DataFrame:
         .where(F.col("_rk") <= k)
         .select("v", F.col("dst").alias("neg"), F.col("i").alias("draw"))
     )
+
+
+def rank_correlation(
+    scores_a: DataFrame,
+    scores_b: DataFrame,
+    key: str = "v",
+    col_a: str = "a",
+    col_b: str = "b",
+) -> DataFrame:
+    """Spearman-style rank correlation between two per-vertex score
+    tables ("do the PageRank leaders coincide with the degree
+    leaders?"): Pearson over TOTAL-ORDER ranks — row_number by (score
+    DESC, key ASC). The key tiebreak is the load-bearing convention:
+    classic min/average ranks leave tied DOUBLES ranked by comparison of
+    values two engines may disagree about in the last ulp, and a single
+    adjacent-rank swap moves the coefficient by ~1/n² — far above a 6dp
+    gate. A declared total order is bit-stable everywhere. Inner-joined
+    on ``key``; one global sort per side (a report-scale operation:
+    ranking |V| values is the same repartitionByRange sort any top-k
+    report pays), then one scalar corr aggregate. Returns one row
+    (n, spearman) at 6dp."""
+    from pyspark.sql import Window
+
+    j = scores_a.select(
+        F.col(key).alias("k"), F.col(col_a).alias("_a")
+    ).join(
+        scores_b.select(F.col(key).alias("k"), F.col(col_b).alias("_b")),
+        "k",
+    )
+    ra = F.row_number().over(Window.orderBy(F.desc("_a"), F.asc("k")))
+    rb = F.row_number().over(Window.orderBy(F.desc("_b"), F.asc("k")))
+    ranked = j.select(ra.alias("ra"), rb.alias("rb"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("ra", "rb"), 6).alias("spearman"),
+    )

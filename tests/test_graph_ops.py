@@ -155,3 +155,21 @@ def test_negative_samples_partition_invariance(spark):
         map(tuple, negative_samples(e.repartition(13), 3, 30).collect())
     )
     assert a == b and a
+
+
+def test_rank_correlation_perfect_and_inverted(spark):
+    from parconnect_spark.operators.graph import rank_correlation
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "v long, a double"
+    )
+    b_same = spark.createDataFrame(
+        [(i, float(i * 2)) for i in range(10)], "v long, b double"
+    )
+    b_inv = spark.createDataFrame(
+        [(i, float(-i)) for i in range(10)], "v long, b double"
+    )
+    r1 = rank_correlation(a, b_same).collect()[0]
+    assert (r1["n"], r1["spearman"]) == (10, 1.0)
+    r2 = rank_correlation(a, b_inv).collect()[0]
+    assert r2["spearman"] == -1.0
