@@ -1761,6 +1761,43 @@ def _q_jl_projection(spark, sf_dir):
     )
 
 
+def _q_publish_audit(spark, sf_dir):
+    """Write-audit-publish roundtrip (sources/tables.publish_with_audit):
+    the documents table stages to parquet, the audit runs over the
+    STAGED files (what readers would see), and only a green report
+    promotes via atomic rename. Output = the audit report rows; the
+    promoted table's row count rides along as its own audit line."""
+    import shutil
+    import tempfile
+
+    from parconnect_spark.sources.tables import publish_with_audit
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    tmp = tempfile.mkdtemp(prefix="wap_")
+    try:
+        rep = publish_with_audit(
+            docs,
+            f"{tmp}/docs",
+            [
+                ("documents", "unique", "doc_id"),
+                ("documents", "not_null", "text"),
+            ],
+        )
+        n = spark.read.parquet(f"{tmp}/docs").count()
+        rows = [
+            (r["table"], r["check"], r["column"], r["violations"], r["passed"])
+            for r in rep.collect()
+        ] + [("documents", "published_rows", "*", n, True)]
+        return spark.createDataFrame(
+            sorted(rows),
+            "table string, check string, column string, "
+            "violations long, passed boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3417,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "dq_report": _q_dq_report,
         "table_stats": _q_table_stats,
+        "publish_audit": _q_publish_audit,
         "adoption": _q_adoption,
         "type_correlations": _q_type_correlations,
         "cube_rollup": _q_cube_rollup,
@@ -6938,6 +6976,19 @@ SELECT query_id, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS mean_val,
 FROM ex GROUP BY query_id, dim ORDER BY query_id, dim""",
         # merge_upsert: the updated batch always carries ts + 1h > base ts,
         # so winners are exactly the update rows; untouched rows verbatim.
+        "publish_audit": """
+SELECT * FROM (
+  SELECT 'documents' AS "table", 'not_null' AS "check", 'text' AS "column",
+         CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL) AS BIGINT)
+           AS violations,
+         TRUE AS passed
+  UNION ALL
+  SELECT 'documents', 'published_rows', '*',
+         (SELECT COUNT(*) FROM documents), TRUE
+  UNION ALL
+  SELECT 'documents', 'unique', 'doc_id',
+         (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents), TRUE
+) _ ORDER BY "check", "column" """,
         "table_stats": """
 SELECT * FROM (
   SELECT '*' AS "column", CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_nulls,

@@ -13,7 +13,7 @@ from parconnect_spark.sources.edgelist import (
 )
 from parconnect_spark.sources.bucketed import bucketed_join, is_shuffle_free, write_bucketed
 from parconnect_spark.sources.jsonl import read_transcripts_jsonl
-from parconnect_spark.sources.tables import read_table, read_table_evolved, table_stats, write_table
+from parconnect_spark.sources.tables import PublishBlocked, publish_with_audit, read_table, read_table_evolved, table_stats, write_table
 
 __all__ = [
     "synth_transcripts",
@@ -23,6 +23,8 @@ __all__ = [
     "read_table_evolved",
     "read_transcripts_jsonl",
     "table_stats",
+    "publish_with_audit",
+    "PublishBlocked",
     "chain_edges",
     "kronecker_edges",
     "powerlaw_star_edge_list",

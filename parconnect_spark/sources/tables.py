@@ -90,3 +90,64 @@ def table_stats(df: DataFrame) -> DataFrame:
         "column string, n_nulls long, n_distinct long, "
         "min_repr string, max_repr string",
     )
+
+
+class PublishBlocked(RuntimeError):
+    """Raised when a write-audit-publish run fails its quality gate; the
+    staged data is left in place for inspection."""
+
+
+def publish_with_audit(
+    df: DataFrame,
+    path: str,
+    checks: list[tuple],
+    staging_suffix: str = ".staging",
+) -> DataFrame:
+    """Write-audit-publish: the pattern that keeps a 100-TB table from
+    ever serving un-audited data. The frame is written to
+    ``path + staging_suffix``, re-read, audited with operators/dq.
+    dq_report over the STAGED files (what readers would actually see —
+    auditing the in-memory frame would miss write corruption), and only
+    on a fully-green report atomically promoted to ``path`` via a
+    filesystem rename (the parquet-directory analogue of Iceberg's WAP
+    snapshot cherry-pick; rename is atomic per directory on HDFS-like
+    stores — on object stores substitute the catalog pointer swap).
+
+    ``checks``: dq_report entries with the DataFrame slot filled by the
+    staged table automatically — pass (table_name, kind, column, *extra).
+    Returns the audit report with a ``published`` column; raises
+    :class:`PublishBlocked` on any failing check, leaving the staging
+    directory for inspection."""
+    from py4j.java_gateway import java_import
+
+    from parconnect_spark.operators.dq import dq_report
+
+    spark = df.sparkSession
+    staged_path = path + staging_suffix
+    df.write.mode("overwrite").parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    report = dq_report(
+        [(t, staged, kind, col, *extra) for (t, kind, col, *extra) in checks]
+    )
+    rows = report.collect()
+    ok = all(r["passed"] for r in rows)
+    if not ok:
+        raise PublishBlocked(
+            f"audit failed, staging left at {staged_path}: "
+            + ", ".join(
+                f"{r['check']}({r['column']})={r['violations']}"
+                for r in rows
+                if not r["passed"]
+            )
+        )
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.Path(path)
+    fs = dst.getFileSystem(conf)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.rename(jvm.Path(staged_path), dst)
+    from pyspark.sql import functions as F
+
+    return report.withColumn("published", F.lit(True))

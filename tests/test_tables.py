@@ -121,3 +121,47 @@ def test_read_transcripts_jsonl_clean_and_corrupt(spark, tmp_path):
         tuple(r) for r in clean.where("conv_id <> 'cX'").collect()
     }
     assert back == orig
+
+
+def test_publish_with_audit_promotes_on_green(spark, tmp_path):
+    from parconnect_spark.sources.tables import publish_with_audit
+
+    d = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    p = str(tmp_path / "t")
+    rep = publish_with_audit(
+        d, p, [("t", "unique", "k"), ("t", "not_null", "v")]
+    )
+    assert all(r["published"] for r in rep.collect())
+    back = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert back == [(1, "a"), (2, "b")]
+    import os
+
+    assert not os.path.exists(p + ".staging")
+
+
+def test_publish_with_audit_blocks_and_keeps_staging(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from parconnect_spark.sources.tables import PublishBlocked, publish_with_audit
+
+    d = spark.createDataFrame([(1,), (1,)], "k long")
+    p = str(tmp_path / "t2")
+    with pytest.raises(PublishBlocked, match=r"unique\(k\)=1"):
+        publish_with_audit(d, p, [("t", "unique", "k")])
+    assert not os.path.exists(p)           # nothing served
+    assert os.path.exists(p + ".staging")  # evidence kept
+
+
+def test_publish_with_audit_overwrites_previous(spark, tmp_path):
+    from parconnect_spark.sources.tables import publish_with_audit
+
+    p = str(tmp_path / "t3")
+    publish_with_audit(
+        spark.createDataFrame([(1,)], "k long"), p, [("t", "not_null", "k")]
+    )
+    publish_with_audit(
+        spark.createDataFrame([(2,)], "k long"), p, [("t", "not_null", "k")]
+    )
+    assert [r["k"] for r in spark.read.parquet(p).collect()] == [2]
