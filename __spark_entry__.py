@@ -410,6 +410,18 @@ def _q_negative_samples(spark, sf_dir):
     return negative_samples(edges, 3, nv).orderBy("v", "draw")
 
 
+def _q_snowball(spark, sf_dir):
+    """Deterministic snowball sample (operators/graph.snowball_sample):
+    2 levels from vertex 0, 3 lowest-md5 unvisited neighbors per
+    frontier vertex through the skew-proof salted top-k -- the
+    reproducible debug-neighborhood extraction (same subgraph on every
+    engine and partitioning)."""
+    from parconnect_spark.operators.graph import snowball_sample
+
+    _t, edges, _m = _graph(spark, sf_dir)
+    return snowball_sample(edges, 0, depth=2, k=3).orderBy("level", "v")
+
+
 def _q_cc_stats(spark, sf_dir):
     from parconnect_spark.plans.connectivity import connected_components
 
@@ -3325,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_stats": _q_cc_stats,
         "hub_knockout": _q_hub_knockout,
         "negative_samples": _q_negative_samples,
+        "snowball": _q_snowball,
         "cc_chains": _q_cc_chains,
         "cc_kronecker": _q_cc_kronecker,
         "cc_hybrid": _q_cc_hybrid,
@@ -3835,6 +3848,30 @@ rk AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(corr(ra, rb), 6) AS spearman
 FROM rk"""
     return sql
+
+
+def _snowball_oracle(depth: int = 2, k: int = 3) -> str:
+    h = _md5int_duck("'sb:' || CAST(e.dst AS VARCHAR)")
+    sql = _GRAPH_PREFIX + """,
+l0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS level)"""
+    vis = "SELECT v FROM l0"
+    for i in range(1, depth + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS v,
+         ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY {h}, e.dst) AS rk
+  FROM edges e
+  WHERE e.src IN (SELECT v FROM l{i - 1})
+    AND e.dst NOT IN ({vis})
+),
+l{i} AS (
+  SELECT DISTINCT v, CAST({i} AS BIGINT) AS level FROM c{i} WHERE rk <= {k}
+)"""
+        vis += f" UNION SELECT v FROM l{i}"
+    sel = " UNION ALL ".join(
+        f"SELECT v, level FROM l{i}" for i in range(depth + 1)
+    )
+    return sql + f"\nSELECT v, level FROM ({sel}) _ ORDER BY level, v"
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -5564,6 +5601,7 @@ ecnt AS (
 SELECT s.week AS week, s.components, s.largest, s.n_vertices, e.n_edges
 FROM stats s JOIN ecnt e ON e.week = s.week ORDER BY week""",
         "negative_samples": _negative_samples_oracle(),
+        "snowball": _snowball_oracle(),
         "hub_knockout": _GRAPH_PREFIX
         + """,
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),

@@ -664,3 +664,53 @@ def rank_correlation(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("ra", "rb"), 6).alias("spearman"),
     )
+
+
+def snowball_sample(
+    edges: DataFrame, seed: int, depth: int = 2, k: int = 3
+) -> DataFrame:
+    """Deterministic snowball sample: from ``seed``, expand ``depth``
+    levels taking per frontier vertex its ``k`` lowest-hash unvisited
+    neighbors — the reproducible "give me a small representative
+    neighborhood" every debugging session wants from a 100-TB graph
+    (a random sample re-rolls every run; the md5 order is the same
+    everywhere, so a bug report's subgraph is reconstructible).
+
+    Per-vertex selection reuses the skew-proof two-phase salted top-k
+    (sparsify_topk) with weight = −hash, so a hub frontier vertex never
+    serializes a task. Returns (v, level), level 0 = the seed."""
+    from parconnect_spark.functions.dedup import md5int
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(int(seed), 0)], "v long, level long")
+    frontier = visited.select("v")
+    for lvl in range(1, depth + 1):
+        cand = (
+            edges.join(frontier, edges["src"] == frontier["v"], "left_semi")
+            .join(
+                visited.select(F.col("v").alias("dst")), "dst", "left_anti"
+            )
+            .select(
+                "src",
+                "dst",
+                (
+                    -md5int(
+                        F.concat(
+                            F.lit("sb:"), F.col("dst").cast("string")
+                        )
+                    )
+                ).alias("weight"),
+            )
+        )
+        picked = (
+            sparsify_topk(cand, k)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .withColumn("level", F.lit(lvl).cast("long"))
+            .localCheckpoint()
+        )
+        if picked.limit(1).isEmpty():
+            break
+        visited = visited.unionByName(picked).localCheckpoint()
+        frontier = picked.select("v")
+    return visited

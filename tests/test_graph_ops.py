@@ -173,3 +173,42 @@ def test_rank_correlation_perfect_and_inverted(spark):
     assert (r1["n"], r1["spearman"]) == (10, 1.0)
     r2 = rank_correlation(a, b_inv).collect()[0]
     assert r2["spearman"] == -1.0
+
+
+def test_snowball_sample_deterministic_and_capped(spark):
+    import hashlib
+
+    from parconnect_spark.operators.graph import snowball_sample
+
+    # star around 0 with 10 leaves; leaves 1..10 also chained
+    und = [(0, i) for i in range(1, 11)] + [(i, i + 1) for i in range(1, 10)]
+    sym = sorted(set(und + [(b, a) for a, b in und]))
+    e = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["v"]: r["level"] for r in snowball_sample(e, 0, depth=1, k=3).collect()
+    }
+
+    def h(v):
+        return int(hashlib.md5(f"sb:{v}".encode()).hexdigest()[:8], 16)
+
+    exp_l1 = sorted(range(1, 11), key=h)[:3]
+    assert got == {0: 0, **{v: 1 for v in exp_l1}}
+    # rerun identical
+    got2 = {
+        r["v"]: r["level"]
+        for r in snowball_sample(e.repartition(7), 0, depth=1, k=3).collect()
+    }
+    assert got2 == got
+
+
+def test_snowball_sample_excludes_visited(spark):
+    from parconnect_spark.operators.graph import snowball_sample
+
+    # path 0-1-2: depth 2 must not re-add 0 at level 2
+    und = [(0, 1), (1, 2)]
+    sym = sorted(set(und + [(b, a) for a, b in und]))
+    e = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["v"]: r["level"] for r in snowball_sample(e, 0, depth=2, k=5).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
