@@ -3186,6 +3186,28 @@ def _q_markov_stationary(spark, sf_dir):
     return markov_stationary(spark.table("events")).orderBy("event_type")
 
 
+def _q_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user event counts
+    (operators/events.activity_gini): exact closed form over the
+    ascending (count, user) total order -- the activity-concentration
+    readout."""
+    from parconnect_spark.operators.events import activity_gini
+
+    _views(spark, sf_dir, ("events",))
+    return activity_gini(spark.table("events"))
+
+
+def _q_seasonality(spark, sf_dir):
+    """Day-of-week chi-square per event type
+    (operators/events.dow_seasonality): epoch-derived weekday (0 =
+    Thursday, calendar-free), zero-count weekdays kept via the 7-row
+    grid so the statistic is honest."""
+    from parconnect_spark.operators.events import dow_seasonality
+
+    _views(spark, sf_dir, ("events",))
+    return dow_seasonality(spark.table("events")).orderBy("event_type")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3367,6 +3389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": _q_changepoint,
         "forecast": _q_forecast,
         "markov_stationary": _q_markov_stationary,
+        "activity_gini": _q_activity_gini,
+        "seasonality": _q_seasonality,
         "landmark_distances": _q_landmark_distances,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
@@ -6268,6 +6292,35 @@ best AS (
 SELECT g AS "group", d AS change_day, ROUND(s, 6) AS cusum_peak,
        ROUND(m, 6) AS series_mean
 FROM best WHERE rk = 1 ORDER BY "group" """,
+        "activity_gini": """
+WITH cnt AS (SELECT user_id AS u, COUNT(*) AS x FROM events GROUP BY user_id),
+rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, u) AS i FROM cnt)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total,
+       ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM rk""",
+        "seasonality": """
+WITH daily AS (
+  SELECT event_type AS t, (epoch_us(ts) // 86400000000) % 7 AS dw,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t, g.g AS dw
+  FROM (SELECT DISTINCT t FROM daily),
+       (SELECT unnest(generate_series(0, 6)) AS g) g
+),
+filled AS (
+  SELECT gr.t, gr.dw, COALESCE(daily.o, 0) AS o
+  FROM grid gr LEFT JOIN daily ON daily.t = gr.t AND daily.dw = gr.dw
+),
+tot AS (SELECT t, SUM(o) AS n FROM filled GROUP BY t)
+SELECT f.t AS event_type, CAST(tot.n AS BIGINT) AS n,
+       ROUND(SUM((f.o - tot.n / 7.0) * (f.o - tot.n / 7.0)
+                 / (tot.n / 7.0)), 6) AS chi2
+FROM filled f JOIN tot ON tot.t = f.t
+GROUP BY f.t, tot.n ORDER BY event_type""",
         "markov_stationary": _markov_oracle(),
         "forecast": """
 WITH daily AS (

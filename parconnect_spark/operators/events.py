@@ -733,3 +733,82 @@ def markov_stationary(
         [(t, round(pi[idx[t]], 6)) for t in types],
         "event_type string, pi double",
     )
+
+
+def activity_gini(
+    events: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Gini coefficient of per-user event counts — the activity-
+    concentration readout ("do 1% of users generate 90% of events"),
+    the same shape engagement and abuse dashboards track.
+
+    Exact closed form over counts sorted ascending with row_number:
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n. The global sort ranks |users|
+    rows (report scale — same cost class as any leaderboard); ties are
+    irrelevant to the sum (any order of equal x_i gives the same Σi·x_i
+    ... shifted consistently, so a (count, user) total order keeps the
+    value engine-stable anyway). One row (n_users, total, gini)."""
+    from pyspark.sql import Window
+
+    cnt = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("u"))
+    ranked = cnt.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("total"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+def dow_seasonality(
+    events: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Day-of-week seasonality per event type: counts per epoch-derived
+    weekday (0 = Thursday, the 1970-01-01 anchor — calendar-library-free
+    and engine-identical) and the chi-square statistic against the
+    uniform-day null, zero-count weekdays included via an explicit 7-row
+    grid (dropping them would understate the statistic). High chi2 =
+    the type has a weekly rhythm. Returns (event_type, n, chi2) at
+    6dp."""
+    dow = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        )
+        % 7
+    )
+    daily = (
+        events.select(F.col(type_col).alias("t"), dow.alias("dw"))
+        .groupBy("t", "dw")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .select("t", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("dw"))
+    )
+    filled = grid.join(daily, ["t", "dw"], "left").select(
+        "t", "dw", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    tot = filled.groupBy("t").agg(F.sum("o").alias("n"))
+    e = F.col("n") / 7.0
+    return (
+        filled.join(tot, "t")
+        .groupBy("t", "n")
+        .agg(
+            F.round(
+                F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6
+            ).alias("chi2")
+        )
+        .select(F.col("t").alias("event_type"), "n", "chi2")
+    )

@@ -510,3 +510,43 @@ def test_markov_stationary_two_state_chain(spark):
     )
     got = {r["event_type"]: r["pi"] for r in markov_stationary(ev, iters=64).collect()}
     assert abs(got["a"] - 0.375) < 1e-4 and abs(got["b"] - 0.625) < 1e-4
+
+
+def test_activity_gini_bounds_and_known_value(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import activity_gini
+
+    ts = dt.datetime(2024, 1, 1)
+    # equal activity -> gini 0
+    eq = spark.createDataFrame(
+        [(u, ts) for u in range(4) for _ in range(5)],
+        "user_id long, ts timestamp",
+    )
+    r = activity_gini(eq).collect()[0]
+    assert r["gini"] == 0.0 and r["n_users"] == 4 and r["total"] == 20
+    # known skew: counts 1, 1, 8 -> sorted x=(1,1,8):
+    # G = 2*(1*1+2*1+3*8)/(3*10) - 4/3 = 54/30 - 40/30 = 14/30
+    sk = spark.createDataFrame(
+        [(0, ts)] + [(1, ts)] + [(2, ts)] * 8, "user_id long, ts timestamp"
+    )
+    r2 = activity_gini(sk).collect()[0]
+    assert r2["gini"] == round(14 / 30, 6)
+
+
+def test_dow_seasonality_uniform_vs_spiked(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import dow_seasonality
+
+    rows = []
+    # type u: 1 event on each of 7 consecutive days -> chi2 = 0
+    for d in range(7):
+        rows.append(("u", dt.datetime(2024, 1, 1 + d)))
+    # type s: 7 events all on one day -> chi2 = 6*(0-1)^2/1 + (7-1)^2/1 = 42
+    for _ in range(7):
+        rows.append(("s", dt.datetime(2024, 1, 1)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: (r["n"], r["chi2"]) for r in dow_seasonality(ev).collect()}
+    assert got["u"] == (7, 0.0)
+    assert got["s"] == (7, 42.0)
