@@ -3208,6 +3208,53 @@ def _q_seasonality(spark, sf_dir):
     return dow_seasonality(spark.table("events")).orderBy("event_type")
 
 
+def _q_schema_contract(spark, sf_dir):
+    """Schema-contract diff (operators/dq.schema_diff) of the events
+    table against its declared DDL plus one deliberately-wrong clause
+    (value as string, props uncontracted) so every status is
+    exercised -- pure metadata, no job runs."""
+    from parconnect_spark.operators.dq import schema_diff
+
+    _views(spark, sf_dir, ("events",))
+    return schema_diff(
+        spark.table("events"),
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value string, missing_col int",
+    ).orderBy("column")
+
+
+def _q_temporal_split(spark, sf_dir):
+    """Leave-last-out temporal split (operators/events.
+    leave_last_out_split): per-user last event to test, rest to train --
+    the leakage-free next-event evaluation split. Output: per-split
+    counts plus distinct users per split."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.operators.events import leave_last_out_split
+
+    _views(spark, sf_dir, ("events",))
+    out = leave_last_out_split(spark.table("events"))
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("split")
+    )
+
+
+def _q_survival(spark, sf_dir):
+    """User-lifetime survival curve (operators/events.survival_curve):
+    S(d) = fraction of users whose last activity is >= d days after
+    their first; cumulative over the lifetime histogram (bounded by
+    distinct lifetimes)."""
+    from parconnect_spark.operators.events import survival_curve
+
+    _views(spark, sf_dir, ("events",))
+    return survival_curve(spark.table("events")).orderBy("day")
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3391,6 +3438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": _q_markov_stationary,
         "activity_gini": _q_activity_gini,
         "seasonality": _q_seasonality,
+        "schema_contract": _q_schema_contract,
+        "temporal_split": _q_temporal_split,
+        "survival": _q_survival,
         "landmark_distances": _q_landmark_distances,
         "pseudo_diameter": _q_pseudo_diameter,
         "bfs_chain_csr": _q_bfs_chain_csr,
@@ -6321,6 +6371,44 @@ SELECT f.t AS event_type, CAST(tot.n AS BIGINT) AS n,
                  / (tot.n / 7.0)), 6) AS chi2
 FROM filled f JOIN tot ON tot.t = f.t
 GROUP BY f.t, tot.n ORDER BY event_type""",
+        "schema_contract": """
+SELECT * FROM (VALUES
+  ('event_id', 'bigint', 'bigint', 'ok'),
+  ('event_type', 'string', 'string', 'ok'),
+  ('missing_col', 'int', NULL, 'missing'),
+  ('props', NULL, 'string', 'extra'),
+  ('ts', 'timestamp_ntz', 'timestamp_ntz', 'ok'),
+  ('user_id', 'bigint', 'bigint', 'ok'),
+  ('value', 'string', 'double', 'type_mismatch')
+) AS t("column", expected_type, actual_type, status)
+ORDER BY "column" """,
+        "temporal_split": """
+WITH r AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT CASE WHEN rk = 1 THEN 'test' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM r GROUP BY 1 ORDER BY split""",
+        "survival": """
+WITH life AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // 86400000000)
+           - MIN(epoch_us(ts) // 86400000000) AS lf
+  FROM events GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS c FROM life),
+mx AS (SELECT MAX(lf) AS m FROM life),
+days AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS day)
+SELECT d.day,
+       CAST((SELECT COUNT(*) FROM life WHERE lf >= d.day) AS BIGINT)
+         AS n_surviving,
+       ROUND((SELECT COUNT(*) FROM life WHERE lf >= d.day) * 1.0
+             / n.c, 6) AS frac
+FROM days d, n ORDER BY day""",
         "markov_stationary": _markov_oracle(),
         "forecast": """
 WITH daily AS (

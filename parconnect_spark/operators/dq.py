@@ -193,3 +193,34 @@ def ab_test(
             F.when(se > 0, (p1 - p0) / se), 6
         ).alias("z"),
     )
+
+
+def schema_diff(df: DataFrame, expected_ddl: str) -> DataFrame:
+    """Schema-contract check: the actual DataFrame schema against an
+    expected DDL string — one row per column with status ``ok`` /
+    ``type_mismatch`` / ``missing`` (contracted but absent) / ``extra``
+    (present but uncontracted). The data-contract companion to the
+    row-level dq checks: a producer bumping a column type breaks
+    consumers BEFORE any value is wrong, so the gate must read schemas,
+    not data. Pure metadata — no job is run. Returns
+    (column, expected_type, actual_type, status) ordered by column."""
+    from pyspark.sql.types import StructType
+
+    exp = {f.name: f.dataType.simpleString() for f in StructType.fromDDL(expected_ddl).fields}
+    act = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for c in sorted(set(exp) | set(act)):
+        e, a = exp.get(c), act.get(c)
+        status = (
+            "ok"
+            if e == a
+            else "missing"
+            if a is None
+            else "extra"
+            if e is None
+            else "type_mismatch"
+        )
+        rows.append((c, e, a, status))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, status string"
+    )

@@ -812,3 +812,67 @@ def dow_seasonality(
         )
         .select(F.col("t").alias("event_type"), "n", "chi2")
     )
+
+
+def leave_last_out_split(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Leave-last-out temporal split: per user, the LAST event (by ts,
+    id-tiebroken) goes to ``test``, everything else to ``train`` — the
+    canonical recsys/next-event evaluation split, leakage-free by
+    construction (the model never sees the future it is scored on;
+    contrast random splits, which leak temporal context). One bounded
+    per-user window. Returns the events with a ``split`` column."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    return events.withColumn(
+        "split",
+        F.when(F.row_number().over(w) == 1, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention survival curve: S(d) = fraction of users whose LAST
+    activity is ≥ d days after their FIRST — "how many users were still
+    alive at day d", the Kaplan-Meier-style readout over fully-observed
+    lifetimes (no censoring model: the observation window is the data's
+    own span, declared). Per-user lifetime = one min/max aggregate; the
+    curve is a cumulative count over the lifetime histogram (bounded by
+    distinct lifetime lengths). Returns (day, n_surviving, frac) for
+    d = 0..max lifetime at 6dp."""
+    from pyspark.sql import Window
+
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    life = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .groupBy("u")
+        .agg((F.max("d") - F.min("d")).alias("_life"))
+    )
+    hist = life.groupBy("_life").agg(F.count(F.lit(1)).alias("_c"))
+    spark = events.sparkSession
+    mx_row = hist.agg(F.max("_life").alias("m"), F.sum("_c").alias("n")).collect()[0]
+    mx, n = int(mx_row["m"]), int(mx_row["n"])
+    days = spark.range(0, mx + 1).select(F.col("id").alias("day"))
+    w = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    joined = days.join(
+        hist.withColumnRenamed("_life", "day"), "day", "left"
+    ).select("day", F.coalesce("_c", F.lit(0)).alias("_c"))
+    return joined.select(
+        "day",
+        F.sum("_c").over(w).alias("n_surviving"),
+        F.round(F.sum("_c").over(w) / F.lit(n), 6).alias("frac"),
+    )

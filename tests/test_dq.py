@@ -99,3 +99,19 @@ def test_ab_test_known_z(spark):
     se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
     assert (r["n0"], r["s0"], r["n1"], r["s1"]) == (100, 40, 100, 55)
     assert r["z"] == round((0.55 - 0.40) / se, 6)
+
+
+def test_schema_diff_statuses(spark):
+    from parconnect_spark.operators.dq import schema_diff
+
+    d = spark.createDataFrame([(1, "x", 2.0)], "k long, v string, z double")
+    got = {
+        r["column"]: r["status"]
+        for r in schema_diff(d, "k bigint, v int, w string").collect()
+    }
+    assert got == {
+        "k": "ok",            # long == bigint
+        "v": "type_mismatch",
+        "w": "missing",
+        "z": "extra",
+    }

@@ -550,3 +550,44 @@ def test_dow_seasonality_uniform_vs_spiked(spark):
     got = {r["event_type"]: (r["n"], r["chi2"]) for r in dow_seasonality(ev).collect()}
     assert got["u"] == (7, 0.0)
     assert got["s"] == (7, 42.0)
+
+
+def test_leave_last_out_split(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import leave_last_out_split
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, t0), (1, 1, t0 + dt.timedelta(hours=1)),
+        (1, 2, t0 + dt.timedelta(hours=1)),  # ts tie -> higher id wins test
+        (2, 3, t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r["event_id"]: r["split"] for r in leave_last_out_split(ev).collect()}
+    assert got == {0: "train", 1: "train", 2: "test", 3: "test"}
+
+
+def test_survival_curve_known_lifetimes(spark):
+    import datetime as dt
+
+    from parconnect_spark.operators.events import survival_curve
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def span(u, days):
+        return [(u, t0), (u, t0 + dt.timedelta(days=days))]
+
+    rows = span(1, 0) + span(2, 2) + span(3, 2) + span(4, 5)
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"]: (r["n_surviving"], r["frac"])
+        for r in survival_curve(ev).collect()
+    }
+    # lifetimes: 0, 2, 2, 5 -> S(0)=4, S(1)=3, S(2)=3, S(3)=1, S(5)=1
+    assert got[0] == (4, 1.0)
+    assert got[1] == (3, 0.75)
+    assert got[2] == (3, 0.75)
+    assert got[3] == (1, 0.25)
+    assert got[5] == (1, 0.25)
+    assert len(got) == 6
