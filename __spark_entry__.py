@@ -1961,6 +1961,45 @@ def _q_neighbor_agg(spark, sf_dir):
     ).orderBy("query_id", "dim")
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN evaluation harness: recall@10 of the hyperplane-LSH path
+    against exact brute force, per query -- the number a production ANN
+    rollout gates on. Composes the two shipped operators (and the
+    oracle composes their two oracles verbatim), so the measurement is
+    of exactly what ships."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5")
+    ex = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ap = lsh_topk(emb, queries, k=10, bits=8, dim=64).select(
+        "query_id", F.col("neighbor_id").alias("ap_n")
+    )
+    j = ex.join(
+        ap,
+        (ex["query_id"] == ap["query_id"]) & (ex["neighbor_id"] == ap["ap_n"]),
+        "left",
+    ).select(ex["query_id"], "neighbor_id", "ap_n")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.col("ap_n").isNotNull().cast("long")).alias("n_hit"),
+            F.round(
+                F.sum(F.col("ap_n").isNotNull().cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _q_similarity_lsh(spark, sf_dir):
     from parconnect_spark.functions.similarity import lsh_topk
 
@@ -3530,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
+        "ann_recall": _q_ann_recall,
         "similarity_ivf": _q_similarity_ivf,
         "zorder_events": _q_zorder_events,
         "bucketed_join": _q_bucketed_join,
@@ -3946,6 +3986,43 @@ l{i} AS (
         f"SELECT v, level FROM l{i}" for i in range(depth + 1)
     )
     return sql + f"\nSELECT v, level FROM ({sel}) _ ORDER BY level, v"
+
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10 ORDER BY query_id, rank"""
+
+
+def _ann_recall_oracle() -> str:
+    """recall@10 of the LSH path against exact brute force: composes the
+    two existing oracles verbatim (each as a nested-WITH CTE body), so
+    the harness measures exactly the shipped algorithms."""
+    return f"""
+WITH ex AS MATERIALIZED ({_TOPK_ORACLE}),
+ap AS MATERIALIZED ({_similarity_lsh_oracle()})
+SELECT ex.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+FROM ex LEFT JOIN ap
+  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id ORDER BY ex.query_id"""
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -7068,23 +7145,8 @@ ORDER BY doc_id""",
         # streaming_edges: identical to derived_edges by design — the
         # streaming path must reproduce the batch edge set exactly.
         "streaming_edges": _GRAPH_PREFIX + "\nSELECT a, b FROM und ORDER BY a, b",
-        "similarity_topk": """
-WITH q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 5
-),
-c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-s AS (
-  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
-  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
-),
-r AS (
-  SELECT query_id, neighbor_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
-  FROM s
-)
-SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
-FROM r WHERE rk <= 10 ORDER BY query_id, rank""",
+        "similarity_topk": _TOPK_ORACLE,
+        "ann_recall": _ann_recall_oracle(),
         "streaming_degrees": _GRAPH_PREFIX
         + """
 SELECT entity, CAST(COUNT(*) AS BIGINT) AS turns
