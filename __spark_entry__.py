@@ -2000,6 +2000,43 @@ def _q_ann_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_recall(spark, sf_dir):
+    """recall@10 of the IVF-flat path against exact brute force
+    (completing the ANN evaluation harness next to ann_recall's LSH
+    measurement; same composition discipline)."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5")
+    ex = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ap = ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4).select(
+        "query_id", F.col("neighbor_id").alias("ap_n")
+    )
+    j = ex.join(
+        ap,
+        (ex["query_id"] == ap["query_id"]) & (ex["neighbor_id"] == ap["ap_n"]),
+        "left",
+    ).select(ex["query_id"], "neighbor_id", "ap_n")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.col("ap_n").isNotNull().cast("long")).alias("n_hit"),
+            F.round(
+                F.sum(F.col("ap_n").isNotNull().cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _q_similarity_lsh(spark, sf_dir):
     from parconnect_spark.functions.similarity import lsh_topk
 
@@ -3294,6 +3331,21 @@ def _q_survival(spark, sf_dir):
     return survival_curve(spark.table("events")).orderBy("day")
 
 
+def _q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean event value
+    (operators/dq.poisson_bootstrap_mean): per-replicate Poisson(1)
+    weights from a seeded md5 stream through the inverse CDF (truncated
+    at 8, P < 1.1e-5, declared) -- the distributed bootstrap that needs
+    no per-replicate shuffle. Reproducible by seed; the oracle replays
+    the identical weight stream."""
+    from parconnect_spark.operators.dq import poisson_bootstrap_mean
+
+    _views(spark, sf_dir, ("events",))
+    return poisson_bootstrap_mean(
+        spark.table("events"), "value", n_resamples=32, id_col="event_id"
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     _views(spark, sf_dir, ("events",))
     return (
@@ -3471,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": _q_association_rules,
         "k_anonymity": _q_k_anonymity,
         "dp_counts": _q_dp_counts,
+        "bootstrap_ci": _q_bootstrap_ci,
         "ab_test": _q_ab_test,
         "changepoint": _q_changepoint,
         "forecast": _q_forecast,
@@ -3570,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_agg": _q_neighbor_agg,
         "similarity_lsh": _q_similarity_lsh,
         "ann_recall": _q_ann_recall,
+        "ivf_recall": _q_ivf_recall,
         "similarity_ivf": _q_similarity_ivf,
         "zorder_events": _q_zorder_events,
         "bucketed_join": _q_bucketed_join,
@@ -4023,6 +4077,56 @@ SELECT ex.query_id,
 FROM ex LEFT JOIN ap
   ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
 GROUP BY ex.query_id ORDER BY ex.query_id"""
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH ex AS MATERIALIZED ({_TOPK_ORACLE}),
+ap AS MATERIALIZED ({_similarity_ivf_oracle()})
+SELECT ex.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+FROM ex LEFT JOIN ap
+  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id ORDER BY ex.query_id"""
+
+
+def _bootstrap_oracle(n_resamples: int = 32, seed: str = "boot") -> str:
+    from parconnect_spark.operators.dq import _POIS1_CDF
+
+    h = _md5int_duck(
+        f"'{seed}:' || CAST(b.b AS VARCHAR) || ':' || CAST(e.event_id AS VARCHAR)",
+        1,
+        12,
+    )
+    w = "8"
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = f"CASE WHEN u < {_POIS1_CDF[k]!r} THEN {k} ELSE {w} END"
+    # percentile by min-rank over the replicate means, matching the
+    # Python sorted-index pick: index ceil(q*B) (1-based)
+    import math
+
+    lo_i = max(1, math.ceil(0.025 * n_resamples))
+    hi_i = max(1, math.ceil(0.975 * n_resamples))
+    return f"""
+WITH wts AS (
+  SELECT b.b, e.value AS x,
+         ({w}) AS w
+  FROM events e,
+       (SELECT unnest(generate_series(1, {n_resamples})) AS b) b,
+       LATERAL (SELECT ({h} + 0.5) / 281474976710656.0 AS u) uu
+),
+means AS (SELECT b, SUM(w * x) / SUM(w) AS m FROM wts GROUP BY b),
+rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means),
+base AS (SELECT COUNT(*) AS n, AVG(value) AS mean FROM events)
+SELECT CAST(base.n AS BIGINT) AS n_rows, ROUND(base.mean, 6) AS mean,
+       ROUND((SELECT m FROM rk WHERE r = {lo_i}), 6) AS ci_lo,
+       ROUND((SELECT m FROM rk WHERE r = {hi_i}), 6) AS ci_hi,
+       CAST({n_resamples} AS INT) AS n_resamples
+FROM base"""
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -6376,6 +6480,7 @@ CROSS JOIN n
 WHERE b.support * 1.0 / sa.s >= 0.5
 ORDER BY antecedent, consequent""",
         "dp_counts": _dp_counts_oracle(),
+        "bootstrap_ci": _bootstrap_oracle(),
         "ab_test": """
 WITH a AS (
   SELECT CAST(user_id % 2 AS INT) AS arm,
@@ -7147,6 +7252,7 @@ ORDER BY doc_id""",
         "streaming_edges": _GRAPH_PREFIX + "\nSELECT a, b FROM und ORDER BY a, b",
         "similarity_topk": _TOPK_ORACLE,
         "ann_recall": _ann_recall_oracle(),
+        "ivf_recall": _ivf_recall_oracle(),
         "streaming_degrees": _GRAPH_PREFIX
         + """
 SELECT entity, CAST(COUNT(*) AS BIGINT) AS turns

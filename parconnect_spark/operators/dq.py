@@ -224,3 +224,90 @@ def schema_diff(df: DataFrame, expected_ddl: str) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows, "column string, expected_type string, actual_type string, status string"
     )
+
+
+# Inverse-CDF thresholds for Poisson(1): cumulative e^-1 * sum 1/k!
+_POIS1_CDF = [
+    0.36787944117144233,  # k = 0
+    0.7357588823428847,   # k = 1
+    0.9196986029286058,   # k = 2
+    0.9810118431238462,   # k = 3
+    0.9963401531726563,   # k = 4
+    0.9994058151824183,   # k = 5
+    0.9999167588507119,   # k = 6
+    0.9999897508033253,   # k = 7
+]
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    n_resamples: int = 32,
+    seed: str = "boot",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` — THE distributed bootstrap: classical resampling
+    needs n draws with replacement per replicate (a shuffle per
+    replicate); the Poisson trick gives every row an independent
+    Poisson(1) weight per replicate, which converges to the same
+    resampling distribution while needing only a row-local weight draw
+    — one explode by n_resamples, one aggregate, zero extra shuffles
+    of the data.
+
+    Weights are SEEDED (md5(seed:replicate:row) uniform through the
+    Poisson(1) inverse CDF, capped at 8 — P(k>7) < 1.1e-5, a declared
+    truncation), so the interval is reproducible and oracle-replayable,
+    the dp_counts discipline. ``id_col``: a unique row key for the
+    draw stream (required — positional ids would break partition
+    invariance). Returns one row
+    (n_rows, mean, ci_lo, ci_hi, n_resamples) with the 2.5%/97.5%
+    replicate-mean percentiles by the min-rank convention, 6dp."""
+    from parconnect_spark.functions.dedup import md5int
+
+    if id_col is None:
+        raise ValueError("id_col is required (deterministic draw stream)")
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_resamples))).alias("b")
+    u = (
+        md5int(
+            F.concat(
+                F.lit(seed + ":"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            ),
+            1,
+            12,
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = df.select(F.col(id_col), F.col(value_col).alias("x"), b).select(
+        "b", "x", w.alias("w")
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+    )
+    rows = sorted(r["m"] for r in means.collect())
+    import math
+
+    lo = rows[max(0, math.ceil(0.025 * len(rows)) - 1)]
+    hi = rows[max(0, math.ceil(0.975 * len(rows)) - 1)]
+    base = df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("mean")
+    ).collect()[0]
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                int(base["n"]),
+                round(float(base["mean"]), 6),
+                round(float(lo), 6),
+                round(float(hi), 6),
+                n_resamples,
+            )
+        ],
+        "n_rows long, mean double, ci_lo double, ci_hi double, "
+        "n_resamples int",
+    )

@@ -115,3 +115,25 @@ def test_schema_diff_statuses(spark):
         "w": "missing",
         "z": "extra",
     }
+
+
+def test_poisson_bootstrap_mean_properties(spark):
+    import pytest
+
+    from parconnect_spark.operators.dq import poisson_bootstrap_mean
+
+    d = spark.range(200).selectExpr("id AS k", "CAST(id % 10 AS DOUBLE) AS v")
+    r = poisson_bootstrap_mean(d, "v", n_resamples=32, id_col="k").collect()[0]
+    assert r["n_rows"] == 200 and r["mean"] == 4.5
+    # the interval brackets the mean and is sane for n=200
+    assert r["ci_lo"] <= 4.5 <= r["ci_hi"]
+    assert 0.05 < r["ci_hi"] - r["ci_lo"] < 2.0
+    # deterministic: same seed -> same interval; different seed -> differs
+    r2 = poisson_bootstrap_mean(d, "v", n_resamples=32, id_col="k").collect()[0]
+    assert (r["ci_lo"], r["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+    r3 = poisson_bootstrap_mean(
+        d, "v", n_resamples=32, id_col="k", seed="other"
+    ).collect()[0]
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean(d, "v")
