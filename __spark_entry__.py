@@ -1810,6 +1810,40 @@ def _q_publish_audit(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_hybrid_rank(spark, sf_dir):
+    """Hybrid retrieval reranking (functions/text.rrf_fuse): BM25
+    relevance ranks for the fixed query fused with per-doc quality-score
+    ranks by reciprocal-rank fusion -- the standard combiner that reads
+    only ranks, so incomparable score scales cannot skew it. Both input
+    rankings use the total-order tiebreak."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parconnect_spark.functions.text import (
+        bm25_scores,
+        quality_score,
+        rrf_fuse,
+    )
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    wa = Window.orderBy(F.desc("score"), F.asc("id"))
+    bm = bm25_scores(docs, ["data", "model", "join"]).select(
+        "id", F.row_number().over(wa).alias("rank")
+    )
+    q = quality_score(docs)
+    wb = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    qr = q.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(wb).alias("rank"),
+    )
+    return (
+        rrf_fuse(bm, qr)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("fused_rank")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3574,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "bm25": _q_bm25,
         "readability": _q_readability,
+        "hybrid_rank": _q_hybrid_rank,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -4127,6 +4162,72 @@ SELECT CAST(base.n AS BIGINT) AS n_rows, ROUND(base.mean, 6) AS mean,
        ROUND((SELECT m FROM rk WHERE r = {hi_i}), 6) AS ci_hi,
        CAST({n_resamples} AS INT) AS n_resamples
 FROM base"""
+
+
+_BM25_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avg_len FROM base),
+toks AS (
+  SELECT doc_id, len(t) AS dlen, unnest(t) AS term FROM base
+),
+tf AS (
+  SELECT doc_id, dlen, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('data', 'model', 'join')
+  GROUP BY doc_id, dlen, term
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dlen / s.avg_len))
+       ), 6) AS score
+FROM tf JOIN dfc ON dfc.term = tf.term CROSS JOIN stats s
+GROUP BY tf.doc_id ORDER BY tf.doc_id"""
+
+
+def _hybrid_rank_oracle() -> str:
+    return f"""
+WITH bmr AS MATERIALIZED ({_BM25_ORACLE}),
+bma AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bmr
+),
+qf AS (
+  SELECT doc_id, len(toks) AS nt,
+         ROUND(len(list_distinct(toks)) * 1.0
+               / GREATEST(len(toks), 1), 6) AS dr,
+         ROUND(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / GREATEST(length(text), 1), 6) AS pr
+  FROM (SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+qs AS (
+  SELECT doc_id,
+         ROUND(LEAST(nt / 64.0, 1.0) * 0.4 + dr * 0.4
+               + (1 - LEAST(pr * 4, 1.0)) * 0.2, 6) AS quality
+  FROM qf
+),
+qa AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS r
+  FROM qs
+),
+fused AS (
+  SELECT COALESCE(bma.id, qa.id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + bma.r), 0)
+               + COALESCE(1.0 / (60 + qa.r), 0), 6) AS rrf_score
+  FROM bma FULL OUTER JOIN qa ON qa.id = bma.id
+)
+SELECT doc_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused ORDER BY fused_rank"""
 
 
 def _eigen_oracle(iters: int = EIGEN_ITERS) -> str:
@@ -6376,29 +6477,8 @@ r AS (
 SELECT r.term, dfc.df, r.rank, r.doc_id, r.tf
 FROM r JOIN dfc ON dfc.term = r.term
 WHERE r.rank <= 5 ORDER BY r.term, r.rank""",
-        "bm25": """
-WITH base AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avg_len FROM base),
-toks AS (
-  SELECT doc_id, len(t) AS dlen, unnest(t) AS term FROM base
-),
-tf AS (
-  SELECT doc_id, dlen, term, COUNT(*) AS tf FROM toks
-  WHERE term IN ('data', 'model', 'join')
-  GROUP BY doc_id, dlen, term
-),
-dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
-SELECT tf.doc_id,
-       ROUND(SUM(
-         ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
-         * (tf.tf * 2.2)
-         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dlen / s.avg_len))
-       ), 6) AS score
-FROM tf JOIN dfc ON dfc.term = tf.term CROSS JOIN stats s
-GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+        "bm25": _BM25_ORACLE,
+        "hybrid_rank": _hybrid_rank_oracle(),
         "fuzzy_terms": """
 WITH vocab AS (
   SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS s

@@ -927,3 +927,41 @@ def readability_features(
         syll.alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     ).where(words > 0)
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    key: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings over the same key space —
+    the standard hybrid-retrieval combiner (lexical × semantic, or
+    relevance × quality): rrf = Σ_r 1/(k + rank_r), items missing from
+    one ranking simply contribute nothing (the property that makes RRF
+    robust to incomparable score scales — it reads only ranks).
+
+    One full-outer join + one arithmetic projection; the output rank is
+    a total order via the (score DESC, key ASC) tiebreak (the
+    rank_correlation stability convention). Returns
+    (id, rrf_score, fused_rank)."""
+    from pyspark.sql import Window
+
+    a = rank_a.select(
+        F.col(key).alias("id"), F.col(rank_col).alias("_ra")
+    )
+    b = rank_b.select(
+        F.col(key).alias("id"), F.col(rank_col).alias("_rb")
+    )
+    j = a.join(b, "id", "full_outer")
+    score = F.round(
+        F.coalesce(1.0 / (F.lit(k) + F.col("_ra")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k) + F.col("_rb")), F.lit(0.0)),
+        6,
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        j.select("id", score.alias("rrf_score"))
+        .withColumn("fused_rank", F.row_number().over(w))
+    )

@@ -313,3 +313,26 @@ def test_readability_features_known_text(spark):
     r2 = got[2]
     assert r2["n_sentences"] == 1 and r2["n_words"] == 1
     assert r2["n_syllables"] == 2  # o, e
+
+
+def test_rrf_fuse_known_scores_and_missing_items(spark):
+    from parconnect_spark.functions.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (2, 2), (4, 3)], "id long, rank int")
+    got = {
+        r["id"]: (r["rrf_score"], r["fused_rank"])
+        for r in rrf_fuse(a, b, k=60).collect()
+    }
+    s1 = round(1 / 61, 6)                       # only in a at rank 1
+    s2 = round(1 / 62 + 1 / 62, 6)              # rank 2 in both
+    s3 = round(1 / 63 + 1 / 61, 6)              # 3 in a, 1 in b
+    s4 = round(1 / 63, 6)                       # only in b at rank 3
+    assert got[1][0] == s1 and got[4][0] == s4
+    assert got[2][0] == s2 and got[3][0] == s3
+    # order: s2 > s3 > s1 > s4 -> check actual ordering numerically
+    order = sorted(got, key=lambda i: got[i][1])
+    exp = [i for i, _ in sorted(
+        got.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )]
+    assert order == exp
