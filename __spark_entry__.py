@@ -1844,6 +1844,28 @@ def _q_hybrid_rank(spark, sf_dir):
     )
 
 
+def _q_language_confusion(spark, sf_dir):
+    """Language-ID evaluation harness: confusion counts of the shipped
+    heuristic (functions/text.language_id) against the documents
+    table's ground-truth lang column -- the same measure-what-ships
+    discipline as ann_recall, for the text side."""
+    import pyspark.sql.functions as F
+
+    from parconnect_spark.functions.text import language_id
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pred = language_id(docs)
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("lang_guess").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "predicted")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3609,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "readability": _q_readability,
         "hybrid_rank": _q_hybrid_rank,
+        "language_confusion": _q_language_confusion,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6765,6 +6788,31 @@ SELECT doc_id,
        ROUND(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
              / GREATEST(length(text), 1), 6) AS punct_ratio
 FROM base ORDER BY doc_id""",
+        "language_confusion": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         len(list_intersect(t, ['the','and','of','to','a','in','is','that'])) AS h_en,
+         len(list_intersect(t, ['el','la','de','que','y','los','en','un'])) AS h_es,
+         len(list_intersect(t, ['le','la','et','les','des','un','une','dans'])) AS h_fr,
+         len(list_intersect(t, ['der','die','und','das','ein','nicht','mit','ist'])) AS h_de
+  FROM toks
+),
+pred AS (
+  SELECT lang AS true_lang,
+         CASE WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+              WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+              WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+              WHEN h_de > 0 THEN 'de'
+              ELSE 'und' END AS predicted
+  FROM hits
+)
+SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY true_lang, predicted""",
         "language_id": """
 WITH toks AS (
   SELECT doc_id,
