@@ -1866,6 +1866,19 @@ def _q_language_confusion(spark, sf_dir):
     )
 
 
+def _q_ks_drift(spark, sf_dir):
+    """Pairwise two-sample KS statistic between sources over the token-
+    count distribution (functions/text.ks_drift): exact rational
+    cumulative-fraction gaps over the per-(group, length) count table --
+    the corpus-composition drift monitor."""
+    from parconnect_spark.functions.text import ks_drift
+
+    _views(spark, sf_dir, ("documents",))
+    return ks_drift(spark.table("documents")).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3632,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "hybrid_rank": _q_hybrid_rank,
         "language_confusion": _q_language_confusion,
+        "ks_drift": _q_ks_drift,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6743,6 +6757,38 @@ SELECT doc_id, CAST(w AS INT) AS n_words, CAST(se AS INT) AS n_sentences,
        ROUND(206.835 - 1.015 * (w * 1.0 / se)
              - 84.6 * (sy * 1.0 / GREATEST(w, 1)), 6) AS flesch
 FROM base WHERE w > 0 ORDER BY doc_id""",
+        "ks_drift": """
+WITH v AS (
+  SELECT source AS g,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS x
+  FROM documents
+),
+cnt AS (SELECT g, x, COUNT(*) AS n FROM v GROUP BY g, x),
+tots AS (SELECT g, SUM(n) AS t FROM cnt GROUP BY g),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM cnt) a
+  JOIN (SELECT DISTINCT g FROM cnt) b ON a.g < b.g
+),
+grid AS (SELECT p.ga, p.gb, xs.x FROM pairs p, (SELECT DISTINCT x FROM cnt) xs),
+filled AS (
+  SELECT gr.ga, gr.gb, gr.x,
+         COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+  FROM grid gr
+  LEFT JOIN cnt ca ON ca.g = gr.ga AND ca.x = gr.x
+  LEFT JOIN cnt cb ON cb.g = gr.gb AND cb.x = gr.x
+),
+cum AS (
+  SELECT ga, gb,
+         SUM(na) OVER (PARTITION BY ga, gb ORDER BY x) AS ca,
+         SUM(nb) OVER (PARTITION BY ga, gb ORDER BY x) AS cb
+  FROM filled
+)
+SELECT c.ga AS source_a, c.gb AS source_b,
+       ROUND(MAX(ABS(c.ca * 1.0 / ta.t - c.cb * 1.0 / tb.t)), 6) AS ks,
+       CAST(ta.t AS BIGINT) AS n_a, CAST(tb.t AS BIGINT) AS n_b
+FROM cum c JOIN tots ta ON ta.g = c.ga JOIN tots tb ON tb.g = c.gb
+GROUP BY c.ga, c.gb, ta.t, tb.t ORDER BY source_a, source_b""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

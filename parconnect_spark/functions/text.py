@@ -965,3 +965,83 @@ def rrf_fuse(
         j.select("id", score.alias("rrf_score"))
         .withColumn("fused_rank", F.row_number().over(w))
     )
+
+
+def ks_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between every pair
+    of groups over the token-count distribution — the distribution-
+    drift monitor for corpus composition ("is source B's length profile
+    diverging from A's"). KS = max_x |F_a(x) − F_b(x)| computed over
+    the per-(group, length) COUNT table: cumulative windows partition
+    by PAIR over the value grid (bounded by distinct lengths × pairs —
+    groups are a dimension, lengths are small integers; nothing scales
+    with doc count past the census aggregate). Exact rational
+    arithmetic until the final 6dp rounding. Returns
+    (source_a, source_b, ks, n_a, n_b)."""
+    from pyspark.sql import Window
+
+    x = F.size(tokens_col(F.col(text_col)))
+    v = docs.select(F.col(group_col).alias("g"), x.alias("x"))
+    cnt = v.groupBy("g", "x").agg(F.count(F.lit(1)).alias("n"))
+    groups = sorted(r["g"] for r in cnt.select("g").distinct().collect())
+    spark = docs.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]],
+        "ga string, gb string",
+    )
+    grid = pairs.crossJoin(cnt.select("x").distinct())
+    ca = cnt.select(F.col("g").alias("ga"), "x", F.col("n").alias("na"))
+    cb = cnt.select(F.col("g").alias("gb"), "x", F.col("n").alias("nb"))
+    tots = cnt.groupBy("g").agg(F.sum("n").alias("t"))
+    filled = (
+        grid.join(ca, ["ga", "x"], "left")
+        .join(cb, ["gb", "x"], "left")
+        .select(
+            "ga",
+            "gb",
+            "x",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    w = (
+        Window.partitionBy("ga", "gb")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = filled.select(
+        "ga",
+        "gb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    ta = tots.select(F.col("g").alias("ga"), F.col("t").alias("_ta"))
+    tb = tots.select(F.col("g").alias("gb"), F.col("t").alias("_tb"))
+    return (
+        cum.join(F.broadcast(ta), "ga")
+        .join(F.broadcast(tb), "gb")
+        .groupBy("ga", "gb", "_ta", "_tb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("_ta")
+                        - F.col("cb") / F.col("_tb")
+                    )
+                ),
+                6,
+            ).alias("ks")
+        )
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "ks",
+            F.col("_ta").alias("n_a"),
+            F.col("_tb").alias("n_b"),
+        )
+    )

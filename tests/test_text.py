@@ -336,3 +336,34 @@ def test_rrf_fuse_known_scores_and_missing_items(spark):
         got.items(), key=lambda kv: (-kv[1][0], kv[0])
     )]
     assert order == exp
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    from parconnect_spark.functions.text import ks_drift
+
+    rows = []
+    # A and B identical length profiles; C disjoint (much longer)
+    for i in range(10):
+        rows.append((f"a{i}", "A", "w " * (i % 3 + 1)))
+        rows.append((f"b{i}", "B", "w " * (i % 3 + 1)))
+        rows.append((f"c{i}", "C", "w " * 50))
+    d = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["ks"], r["n_a"], r["n_b"])
+        for r in ks_drift(d).collect()
+    }
+    assert got[("A", "B")][0] == 0.0
+    assert got[("A", "C")][0] == 1.0 and got[("B", "C")][0] == 1.0
+    assert got[("A", "B")][1:] == (10, 10)
+
+
+def test_ks_drift_known_half_shift(spark):
+    from parconnect_spark.functions.text import ks_drift
+
+    # A: lengths 1,1,2,2 ; B: lengths 2,2,3,3 -> max |F| gap at x=1: .5
+    rows = [("a1", "A", "w"), ("a2", "A", "w"), ("a3", "A", "w w"),
+            ("a4", "A", "w w"), ("b1", "B", "w w"), ("b2", "B", "w w"),
+            ("b3", "B", "w w w"), ("b4", "B", "w w w")]
+    d = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    r = ks_drift(d).collect()[0]
+    assert r["ks"] == 0.5
