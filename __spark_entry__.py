@@ -1879,6 +1879,27 @@ def _q_ks_drift(spark, sf_dir):
     )
 
 
+def _q_token_entropy(spark, sf_dir):
+    """Per-source token Shannon entropy (functions/text.token_entropy):
+    the diversity monitor next to ks_drift's shape monitor -- a source
+    whose entropy collapses is templating even if its length profile
+    holds."""
+    from parconnect_spark.functions.text import token_entropy
+
+    _views(spark, sf_dir, ("documents",))
+    return token_entropy(spark.table("documents")).orderBy("group")
+
+
+def _q_transition_entropy(spark, sf_dir):
+    """Per-state conditional entropy of the entity transition chain
+    (operators/derive.transition_entropy): conversation predictability,
+    the distribution-level companion to markov_stationary."""
+    from parconnect_spark.operators.derive import transition_entropy
+
+    t = _transcripts(spark, sf_dir)
+    return transition_entropy(t).orderBy("entity")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3646,6 +3667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rank": _q_hybrid_rank,
         "language_confusion": _q_language_confusion,
         "ks_drift": _q_ks_drift,
+        "token_entropy": _q_token_entropy,
+        "transition_entropy": _q_transition_entropy,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6789,6 +6812,41 @@ SELECT c.ga AS source_a, c.gb AS source_b,
        CAST(ta.t AS BIGINT) AS n_a, CAST(tb.t AS BIGINT) AS n_b
 FROM cum c JOIN tots ta ON ta.g = c.ga JOIN tots tb ON tb.g = c.gb
 GROUP BY c.ga, c.gb, ta.t, tb.t ORDER BY source_a, source_b""",
+        "token_entropy": """
+WITH toks AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+cnt AS (SELECT g, t, COUNT(*) AS n FROM toks GROUP BY g, t),
+tot AS (SELECT g, SUM(n) AS tt, COUNT(*) AS nd FROM cnt GROUP BY g)
+SELECT cnt.g AS "group", CAST(tot.tt AS BIGINT) AS n_tokens,
+       CAST(tot.nd AS BIGINT) AS n_distinct,
+       ROUND(-SUM((cnt.n * 1.0 / tot.tt) * ln(cnt.n * 1.0 / tot.tt)), 6)
+         AS entropy
+FROM cnt JOIN tot ON tot.g = cnt.g
+GROUP BY cnt.g, tot.tt, tot.nd ORDER BY "group" """,
+        "transition_entropy": "WITH RECURSIVE "
+        + TRANSCRIPTS_CTE
+        + """,
+tt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 't:' || tool
+              ELSE 'r:' || role END AS entity
+  FROM transcripts
+),
+tr AS (
+  SELECT LAG(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a,
+         entity AS b
+  FROM tt
+),
+cnt AS (SELECT a, b, COUNT(*) AS n FROM tr WHERE a IS NOT NULL GROUP BY a, b),
+tot AS (SELECT a, SUM(n) AS tt FROM cnt GROUP BY a)
+SELECT cnt.a AS entity, CAST(tot.tt AS BIGINT) AS n_out,
+       ROUND(-SUM((cnt.n * 1.0 / tot.tt) * ln(cnt.n * 1.0 / tot.tt)), 6)
+         AS entropy
+FROM cnt JOIN tot ON tot.a = cnt.a
+GROUP BY cnt.a, tot.tt ORDER BY entity""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -1045,3 +1045,36 @@ def ks_drift(
             F.col("_tb").alias("n_b"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (nats) of the token distribution per group — the
+    DIVERSITY monitor next to ks_drift's shape monitor: a source whose
+    entropy collapses is templating/boilerplating even if its length
+    profile holds. H = −Σ p·ln p over the per-(group, token) census;
+    both aggregates map-side combinable, nothing scales past the
+    census. Returns (group, n_tokens, n_distinct, entropy) at 6dp."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    )
+    cnt = toks.groupBy("g", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("g").agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n") / F.col("_tot")
+    return (
+        cnt.join(tot, "g")
+        .groupBy("g", "_tot", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            F.col("g").alias("group"),
+            F.col("_tot").alias("n_tokens"),
+            "n_distinct",
+            "entropy",
+        )
+    )

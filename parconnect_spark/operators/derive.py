@@ -408,3 +408,36 @@ def transition_latency(transcripts: DataFrame) -> DataFrame:
         pick(1, 2).alias("p50_s"),
         pick(19, 20).alias("p95_s"),
     )
+
+
+def transition_entropy(transcripts: DataFrame) -> DataFrame:
+    """Per-state conditional entropy of the entity transition chain —
+    the conversation-predictability readout: H(next | a) = −Σ_b P(b|a)
+    ln P(b|a). Low entropy = scripted flows, high = branching behavior;
+    the distribution-level companion to markov_stationary's long-run
+    mix. Transition census = one bounded per-conversation lag + one
+    aggregate. Returns (entity, n_out, entropy) at 6dp."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ent = turn_entity()
+    tr = (
+        transcripts.select(
+            F.lag(ent).over(w).alias("a"), ent.alias("b")
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("a").agg(F.sum("n").alias("_tot"))
+    p = F.col("n") / F.col("_tot")
+    return (
+        tr.join(tot, "a")
+        .groupBy("a", "_tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            F.col("a").alias("entity"),
+            F.col("_tot").alias("n_out"),
+            "entropy",
+        )
+    )

@@ -504,3 +504,30 @@ def test_transition_latency_exact_percentiles(spark):
     # n=20; p50 = 10th smallest = 10; p95 = ceil(0.95*20)=19th = 19
     assert (row["a"], row["b"], row["n"]) == ("r:user", "r:assistant", 20)
     assert row["p50_s"] == 10 and row["p95_s"] == 19
+
+
+def test_transition_entropy_known_chain(spark):
+    import datetime as dt
+    import math
+
+    from parconnect_spark.operators.derive import transition_entropy
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user -> assistant always (H=0); assistant -> {user, tool} 50/50 (H=ln 2)
+    for c in range(2):
+        rows += [
+            (f"c{c}", 0, "user", "q", None, t0),
+            (f"c{c}", 1, "assistant", "a", None, t0),
+        ]
+    rows += [("c0", 2, "user", "q2", None, t0),
+             ("c1", 2, "assistant", "x", "search", t0)]
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["entity"]: (r["n_out"], r["entropy"]) for r in transition_entropy(d).collect()}
+    assert got["r:user"] == (2, 0.0) or got["r:user"] == (2, -0.0)
+    assert got["r:assistant"][0] == 2
+    assert got["r:assistant"][1] == round(math.log(2), 6)

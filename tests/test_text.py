@@ -367,3 +367,19 @@ def test_ks_drift_known_half_shift(spark):
     d = spark.createDataFrame(rows, "doc_id string, source string, text string")
     r = ks_drift(d).collect()[0]
     assert r["ks"] == 0.5
+
+
+def test_token_entropy_uniform_vs_degenerate(spark):
+    import math
+
+    from parconnect_spark.functions.text import token_entropy
+
+    rows = [
+        (0, "U", "a b c d"),        # uniform over 4 -> ln 4
+        (1, "D", "x x x x"),        # degenerate -> 0
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["group"]: r for r in token_entropy(d).collect()}
+    assert got["U"]["entropy"] == round(math.log(4), 6)
+    assert got["U"]["n_tokens"] == 4 and got["U"]["n_distinct"] == 4
+    assert got["D"]["entropy"] == -0.0 or got["D"]["entropy"] == 0.0
