@@ -53,9 +53,13 @@ def main():
         if only and name not in only:
             continue
         try:
+            import time as _time
+
+            _t0 = _time.monotonic()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            _spark_s = round(_time.monotonic() - _t0, 2)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL-spark] {name}: {e}")
@@ -86,7 +90,7 @@ def main():
             failures.append((name, f"{len(bad)} value mismatches"))
             print(f"[FAIL-values] {name}: {len(bad)}/{len(sr)} rows differ; first: {bad[:3]}")
         else:
-            print(f"[OK] {name}: {len(sr)} rows match exactly")
+            print(f"[OK] {name}: {len(sr)} rows match exactly ({_spark_s}s)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
