@@ -1900,6 +1900,56 @@ def _q_transition_entropy(spark, sf_dir):
     return transition_entropy(t).orderBy("entity")
 
 
+def _q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary over lineitem: grouped conditional
+    aggregates with derived measures -- the classic OLAP rollup,
+    included to pin that the engine's surface covers the standard
+    relational shapes alongside the graph/pipeline operators. Pure
+    Catalyst; one map-side-combined aggregate over the scan (the
+    shipdate filter pushes into the parquet reader)."""
+    import pyspark.sql.functions as F
+
+    _views(spark, sf_dir, ())
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_tpch_priority(spark, sf_dir):
+    """TPC-H Q3-shape shipping priority: the selective three-way
+    join (customer segment filter broadcast into orders ⋈ lineitem)
+    with revenue ranking -- the classic join-ordering benchmark shape.
+    Top 10 by (revenue DESC, orderdate, orderkey), all tie-broken."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(seg), o["o_custkey"] == seg["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3669,6 +3719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "token_entropy": _q_token_entropy,
         "transition_entropy": _q_transition_entropy,
+        "tpch_pricing": _q_tpch_pricing,
+        "tpch_priority": _q_tpch_priority,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6847,6 +6899,30 @@ SELECT cnt.a AS entity, CAST(tot.tt AS BIGINT) AS n_out,
          AS entropy
 FROM cnt JOIN tot ON tot.a = cnt.a
 GROUP BY cnt.a, tot.tt ORDER BY entity""",
+        "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "tpch_priority": """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),
