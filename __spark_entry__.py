@@ -1950,6 +1950,37 @@ def _q_tpch_priority(spark, sf_dir):
     )
 
 
+def _q_tpch_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shape local-supplier revenue: the six-table join chain
+    (region -> nation -> supplier/customer -> orders -> lineitem) with
+    the same-nation condition -- the deepest classic join-ordering
+    test. Dimension chain broadcast end to end; one grouped sum."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dims = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == dims["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3721,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": _q_transition_entropy,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_priority": _q_tpch_priority,
+        "tpch_region_revenue": _q_tpch_region_revenue,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6923,6 +6955,18 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
 LIMIT 10""",
+        "tpch_region_revenue": """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),
