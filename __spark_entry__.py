@@ -1981,6 +1981,27 @@ def _q_tpch_region_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_custdist(spark, sf_dir):
+    """TPC-H Q13-shape customer order-count distribution: LEFT join
+    (customers with zero orders kept) -> per-customer count -> count-of-
+    counts histogram -- the outer-join double-aggregation shape the
+    other TPC-H entries don't cover."""
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from parconnect_spark.functions.dedup import minhash_near_dup_pairs
 
@@ -3753,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": _q_tpch_pricing,
         "tpch_priority": _q_tpch_priority,
         "tpch_region_revenue": _q_tpch_region_revenue,
+        "tpch_custdist": _q_tpch_custdist,
         "fuzzy_terms": _q_fuzzy_terms,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6967,6 +6989,15 @@ JOIN region r ON r.r_regionkey = n.n_regionkey
 WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name""",
+        "tpch_custdist": """
+WITH per AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
         "dedup_minhash": _minhash_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(),
