@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from parconnect_spark.operators.graph import symmetrize
 from parconnect_spark.operators.relabel import relabel_edges
 
 
@@ -213,7 +212,26 @@ def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     string_edges = derive_string_edges(transcripts)
     long_edges, id_map = relabel_edges(string_edges, "a", "b")
-    return symmetrize(long_edges), id_map
+    # Both-orientation expansion WITHOUT symmetrize()'s dedup shuffle:
+    # string_edges is distinct canonical (a < b, a != b) and relabel_edges
+    # maps names injectively, so the forward and reverse long rows are
+    # disjoint, self-loop-free and already unique — the union's distinct (a
+    # full 2|E|-row exchange) is provably a no-op here. The expansion is ONE
+    # explode pass instead of unionByName(select, select): the relabel join
+    # tree executes once, not twice, and the two orientations of every edge
+    # land ADJACENTLY in each output partition, so a downstream
+    # canonicalizing dedup (connected components' first shuffle) collapses
+    # them map-side and exchanges half the rows. Row SET and count are
+    # identical to symmetrize(long_edges).
+    sym = long_edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    return sym, id_map
 
 
 def verify_text_invariant(transcripts: DataFrame) -> bool:

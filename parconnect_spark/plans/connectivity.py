@@ -678,6 +678,112 @@ def _degree_census(canon: DataFrame, width: int = 0) -> tuple[int, int, int, lis
     return mx, tot, nv, hubs
 
 
+def _start_census(
+    canon_all: DataFrame, width: int
+) -> tuple[int, int, int, list, bool, DataFrame | None]:
+    """Run-start census over the LAZILY-checkpointed canonical set (self-loop
+    rows retained as (v, v)): ONE full-pass job materializes the checkpoint
+    blocks and computes everything the old three-job preamble (eager
+    checkpoint pass + _degree_census + _ids_fit_packed) collected
+    separately — measured 2-core cost on the 180.5M-edge scaling graph was
+    ~5 min of run wall outside the superstep loop, most of it these
+    redundant passes plus the eager vertex-table distinct this census now
+    also makes unnecessary:
+
+    * per-vertex symmetric degree over non-self rows (max degree, total
+      symmetric rows, distinct active vertices, hub ids — the strategy
+      inputs of _degree_census, bit-identical);
+    * the packed-id bounds check (min/max over every vertex id, self-loop
+      vertices included — conservative and exact);
+    * the self-loop-only vertex set (vertices whose every edge is a
+      self-loop): the one set the final star-forest label extraction cannot
+      see, counted here in the same aggregate so the common no-self-loop
+      case costs zero extra jobs.
+
+    Returns (mx, tot, nv, hubs, ids_packed, selfloop_only) where
+    selfloop_only is None when no such vertex exists (the common case) and
+    otherwise an eagerly-checkpointed DataFrame[v] collected while the
+    grouped counts are still cached."""
+    is_self = F.col("src") == F.col("dst")
+    g = (
+        canon_all.select(
+            F.explode(F.array("src", "dst")).alias("v"), is_self.alias("_sl")
+        )
+        .groupBy("v")
+        .agg(
+            F.count_if(~F.col("_sl")).alias("_c"),
+            F.max(F.col("_sl")).alias("_any_sl"),
+        )
+        .persist()
+    )
+    row = g.agg(
+        F.max("_c").alias("mx"),
+        F.sum("_c").alias("tot"),
+        F.count_if(F.col("_c") > 0).alias("nv"),
+        F.min("v").alias("mn_id"),
+        F.max("v").alias("mx_id"),
+        F.count_if((F.col("_c") == 0) & F.col("_any_sl")).alias("n_sl_only"),
+    ).collect()[0]
+    mx, tot, nv = int(row["mx"] or 0), int(row["tot"] or 0), int(row["nv"] or 0)
+    ids_packed = row["mn_id"] is None or (
+        int(row["mn_id"]) >= 0 and int(row["mx_id"]) < (1 << 31)
+    )
+    hubs: list = []
+    if width > 0 and mx > _hub_threshold(tot, width):
+        hubs = [
+            int(r["v"])
+            for r in g.where(F.col("_c") > _hub_threshold(tot, width))
+            .orderBy(F.desc("_c"))
+            .limit(HUB_SPLIT_MAX_HUBS)
+            .collect()
+        ]
+    sl_only = None
+    if int(row["n_sl_only"] or 0) > 0:
+        # eager: materialize the (small) rescue set while g is still cached;
+        # a lazy plan here would recompute g's whole lineage after unpersist
+        sl_only = (
+            g.where((F.col("_c") == 0) & F.col("_any_sl"))
+            .select("v")
+            .localCheckpoint()
+        )
+    g.unpersist()
+    return mx, tot, nv, hubs, ids_packed, sl_only
+
+
+def _checksum_with_dst_census(
+    nxt: DataFrame, width: int, prev_hubs: list
+) -> tuple[int, int, list]:
+    """The convergence checksum and the next round's hub-census refresh in
+    ONE pass over the just-materialized working set (replacing _checksum +
+    _dst_census back to back, which scanned it twice per superstep): the
+    per-dst grouped aggregate delivers both the global (count, hash-sum)
+    fingerprint — as sums of the per-group partials, bit-identical to
+    _checksum's — and the dst-frequency hub list of _dst_census. The
+    grouped table is |V'|-sized, so the follow-up scalar aggregate and the
+    hub filter are near-free jobs over its cached blocks."""
+    grouped = (
+        nxt.groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("_s"),
+        )
+        .persist()
+    )
+    row = grouped.agg(F.sum("_c").alias("cnt"), F.sum("_s").alias("s")).collect()[0]
+    cnt, s = int(row["cnt"] or 0), int(row["s"] or 0)
+    thr = _hub_threshold(cnt, width)
+    fresh = [
+        int(r["dst"])
+        for r in grouped.where(F.col("_c") > thr)
+        .orderBy(F.desc("_c"))
+        .limit(HUB_SPLIT_MAX_HUBS)
+        .collect()
+    ]
+    grouped.unpersist(blocking=False)
+    merged = fresh + [h for h in prev_hubs if h not in fresh]
+    return cnt, s, merged[:HUB_SPLIT_MAX_HUBS]
+
+
 def _dst_census(edges: DataFrame, width: int, tot: int, prev_hubs: list) -> list:
     """Next superstep's hub list, cheaply: dst-frequency over the NEW
     working set (one balanced combine-aggregate job over the just-
@@ -788,17 +894,45 @@ def _cc_two_phase(
     hub_mode: str = "census",
     census_every: int = CENSUS_EVERY,
 ) -> CCResult:
-    verts = vertex_table(_both_orientations(edges)).persist()
-    verts.count()
+    import os as _os0
+    if _os0.environ.get("SPARK_GRAFT_CC_PHASE_DEBUG") == "1":
+        import sys as _sys0
+
+        print(f"[cc-phase] enter t={time.monotonic():.3f}", file=_sys0.stderr)
 
     parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    work = _canonical(edges)
-    start_step, work = _resume(checkpoint, work)
-    work = work.localCheckpoint()
+    census_strategy = materialize in ("auto", "window", "salted", "salted_fused")
+
+    # Canonical working set. On the census strategies (every default path)
+    # self-loops are RETAINED through the distinct as (v, v) rows and
+    # filtered out of the iterated view afterwards: the run-start census can
+    # then see self-loop-only vertices without a second pass over the input,
+    # which is what lets the final label extraction skip the old eager
+    # vertex-table distinct (a full shuffle over 2|E| pair rows — measured
+    # the single most expensive fixed job of a scaling-bench run).
+    canon_all = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    start_step, resumed_df = _resume(checkpoint, None)
+    resumed = resumed_df is not None
+    sl_only = None
+    if resumed:
+        # resumed working sets carry no self-loop information; the label
+        # extraction below falls back to the vertex-join path.
+        work = resumed_df.localCheckpoint()
+    elif census_strategy:
+        # LAZY checkpoint: the single-consumer census job below materializes
+        # the distinct's blocks and computes the whole preamble in one pass.
+        work_all = canon_all.localCheckpoint(eager=False)
+        work = work_all.where(F.col("src") != F.col("dst"))
+    else:
+        # join-based strategies consume the working set in multiple branches
+        # with no census job in between — keep the eager checkpoint so the
+        # distinct is not recomputed per branch.
+        work = canon_all.where(F.col("src") != F.col("dst")).localCheckpoint()
 
     # Strategy resolution (once per run, on the working set actually being
-    # iterated). The census is one aggregate; the packed-id bounds check is
-    # one cheap min/max scan. The window/salted choice is a heuristic on the
+    # iterated). The window/salted choice is a heuristic on the
     # INPUT degree distribution, not an invariant of every superstep:
     # two_phase convergence drives each component toward a star on its min
     # vertex, so LATE supersteps are maximally hub-skewed by construction —
@@ -811,8 +945,15 @@ def _cc_two_phase(
     broadcast_mins = True
     width = _execution_width(edges.sparkSession)
     hubs: list = []
-    if materialize in ("auto", "window", "salted", "salted_fused"):
-        mx, tot, nv, hubs = _degree_census(work, width)
+    ids_packed = True
+    if census_strategy:
+        if resumed:
+            mx, tot, nv, hubs = _degree_census(work, width)
+            ids_packed = _ids_fit_packed(work)
+        else:
+            mx, tot, nv, hubs, ids_packed, sl_only = _start_census(
+                work_all, width
+            )
         broadcast_mins = nv <= broadcast_max_rows
         if materialize == "auto":
             hub_frac = (mx / tot) if tot else 0.0
@@ -831,11 +972,23 @@ def _cc_two_phase(
         # the fused round's join-backs are broadcast by construction; above
         # the gate fall back to the checkpointed salted path (AQE join-back)
         strategy = "salted"
-    packed = strategy in ("window", "salted", "salted_fused") and _ids_fit_packed(work)
+    packed = strategy in ("window", "salted", "salted_fused") and ids_packed
+
+    import os as _os
+    import sys as _sys
+
+    _phase_debug = _os.environ.get("SPARK_GRAFT_CC_PHASE_DEBUG") == "1"
+    if _phase_debug:
+        print(
+            f"[cc-phase] preamble done strategy={strategy} packed={packed} "
+            f"hubs={len(hubs)} t={time.monotonic():.3f}",
+            file=_sys.stderr,
+        )
 
     metrics: list = []
     prev = None
     it = start_step
+    converged = False
     hubs_used = 0
     since_census = 0  # supersteps since the last hub-census refresh
     census_ran = False
@@ -898,17 +1051,19 @@ def _cc_two_phase(
             nxt = round_fn(work, parts, hubs, round_caches).localCheckpoint(
                 eager=False
             )
-            cnt, s = _checksum(nxt)
             since_census += 1
             census_ran = hub_mode == "census" and since_census >= census_every
             if census_ran:
-                # refresh the hub list from the new working set (hub drift:
-                # the giant component's min vertex becomes the next round's
-                # straggler group — measured 15s single-task stages when the
-                # static list misses it); "static" keeps run-start hubs.
-                # Every census_every supersteps only: see CENSUS_EVERY.
-                hubs = _dst_census(nxt, width, cnt, hubs)
+                # convergence checksum + hub-list refresh fused into one
+                # pass over the new working set (hub drift: the giant
+                # component's min vertex becomes the next round's straggler
+                # group — measured 15s single-task stages when the static
+                # list misses it); "static" keeps run-start hubs. Every
+                # census_every supersteps only: see CENSUS_EVERY.
+                cnt, s, hubs = _checksum_with_dst_census(nxt, width, hubs)
                 since_census = 0
+            else:
+                cnt, s = _checksum(nxt)
             for c in round_caches:
                 c.unpersist(blocking=False)
         elif strategy == "persist":
@@ -960,19 +1115,53 @@ def _cc_two_phase(
             nxt = checkpoint.save(it, nxt, m)
         if prev == (cnt, s):
             work = nxt
+            converged = True
             break
         prev = (cnt, s)
         work = nxt
 
+    if _phase_debug:
+        print(f"[cc-phase] loop done t={time.monotonic():.3f}", file=_sys.stderr)
+
     # work is now a canonical star forest (v, component-min); roots are
     # vertices never appearing on the big side.
     star = work.groupBy("src").agg(F.min("dst").alias("_m"))
-    star = star.select(F.col("src").alias("v"), F.col("_m").alias("label"))
-    labels = (
-        verts.join(star, "v", "left")
-        .select("v", F.coalesce("label", "v").alias("label"))
-    )
-    verts.unpersist()
+    if converged and census_strategy and not resumed:
+        # At a FIXPOINT the star forest is exact: every non-root vertex is
+        # one src row, every root (= component min) appears only as a dst,
+        # and the two sets are disjoint (a min with an edge to something
+        # smaller would not be a min). Labels therefore come straight off
+        # the final |V'|-row working set — star rows for non-roots, the
+        # distinct label set for roots, plus the census's self-loop-only
+        # rescue — with no pass over the input at all (the old path paid a
+        # full 2|E|-row vertex-table distinct plus a |V|-row join here).
+        labels = star.select(F.col("src").alias("v"), F.col("_m").alias("label"))
+        roots = (
+            star.select(F.col("_m").alias("v"))
+            .distinct()
+            .select("v", F.col("v").alias("label"))
+        )
+        labels = labels.unionByName(roots)
+        if sl_only is not None:
+            labels = labels.unionByName(
+                sl_only.select("v", F.col("v").alias("label"))
+            )
+    else:
+        # Non-converged (max_iterations hit), resumed, or join-strategy
+        # runs: the disjointness argument above does not apply — fall back
+        # to the conservative vertex-table join (one distinct over the
+        # input's endpoint columns; cheaper than the old pair-distinct but
+        # semantically identical).
+        verts = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        star2 = star.select(F.col("src").alias("v"), F.col("_m").alias("label"))
+        labels = (
+            verts.join(star2, "v", "left")
+            .select("v", F.coalesce("label", "v").alias("label"))
+        )
     return CCResult(labels=labels, iterations=it, metrics=metrics)
 
 
