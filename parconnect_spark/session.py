@@ -99,4 +99,20 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # Silence WindowExec's "No Partition Defined" warning: every
+        # unpartitioned window in this package is provably bounded (the
+        # per-partition-count offsets exscan in operators/relabel.py, the
+        # <= #distinct-degrees suffix sums in operators/graph.py rich_club,
+        # the <= #buckets merges in operators/events.py), so the warning is
+        # pure noise that drowned real regressions in the bench tail. A
+        # genuinely unbounded global window would still show up as a
+        # single-task straggler stage in any plan/stage audit.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep their logging untouched
     return spark

@@ -492,3 +492,75 @@ def test_incremental_cc_selfloop_delta_is_noop(spark):
     assert inc.iterations == 0
     got = {r["v"]: r["label"] for r in inc.labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_label_extraction_selfloop_and_fallback_paths_agree(spark):
+    """The converged star-forest label extraction (no input pass) must equal
+    the conservative vertex-join fallback on a graph mixing components,
+    self-loop-only vertices and vertices with both self and real edges."""
+    from parconnect_spark.plans.connectivity import connected_components
+    from tests.conftest import expected_membership
+
+    und = [(0, 1), (1, 2), (5, 6), (6, 6), (9, 9), (12, 12)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    # window strategy -> census path -> star-forest extraction
+    fast = connected_components(edges, materialize="window")
+    # persist strategy -> no census -> vertex-join fallback
+    slow = connected_components(edges, materialize="persist")
+    want = expected_membership(rows)  # includes 9 and 12 as singletons
+    got_fast = {r["v"]: r["label"] for r in fast.labels.collect()}
+    got_slow = {r["v"]: r["label"] for r in slow.labels.collect()}
+    assert got_fast == want
+    assert got_slow == want
+
+
+def test_label_extraction_non_converged_uses_fallback(spark):
+    """max_iterations=0: the loop never runs, the star is the raw canonical
+    working set, and every vertex must still get exactly one label row (the
+    disjointness argument does not hold, so the join path must be taken)."""
+    from parconnect_spark.plans.connectivity import connected_components
+
+    und = [(0, 1), (1, 2), (3, 4)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = connected_components(edges, max_iterations=0)
+    labels = res.labels.collect()
+    assert res.iterations == 0
+    assert len(labels) == 5  # one row per vertex, no duplicates
+    assert {r["v"] for r in labels} == {0, 1, 2, 3, 4}
+
+
+def test_prescan_packed_bounds(spark, tmp_path):
+    """Footer-statistics probe: decides packing for bare parquet relations,
+    abstains (None) for in-memory or transformed inputs."""
+    from pyspark.sql import functions as F
+
+    from parconnect_spark.plans.connectivity import _prescan_packed_bounds
+
+    p_ok = str(tmp_path / "ok.parquet")
+    spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long").write.parquet(p_ok)
+    ok = spark.read.parquet(p_ok)
+    assert _prescan_packed_bounds(ok) is True
+
+    p_big = str(tmp_path / "big.parquet")
+    spark.createDataFrame(
+        [(1, 2), (1 << 40, 4)], "src long, dst long"
+    ).write.parquet(p_big)
+    assert _prescan_packed_bounds(spark.read.parquet(p_big)) is False
+
+    mem = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert _prescan_packed_bounds(mem) is None
+    assert _prescan_packed_bounds(ok.select((F.col("src") + 1).alias("src"), "dst")) is None
+
+    # and the packed-canonical run over a parquet graph still labels exactly
+    und = [(10, 11), (11, 12), (20, 21)]
+    rows = und + [(b, a) for a, b in und]
+    p_g = str(tmp_path / "g.parquet")
+    spark.createDataFrame(rows, "src long, dst long").write.parquet(p_g)
+    from parconnect_spark.plans.connectivity import connected_components
+    from tests.conftest import expected_membership
+
+    res = connected_components(spark.read.parquet(p_g), materialize="window")
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == expected_membership(rows)
