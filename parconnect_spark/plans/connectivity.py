@@ -803,6 +803,44 @@ def _start_census(
     return mx, tot, nv, hubs, ids_packed, sl_only
 
 
+def _sampled_hubs(edges: DataFrame, width: int, tot: int) -> list:
+    """Run-start hub seeds from a DETERMINISTIC 1% pseudo-sample of the raw
+    input (xxhash64(src,dst) % 100 == 0 — no rand(), so retries resample
+    identically). A hub must carry > tot/(HUB_SPLIT_MARGIN·width) of the
+    symmetric rows to matter (12.5%+ at width 2, ~3% at width 8) — a 1.8M-
+    row sample cannot miss one; a borderline hub flipping in or out only
+    changes the physical split, never a label, and the superstep-1 fused
+    census refreshes the list exactly. Used only on the explicit-"window"
+    fast preamble, where the full exact census would be the single most
+    expensive remaining run-start job."""
+    thr = _hub_threshold(tot, width)
+    rate = 100
+    sample = edges.where(F.pmod(F.xxhash64("src", "dst"), F.lit(rate)) == 0)
+    g = (
+        sample.select(F.explode(F.array("src", "dst")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # Factor 2: this engine's edge tables carry BOTH orientations of every
+    # undirected edge, so per-endpoint appearances in the raw table are 2x
+    # the canonical symmetric degree the exact census thresholds on —
+    # without the halving the test admits every vertex above thr/2, and the
+    # borderline hubs it drags in measurably SLOW the round (8-core A/B on
+    # the 180.5M-edge graph: 7 hubs -> superstep loop 100s vs 4 hubs ->
+    # 81s; splitting a group that is not a straggler pays the hot/cold
+    # split overhead for nothing). For a one-orientation input the halving
+    # is merely 2x conservative — a missed borderline hub degrades to the
+    # pre-split window behavior, and the superstep-1 exact refresh
+    # corrects it a round later.
+    return [
+        int(r["v"])
+        for r in g.where(F.col("_c") * rate > 2 * thr)
+        .orderBy(F.desc("_c"))
+        .limit(HUB_SPLIT_MAX_HUBS)
+        .collect()
+    ]
+
+
 def _checksum_with_dst_census(
     nxt: DataFrame, width: int, prev_hubs: list
 ) -> tuple[int, int, list]:
@@ -1076,6 +1114,31 @@ def _cc_two_phase(
         if resumed:
             mx, tot, nv, hubs = _degree_census(work, width)
             ids_packed = _ids_fit_packed(work)
+        elif materialize == "window" and pre_packed is not None:
+            # FAST PREAMBLE for the explicit window strategy over a parquet
+            # relation: the window round never reads nv/mx/tot (no
+            # broadcast gate, no auto decision), so the only exact
+            # quantities needed are the working-set count (hub threshold
+            # calibration + self-loop detection, from ONE scalar aggregate
+            # that doubles as the lazy checkpoint's materializer) and the
+            # packed bounds (already footer-proven). Hub seeds come from a
+            # deterministic 1% sample; per-superstep refreshes stay exact.
+            # Inputs that DO contain self-loops fall back to the exact
+            # census for the rescue set (rare; one extra pass).
+            ids_packed = pre_packed
+            mx = tot = nv = 0
+            row = work_all.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count_if(F.col("src") == F.col("dst")).alias("n_self"),
+            ).collect()[0]
+            n_self = int(row["n_self"] or 0)
+            tot = 2 * (int(row["cnt"] or 0) - n_self)
+            if n_self > 0:
+                mx, tot, nv, hubs, _ip, sl_only = _start_census(
+                    work_all, width
+                )
+            elif width > 0:
+                hubs = _sampled_hubs(edges, width, tot)
         else:
             mx, tot, nv, hubs, ids_packed, sl_only = _start_census(
                 work_all, width

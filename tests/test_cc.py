@@ -564,3 +564,30 @@ def test_prescan_packed_bounds(spark, tmp_path):
     res = connected_components(spark.read.parquet(p_g), materialize="window")
     got = {r["v"]: r["label"] for r in res.labels.collect()}
     assert got == expected_membership(rows)
+
+
+def test_fast_window_preamble_parquet(spark, tmp_path, monkeypatch):
+    """Explicit window strategy over a parquet relation takes the sampled-
+    hub fast preamble; labels stay exact, including the rare self-loop
+    fallback (which re-runs the exact census for the rescue set)."""
+    import parconnect_spark.plans.connectivity as conn
+    from tests.conftest import expected_membership
+
+    monkeypatch.setattr(conn, "HUB_SPLIT_MIN_ROWS", 4)
+    und = [(0, j) for j in range(1, 50)] + [(100, 101)]
+    rows = und + [(b, a) for a, b in und]
+    p = str(tmp_path / "g.parquet")
+    spark.createDataFrame(rows, "src long, dst long").write.parquet(p)
+    res = conn.connected_components(
+        spark.read.parquet(p), materialize="window", hub_mode="census"
+    )
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == expected_membership(rows)
+
+    rows_sl = rows + [(7, 7), (200, 200)]
+    p2 = str(tmp_path / "g2.parquet")
+    spark.createDataFrame(rows_sl, "src long, dst long").write.parquet(p2)
+    res2 = conn.connected_components(spark.read.parquet(p2), materialize="window")
+    got2 = {r["v"]: r["label"] for r in res2.labels.collect()}
+    assert got2 == expected_membership(rows_sl)
+    assert got2[200] == 200 and got2[7] == 0
