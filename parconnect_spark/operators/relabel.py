@@ -88,20 +88,17 @@ def relabel_edges(
         .distinct()
     )
     id_map = dense_rank_relabel(keys, "name")
-    # shuffle-hash hint: the id map is the |V|-row side — per-partition hash
-    # relations are small, while a sort-merge join would SORT the |E|-row
-    # string-keyed edge table twice (once per endpoint rewrite). Measured on
-    # the 28.8M-conv scaling derivation this sort dominated the relabel.
-    s = (
-        id_map.withColumnRenamed("name", "_sname")
-        .withColumnRenamed("id", "_sid")
-        .hint("shuffle_hash")
-    )
-    d = (
-        id_map.withColumnRenamed("name", "_dname")
-        .withColumnRenamed("id", "_did")
-        .hint("shuffle_hash")
-    )
+    # The id-map joins should run as shuffled-hash, not sort-merge: the map
+    # is the |V|-row side, and SMJ would SORT the |E|-row string-keyed edge
+    # table twice (once per endpoint rewrite) — measured dominant on the
+    # 28.8M-conv scaling derivation. The switch is left to AQE
+    # (maxShuffledHashJoinLocalMapThreshold, a session default): AQE
+    # converts only when every build partition fits the threshold, so a
+    # giant id map on too few partitions degrades to spill-safe SMJ
+    # instead of an executor OOM — a forced shuffle_hash hint here would
+    # remove that safety net for every relabel caller.
+    s = id_map.withColumnRenamed("name", "_sname").withColumnRenamed("id", "_sid")
+    d = id_map.withColumnRenamed("name", "_dname").withColumnRenamed("id", "_did")
     out = (
         edges.join(s, edges[src_col] == s["_sname"])
         .join(d, edges[dst_col] == d["_dname"])

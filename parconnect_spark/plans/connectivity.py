@@ -543,7 +543,7 @@ AUTO_MIN_HUB_FRAC = 0.02
 #: limit and typical executor memory; raise it on fat-executor clusters.
 BROADCAST_MAX_ROWS = 8_000_000
 
-#: hub-census refresh cadence (supersteps per _dst_census job). The refresh
+#: hub-census refresh cadence (supersteps per hub-census refresh). The refresh
 #: exists to catch NEWLY-emerged stragglers (the giant component's min
 #: vertex, whose star doubles per round under pointer halving); the merged
 #: list never drops previously-seen hubs, so staleness only delays a NEW
@@ -845,13 +845,33 @@ def _checksum_with_dst_census(
     nxt: DataFrame, width: int, prev_hubs: list
 ) -> tuple[int, int, list]:
     """The convergence checksum and the next round's hub-census refresh in
-    ONE pass over the just-materialized working set (replacing _checksum +
-    _dst_census back to back, which scanned it twice per superstep): the
-    per-dst grouped aggregate delivers both the global (count, hash-sum)
-    fingerprint — as sums of the per-group partials, bit-identical to
-    _checksum's — and the dst-frequency hub list of _dst_census. The
+    ONE pass over the just-materialized working set (replacing the former
+    _checksum + _dst_census pair, which scanned it twice per superstep):
+    the per-dst grouped aggregate delivers both the global (count,
+    hash-sum) fingerprint — as sums of the per-group partials,
+    bit-identical to _checksum's — and the dst-frequency hub refresh. The
     grouped table is |V'|-sized, so the follow-up scalar aggregate and the
-    hub filter are near-free jobs over its cached blocks."""
+    hub filter are near-free jobs over its cached blocks.
+
+    Why dst only: after a two_phase round the working set is (v, m) star
+    rows, so next round's straggler groups are the component minima — which
+    appear as the DST of nearly every row of their star, while src
+    multiplicities stay O(1). A vertex hub on the src side only happens in
+    the INPUT graph, which the run-start census already covered. Missing a
+    borderline hub degrades to the pre-split behavior, never to a wrong
+    answer. The fresh list is unioned with the previous one (stale entries
+    are harmless ≤HUB_SPLIT_MAX_HUBS literals; vanished hubs match
+    nothing) so a hub persisting across rounds is never dropped mid-run.
+
+    Margin note: the threshold is calibrated on the UNSYMMETRIZED
+    working-set row count (the checksum's cnt), while the run-start census
+    calibrated on the symmetrized total (2x rows) — so refresh thresholds
+    deliberately run at HALF the stated 25% margin. That bias is the right
+    direction for a refresh: its whole job is catching the newly-emerged
+    straggler (the giant component's min vertex — measured 15s single-task
+    stages when missed), an un-split borderline hub costs a serialized
+    window partition, and an over-split one costs only a
+    ≤HUB_SPLIT_MAX_HUBS-row broadcast join-back."""
     grouped = (
         nxt.groupBy("dst")
         .agg(
@@ -874,43 +894,6 @@ def _checksum_with_dst_census(
     merged = fresh + [h for h in prev_hubs if h not in fresh]
     return cnt, s, merged[:HUB_SPLIT_MAX_HUBS]
 
-
-def _dst_census(edges: DataFrame, width: int, tot: int, prev_hubs: list) -> list:
-    """Next superstep's hub list, cheaply: dst-frequency over the NEW
-    working set (one balanced combine-aggregate job over the just-
-    materialized checkpoint blocks — no explode, no hash sums).
-
-    Why dst only: after a two_phase round the working set is (v, m) star
-    rows, so next round's straggler groups are the component minima — which
-    appear as the DST of nearly every row of their star, while src
-    multiplicities stay O(1). A vertex hub on the src side only happens in
-    the INPUT graph, which the run-start degree census already covered.
-    Missing a borderline hub degrades to the pre-split behavior, never to a
-    wrong answer. The fresh list is unioned with the previous one (stale
-    entries are harmless ≤HUB_SPLIT_MAX_HUBS literals; vanished hubs match
-    nothing) so a hub persisting across rounds is never dropped mid-run.
-
-    Margin note: ``tot`` here is the UNSYMMETRIZED working-set row count
-    (the checksum's cnt), while the run-start census calibrated
-    _hub_threshold on the symmetrized total (2x rows) — so refresh
-    thresholds deliberately run at HALF the stated 25% margin. That bias
-    is the right direction for a refresh: its whole job is catching the
-    newly-emerged straggler (the giant component's min vertex — measured
-    15s single-task stages when missed), an un-split borderline hub costs
-    a serialized window partition, and an over-split one costs only a
-    ≤HUB_SPLIT_MAX_HUBS-row broadcast join-back."""
-    thr = _hub_threshold(tot, width)
-    fresh = [
-        int(r["dst"])
-        for r in edges.groupBy("dst")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") > thr)
-        .orderBy(F.desc("_c"))
-        .limit(HUB_SPLIT_MAX_HUBS)
-        .collect()
-    ]
-    merged = fresh + [h for h in prev_hubs if h not in fresh]
-    return merged[:HUB_SPLIT_MAX_HUBS]
 
 
 def _execution_width(spark) -> int:
@@ -983,6 +966,14 @@ def _prescan_packed_bounds(edges: DataFrame) -> bool | None:
     bounds BEFORE the canonical distinct lets that first full shuffle carry
     one packed long per row instead of a two-long pair (−33% exchange
     volume) and the checkpoint cache store 8-byte rows."""
+    # Only 64-bit integer columns: the packed representation shifts src by
+    # 32, which is exact on LongType and silently degenerate on narrower
+    # types (Java's int<<32 masks the shift to 0), and footer stats of
+    # non-integer physical types are not comparable bounds at all.
+    if dict(edges.dtypes).get("src") != "bigint" or dict(edges.dtypes).get(
+        "dst"
+    ) != "bigint":
+        return None
     try:
         analyzed = edges._jdf.queryExecution().analyzed().toString()
     except Exception:
@@ -1010,16 +1001,19 @@ def _prescan_packed_bounds(edges: DataFrame) -> bool | None:
                 return None
             for rg in range(md.num_row_groups):
                 for col in ("src", "dst"):
-                    st = md.row_group(rg).column(idx[col]).statistics
+                    c = md.row_group(rg).column(idx[col])
+                    if c.physical_type != "INT64":
+                        return None
+                    st = c.statistics
                     if st is None or not st.has_min_max:
                         return None
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                    lo = st.min if lo is None else min(lo, int(st.min))
+                    hi = st.max if hi is None else max(hi, int(st.max))
+        if lo is None:
+            return True
+        return int(lo) >= 0 and int(hi) < (1 << 31)
     except Exception:
         return None
-    if lo is None:
-        return True
-    return int(lo) >= 0 and int(hi) < (1 << 31)
 
 
 def _cc_two_phase(
@@ -1034,11 +1028,14 @@ def _cc_two_phase(
     hub_mode: str = "census",
     census_every: int = CENSUS_EVERY,
 ) -> CCResult:
-    import os as _os0
-    if _os0.environ.get("SPARK_GRAFT_CC_PHASE_DEBUG") == "1":
-        import sys as _sys0
+    import os as _os
+    import sys as _sys
 
-        print(f"[cc-phase] enter t={time.monotonic():.3f}", file=_sys0.stderr)
+    # opt-in phase timestamps on stderr (enter / preamble done / loop done)
+    # for wall-budget audits of the scaling bench — see OPTIMIZATION_r06.md
+    _phase_debug = _os.environ.get("SPARK_GRAFT_CC_PHASE_DEBUG") == "1"
+    if _phase_debug:
+        print(f"[cc-phase] enter t={time.monotonic():.3f}", file=_sys.stderr)
 
     parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     census_strategy = materialize in ("auto", "window", "salted", "salted_fused")
@@ -1163,10 +1160,6 @@ def _cc_two_phase(
         strategy = "salted"
     packed = strategy in ("window", "salted", "salted_fused") and ids_packed
 
-    import os as _os
-    import sys as _sys
-
-    _phase_debug = _os.environ.get("SPARK_GRAFT_CC_PHASE_DEBUG") == "1"
     if _phase_debug:
         print(
             f"[cc-phase] preamble done strategy={strategy} packed={packed} "

@@ -81,6 +81,17 @@ def get_spark(
         builder, "spark.sql.adaptive.coalescePartitions.enabled", "true"
     )
     builder = _default(builder, "spark.sql.adaptive.skewJoin.enabled", "true")
+    # Let AQE rewrite sort-merge joins to shuffled-hash when EVERY build
+    # partition fits this threshold (default 0 = never). Motivating case:
+    # the relabel id-map joins — SMJ sorts the |E|-row string edge table
+    # twice; SHJ builds |V|/parts-row hash maps instead. AQE's size check
+    # keeps the spill-safe SMJ whenever a build partition would be large,
+    # which a blanket SHUFFLE_HASH hint would not.
+    builder = _default(
+        builder,
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "128m",
+    )
     builder = _default(builder, "spark.sql.session.timeZone", "UTC")
     builder = _default(builder, "spark.sql.execution.arrow.pyspark.enabled", "true")
     builder = _default(

@@ -591,3 +591,19 @@ def test_fast_window_preamble_parquet(spark, tmp_path, monkeypatch):
     got2 = {r["v"]: r["label"] for r in res2.labels.collect()}
     assert got2 == expected_membership(rows_sl)
     assert got2[200] == 200 and got2[7] == 0
+
+
+def test_group_min_kernel_shj_labels_match(spark, monkeypatch):
+    """The env-gated sort-free grouped-min kernel (A/B lever) must produce
+    identical labels to the default window kernel, hub split included."""
+    import parconnect_spark.plans.connectivity as conn
+    from tests.conftest import expected_membership
+
+    monkeypatch.setattr(conn, "HUB_SPLIT_MIN_ROWS", 4)
+    monkeypatch.setenv("SPARK_GRAFT_CC_GROUPMIN", "shj")
+    und = [(0, j) for j in range(1, 50)] + [(100, 101), (60, 61), (61, 62)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = conn.connected_components(edges, materialize="window", hub_mode="census")
+    got = {r["v"]: r["label"] for r in res.labels.collect()}
+    assert got == expected_membership(rows)
